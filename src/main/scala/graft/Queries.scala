@@ -1,0 +1,564 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, SimSearch, TextStats}
+import graft.transform.{Canonicalize, Enrich, Harmonize, Normalize}
+import graft.quality.Expectations._
+import graft.streaming.EventStreams
+
+/** The declared query catalog: one entry per operator family from
+  * SURVEY.md §2 (reference parity) plus the north-star LLM-pipeline
+  * operators, each exercised over the driver testdata (FIXTURES.md §C).
+  *
+  * Determinism contract (the driver hash-compares against DuckDB):
+  *  - every query ends in a total ORDER BY (unique key tiebreaks);
+  *  - cross-row double sums go through per-value DECIMAL casts (exact,
+  *    order-independent) and back to double;
+  *  - derived doubles are rounded to a fixed scale;
+  *  - column names are identical here and in the oracle SQL.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact order-independent sum of a money-ish double column: per-row
+    * decimal cast → decimal sum → double.
+    */
+  private def decSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  // ================================================================ parity
+
+  /** Flagship (E4 gold shape): fact ⋈ dim inner, ⋈ dim left, group, avg.
+    * J1+J2+A1-A4+P13 (SURVEY §2.4, §2.5, §3.3).
+    */
+  val goldFlagship: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "inner")
+      .join(c, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+  }
+
+  val goldFlagshipSql: String =
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS n_rows,
+      | sum(l_quantity) AS sum_qty,
+      | round(sum(l_quantity)/count(*), 6) AS avg_qty,
+      | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | LEFT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  /** X1/P7: rule-table canonicalization folded into one Project. */
+  val canonicalize: Q = (s, dir) => {
+    val rules = Seq(
+      Canonicalize.Rule("c_name", "Customer#0*", "CUST "),
+      Canonicalize.Rule("c_name", "\\s+", " "),
+      Canonicalize.Rule("c_name", "^\\s+|\\s+$", ""))
+    Canonicalize(t(s, dir, "customer"), rules)
+      .select(col("c_custkey"), upper(col("c_name")).as("canon_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val canonicalizeSql: String =
+    """SELECT c_custkey,
+      | upper(regexp_replace(regexp_replace(regexp_replace(c_name,
+      |   'Customer#0*', 'CUST ', 'g'), '\s+', ' ', 'g'), '^\s+|\s+$', '', 'g')) AS canon_name
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** X2/P8: split + 0-based getItem with NULL out-of-range (E1:74). */
+  val splitGetItem: Q = (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      Enrich.splitItem(col("p_name"), " ", 1).as("name_word2"),
+      Enrich.splitItem(col("p_type"), " ", 1).as("type_word2"))
+      .orderBy(col("p_partkey"))
+
+  val splitGetItemSql: String =
+    """SELECT p_partkey,
+      | string_split(p_name, ' ')[2] AS name_word2,
+      | string_split(p_type, ' ')[2] AS type_word2
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** P9/X4/X5/F1: when/isin conditional remap (E4:37-38). */
+  val whenIsinRemap: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(Enrich.remapAll(col("o_orderpriority"), Seq(
+        (Seq("1-URGENT", "2-HIGH"), "HOT"),
+        (Seq("5-LOW"), "COLD"))).as("priority_class"))
+      .groupBy(col("priority_class"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("priority_class"))
+
+  val whenIsinRemapSql: String =
+    """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'HOT'
+      |            WHEN o_orderpriority IN ('5-LOW') THEN 'COLD'
+      |            ELSE o_orderpriority END AS priority_class,
+      | count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** U1+P1+P6: harmonized union of asymmetric schemas (G0a:56-66). */
+  val unionHarmonize: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val f1 = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val f2 = c.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Harmonize.unionAll(Seq(f1, f2)).orderBy(col("c_custkey"))
+  }
+
+  val unionHarmonizeSql: String =
+    """SELECT c_custkey, c_name, '' AS c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT c_custkey, '' AS c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+      |ORDER BY c_custkey""".stripMargin
+
+  /** P11: single-Project column-name normalization (E1:54-58). */
+  val renameNormalize: Q = (s, dir) => {
+    val messy = t(s, dir, "region").toDF("R-RegionKey", "R Name")
+    Normalize.columns(messy).orderBy(col("r_regionkey"))
+  }
+
+  val renameNormalizeSql: String =
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
+  /** P13/X1/§4.4-c: decimal-comma fix + legacy-semantics casts, ANSI-safe. */
+  val castCommaFix: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val sCol = concat(col("user_id").cast("string"), lit(","),
+      (col("event_id") % 100).cast("string"))
+    val fixed = Enrich.commaToDot(sCol)
+    e.select(
+      col("event_id"),
+      Enrich.toDoubleOrNull(fixed).as("parsed_value"),
+      Enrich.legacyStringToInt(fixed).as("int_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val castCommaFixSql: String =
+    """SELECT event_id,
+      | CAST(replace(CAST(user_id AS VARCHAR) || ',' || CAST(event_id % 100 AS VARCHAR), ',', '.') AS DOUBLE) AS parsed_value,
+      | CAST(trunc(CAST(replace(CAST(user_id AS VARCHAR) || ',' || CAST(event_id % 100 AS VARCHAR), ',', '.') AS DOUBLE)) AS INTEGER) AS int_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Q1-Q3: one-pass DQ violation counts (E1:139-151, SURVEY §2.9). */
+  val dqViolations: Q = (s, dir) => {
+    val suite = Suite("orders_dq", Seq(
+      NotNull("o_orderstatus"),
+      NotNull("o_custkey"),
+      Between("o_totalprice", 0, 1e7),
+      InSet("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))))
+    val aggs = suite.expectations.map(e =>
+      sum(e.violationIndicator).as(s"v_${e.kind}_${e.column}"))
+    t(s, dir, "orders").agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  val dqViolationsSql: String =
+    """SELECT count(*) AS n_rows,
+      | CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_not_null_o_orderstatus,
+      | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_not_null_o_custkey,
+      | CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 10000000) THEN 1 ELSE 0 END) AS BIGINT) AS v_between_o_totalprice,
+      | CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS v_in_set_o_orderpriority
+      |FROM orders""".stripMargin
+
+  /** P10/X3: upper + length. */
+  val upperLength: Q = (s, dir) =>
+    t(s, dir, "supplier").select(
+      col("s_suppkey"),
+      Enrich.upperCol(col("s_name")).as("name_uc"),
+      length(col("s_name")).as("name_len"))
+      .orderBy(col("s_suppkey"))
+
+  val upperLengthSql: String =
+    """SELECT s_suppkey, upper(s_name) AS name_uc,
+      | CAST(length(s_name) AS INTEGER) AS name_len
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** P3: report projection with unicode/space column names (E4:75-91). */
+  val prettyReport: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("Segmento de Mercado"))
+      .agg(
+        count(lit(1)).as("Número de Clientes"),
+        round(decSum(col("c_acctbal"), 2) / count(lit(1)), 4).as("Saldo Médio"))
+      .orderBy(col("Segmento de Mercado"))
+
+  val prettyReportSql: String =
+    """SELECT c_mktsegment AS "Segmento de Mercado",
+      | count(*) AS "Número de Clientes",
+      | round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/count(*), 4) AS "Saldo Médio"
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
+  val filterPushdown: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < to_timestamp(lit("1995-06-01 00:00:00"))
+        && col("l_discount") > 0.05 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val filterPushdownSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+      |  AND l_discount > 0.05 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** J2: left join with unmatched rows + null-aware aggregation. */
+  val leftJoinNulls: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+    o.join(big, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_big_items"),
+        sum(col("l_quantity")).as("big_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val leftJoinNullsSql: String =
+    """SELECT o_orderkey, count(l_orderkey) AS n_big_items, sum(l_quantity) AS big_qty
+      |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 48) li
+      |  ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  /** Window top-k per group (needed by north-star top-k, SURVEY §2.8). */
+  val windowTopK: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val windowTopKSql: String =
+    """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) x
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Global sort + limit. */
+  val sortLimit: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .limit(100)
+
+  val sortLimitSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  /** Distinct. */
+  val distinctFlags: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+      .distinct().orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val distinctFlagsSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Time-bucketed aggregation (batch equivalent of the streaming window). */
+  val hourlyEvents: Q = (s, dir) =>
+    EventStreams.hourlyCountsBatch(Tables.events(s, dir))
+      .withColumn("total_value",
+        round(col("total_value").cast("decimal(18,2)").cast("double"), 2))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val hourlyEventsSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      | count(*) AS n_events,
+      | round(CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** JSON field extraction from a string column. */
+  val jsonExtract: Q = (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").try_cast("int").as("k_int"))
+      .orderBy(col("event_id"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+      | TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** A-family extras: min/max/count-distinct per group. */
+  val aggStats: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("uniq_cust"),
+        min(col("o_totalprice")).as("mn_price"),
+        max(col("o_totalprice")).as("mx_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val aggStatsSql: String =
+    """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS uniq_cust,
+      | min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price, count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Set difference: customers with finished orders but no open ones. */
+  val exceptNonBuyers: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  val exceptNonBuyersSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  // ============================================================ north-star
+
+  /** Exact dedup by normalized fingerprint: keeper + duplicate flag. */
+  val dedupExact: Q = (s, dir) =>
+    Dedup.byFingerprint(t(s, dir, "documents"))
+      .select(col("doc_id"), col("fp"), col("keeper_id"), col("is_duplicate"))
+      .orderBy(col("doc_id"))
+
+  val dedupExactSql: String =
+    """SELECT doc_id, fp,
+      | min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+      | doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+      |FROM (SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      | FROM documents) x
+      |ORDER BY doc_id""".stripMargin
+
+  /** MinHash+LSH near-dup candidate pairs (not SQL-expressible — the
+    * signature depends on Spark's xxhash64; rows-only driver check).
+    */
+  val dedupMinhash: Q = (s, dir) =>
+    Dedup.minhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+      shingleSize = 5, numHashes = 64, bands = 16, threshold = 0.4)
+      .orderBy(col("id1"), col("id2"))
+
+  /** SimHash near-dup pairs (custom expression; rows-only check). */
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+      maxHammingDistance = 8)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Blocked exact token-Jaccard near-dup — fully oracle-checkable. */
+  val dedupJaccard: Q = (s, dir) =>
+    Dedup.blockedJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      Seq("lang", "n_chars"), threshold = 0.5)
+      .orderBy(col("id1"), col("id2"))
+
+  val dedupJaccardSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, lang, n_chars,
+      |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS tok
+      | FROM documents WHERE length(regexp_extract_all(lower(text), '\S+')) > 0)
+      |SELECT l.doc_id AS id1, r.doc_id AS id2,
+      | round(CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |       length(list_distinct(list_concat(l.tok, r.tok))), 6) AS jaccard
+      |FROM toks l JOIN toks r
+      |  ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+      |WHERE CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |      length(list_distinct(list_concat(l.tok, r.tok))) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Brute-force cosine top-k (exact ANN baseline). */
+  val simsearchBrute: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimSearch.bruteForceTopK(
+      emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simsearchBruteSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |scored AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_dot_product(q.e, c.e) /
+      |   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS score
+      | FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |ranked AS (
+      | SELECT query_id, neighbor_id, score,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      | FROM scored)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      | round(score, 6) AS score
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN top-k (scale path; rows-only check). */
+  val simsearchLsh: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimSearch.lshTopK(
+      emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+      k = 5, planes = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-document text statistics + quality score. */
+  val textStats: Q = (s, dir) =>
+    TextStats.documentStats(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      | CAST(length(text) AS INTEGER) AS n_chars_m,
+      | CAST(length(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+      | CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subwords,
+      | CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS INTEGER) AS n_punct,
+      | CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS INTEGER) AS n_stopwords,
+      | round(
+      |   least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      | + (1.0 - least(CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+      |     / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+      | + least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |     / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3,
+      | 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token histogram via explode (Generator coverage). */
+  val tokenHistogram: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val tokenHistogramSql: String =
+    """SELECT token, count(*) AS n FROM (
+      | SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token FROM documents) x
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** Language-ID heuristic (profile scoring; rows-only check). */
+  val langId: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextStats.languageId(col("text")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprinting: md5 (oracle-checkable) + simhash (custom). */
+  val fingerprints: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextStats.fingerprint(col("text")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal plumbing: opaque binary payload + cheap metadata pass. */
+  val multimodalMeta: Q = (s, dir) =>
+    Multimodal.payloadMetadata(
+      Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "doc"))
+      .select(col("media_id"), col("kind"), col("byte_len"))
+      .orderBy(col("media_id"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id AS media_id, 'doc' AS kind,
+      | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Embedding norms per label (deterministic double pipeline). */
+  val embeddingNorms: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    emb.select(col("label"),
+        round(sqrt(graft.functions.VectorExpressions.dot_product(
+          col("embedding"), col("embedding"))), 6).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("avg_norm"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingNormsSql: String =
+    """SELECT label, count(*) AS n,
+      | round(CAST(sum(CAST(round(sqrt(list_dot_product(
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |  / count(*), 4) AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  // ============================================================== catalog
+
+  val all: Map[String, Q] = Map(
+    "q01_gold_flagship" -> goldFlagship,
+    "q02_canonicalize" -> canonicalize,
+    "q03_split_getitem" -> splitGetItem,
+    "q04_when_isin" -> whenIsinRemap,
+    "q05_union_harmonize" -> unionHarmonize,
+    "q06_rename_normalize" -> renameNormalize,
+    "q07_cast_commafix" -> castCommaFix,
+    "q08_dq_violations" -> dqViolations,
+    "q09_upper_length" -> upperLength,
+    "q10_pretty_report" -> prettyReport,
+    "q11_filter_pushdown" -> filterPushdown,
+    "q12_left_join_nulls" -> leftJoinNulls,
+    "q13_window_topk" -> windowTopK,
+    "q14_sort_limit" -> sortLimit,
+    "q15_distinct" -> distinctFlags,
+    "q16_hourly_events" -> hourlyEvents,
+    "q17_json_extract" -> jsonExtract,
+    "q18_agg_stats" -> aggStats,
+    "q19_except_nonbuyers" -> exceptNonBuyers,
+    "q20_dedup_exact" -> dedupExact,
+    "q21_dedup_minhash" -> dedupMinhash,
+    "q22_dedup_simhash" -> dedupSimhash,
+    "q23_dedup_jaccard" -> dedupJaccard,
+    "q24_simsearch_brute" -> simsearchBrute,
+    "q25_simsearch_lsh" -> simsearchLsh,
+    "q26_text_stats" -> textStats,
+    "q27_token_histogram" -> tokenHistogram,
+    "q28_lang_id" -> langId,
+    "q29_fingerprints" -> fingerprints,
+    "q30_multimodal_meta" -> multimodalMeta,
+    "q31_embedding_norms" -> embeddingNorms)
+
+  val oracles: Map[String, String] = Map(
+    "q01_gold_flagship" -> goldFlagshipSql,
+    "q02_canonicalize" -> canonicalizeSql,
+    "q03_split_getitem" -> splitGetItemSql,
+    "q04_when_isin" -> whenIsinRemapSql,
+    "q05_union_harmonize" -> unionHarmonizeSql,
+    "q06_rename_normalize" -> renameNormalizeSql,
+    "q07_cast_commafix" -> castCommaFixSql,
+    "q08_dq_violations" -> dqViolationsSql,
+    "q09_upper_length" -> upperLengthSql,
+    "q10_pretty_report" -> prettyReportSql,
+    "q11_filter_pushdown" -> filterPushdownSql,
+    "q12_left_join_nulls" -> leftJoinNullsSql,
+    "q13_window_topk" -> windowTopKSql,
+    "q14_sort_limit" -> sortLimitSql,
+    "q15_distinct" -> distinctFlagsSql,
+    "q16_hourly_events" -> hourlyEventsSql,
+    "q17_json_extract" -> jsonExtractSql,
+    "q18_agg_stats" -> aggStatsSql,
+    "q19_except_nonbuyers" -> exceptNonBuyersSql,
+    "q20_dedup_exact" -> dedupExactSql,
+    "q23_dedup_jaccard" -> dedupJaccardSql,
+    "q24_simsearch_brute" -> simsearchBruteSql,
+    "q26_text_stats" -> textStatsSql,
+    "q27_token_histogram" -> tokenHistogramSql,
+    "q29_fingerprints" -> fingerprintsSql,
+    "q30_multimodal_meta" -> multimodalMetaSql,
+    "q31_embedding_norms" -> embeddingNormsSql)
+}

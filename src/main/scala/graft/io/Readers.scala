@@ -1,0 +1,43 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source operators S1–S5 (SURVEY.md §2.1).
+  *
+  * The reference ingests header-ful CSVs with per-dataset delimiters and no
+  * explicit schema — every column lands as string
+  * (`gerenciando-dados-externos/0a-moving-from-land-to-bucket-to-parquet.py:26,38,52-53`)
+  * — and re-reads parquet layer directories
+  * (`etl/1-processing-banks.py:44`, `etl/4-generate-final-table-gold.py:7-9`).
+  *
+  * Scale note: CSV scans are file-parallel narrow reads; schema inference is
+  * deliberately NOT enabled (it would add a full extra pass over 100 TB of
+  * input). String-typed ingest + explicit downstream casts is both the
+  * reference's semantics and the cheaper plan.
+  */
+object Readers {
+
+  /** S1–S3: delimited text with header, all-string schema (no inference). */
+  def csv(spark: SparkSession, path: String, delimiter: String = ",",
+          header: Boolean = true, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+    schema.fold(r)(s => r.schema(s)).csv(path)
+  }
+
+  /** S1: tab-separated (banks, G0a:26). */
+  def tsv(spark: SparkSession, path: String): DataFrame = csv(spark, path, "\t")
+
+  /** S3: pipe-separated (employees, G0a:52-53). */
+  def psv(spark: SparkSession, path: String): DataFrame = csv(spark, path, "|")
+
+  /** S4/S5: parquet directory or single file. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSON-lines source (engine extension; not in the reference surface). */
+  def jsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

@@ -1,0 +1,52 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink + filesystem operators S6–S8 (SURVEY.md §2.1).
+  *
+  * S6: `df.write.mode('overwrite').parquet(path)` (G0a:28,40,69; E1:79;
+  * E4:96). S7: list a layer dir and pick `*.parquet` part-files
+  * (E1:91-97). S8: recursive copy between storage roots (G0b:8, E1:196,
+  * E4:101) — the reference uses `dbutils.fs.cp`; the portable equivalent is
+  * the Hadoop FileSystem API, which also covers cloud object stores when the
+  * right FS implementation is on the classpath.
+  *
+  * Scale note: writers take an optional partition-by column list — at 100 TB
+  * the layer layout (e.g. partition silver by ingest date / segment) is what
+  * makes downstream partition pruning possible (SURVEY §4.1).
+  */
+object Writers {
+
+  /** S6: parquet sink. `partitionBy` enables partition pruning downstream. */
+  def parquet(df: DataFrame, path: String,
+              mode: SaveMode = SaveMode.Overwrite,
+              partitionBy: Seq[String] = Nil): DataFrame = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    df
+  }
+
+  private def fs(path: Path, conf: Configuration): FileSystem = path.getFileSystem(conf)
+
+  /** S7: list `*.parquet` part-files under a directory (E1:91-97). */
+  def listParquetFiles(dir: String, conf: Configuration = new Configuration()): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(p, conf)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toIndexedSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  /** S8: recursive copy (G0b:8 `dbutils.fs.cp(src, dst, True)`). */
+  def copyRecursive(src: String, dst: String,
+                    conf: Configuration = new Configuration()): Boolean = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    FileUtil.copy(fs(s, conf), s, fs(d, conf), d, /*deleteSource=*/ false,
+      /*overwrite=*/ true, conf)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
+
+/** North-star deduplication operators (BASELINE.json "north_star").
+  *
+  * Scale design: every near-dup path is CANDIDATE GENERATION BY BUCKETING
+  * (shuffle on a bucket key, pairs only within buckets) + exact verification
+  * on the candidates. Nothing is O(n²) over the corpus; the only shuffles
+  * are groupBys on bucket keys whose fan-in is controlled by the banding
+  * parameters. MinHash/LSH per Broder '97 resemblance sketches; SimHash per
+  * Charikar '02 — both standard public constructions.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup groups: one row per distinct key value with the keeper
+    * (min id — deterministic, unlike dropDuplicates) and the copy count.
+    */
+  def exactGroups(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-row duplicate marking: `is_duplicate` = this row is not the keeper
+    * of its content group. One shuffle on the content key.
+    */
+  def markDuplicates(df: DataFrame, key: Column, id: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    df.withColumn("keeper_id", min(id).over(w))
+      .withColumn("is_duplicate", id =!= col("keeper_id"))
+  }
+
+  /** Exact content dedup via normalized fingerprint (case/whitespace
+    * insensitive): shuffle on a 128-bit hash instead of the full text —
+    * at 100 TB the shuffle carries 16 bytes per row, not the document.
+    */
+  def byFingerprint(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    markDuplicates(docs.withColumn("fp", TextStats.fingerprint(col(textCol))),
+      col("fp"), col(idCol))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Character n-gram shingles of a normalized document. Guarded so short
+    * docs yield an empty array (note: Spark's `sequence(a,b)` is DESCENDING
+    * when a>b, so the guard is required for correctness, not just tidiness).
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    val len = length(norm)
+    when(len >= n,
+      transform(sequence(lit(1), len - lit(n - 1)), i => norm.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word w-shingles (token n-grams) as strings. */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = TextStats.tokens(text)
+    val cnt = size(toks)
+    when(cnt >= w,
+      transform(sequence(lit(0), cnt - lit(w)),
+        i => array_join(slice(toks, i + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** k-permutation MinHash signature over a shingle array: sig[i] =
+    * min over shingles of xxhash64(shingle, i). Empty shingle set → NULL
+    * signature (such docs can't be near-dup candidates).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    when(size(shingles) > 0,
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(shingles, s => xxhash64(s, i)))))
+
+  /** LSH banding: band j = hash of sig[j*r .. j*r+r). Docs sharing any band
+    * hash are candidates. b bands of r rows ≈ threshold (1/b)^(1/r).
+    */
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(slice(signature, j * rowsPerBand + 1, lit(rowsPerBand)), j))
+
+  /** Candidate pairs (id1 < id2) from MinHash+LSH banding, verified with
+    * exact Jaccard over the shingle sets, filtered at `threshold`.
+    *
+    * Plan shape: narrow map (shingle+sign+bands) → posexplode → shuffle on
+    * (band index, band hash) via self-join → distinct pairs → join back the
+    * two shingle sets → exact Jaccard. The self-join key includes the band
+    * index so buckets from different bands never collide.
+    */
+  def minhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 5, numHashes: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = docs
+      .select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sh", array_distinct(col("sh")))
+      .filter(size(col("sh")) > 0)
+    val banded = base
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
+    val cand = banded.as("l")
+      .join(banded.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(base.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** SimHash near-dup candidates: 64-bit fingerprints, bucketed by 16-bit
+    * chunks (any doc pair within `maxHammingDistance` ≤ 3 shares at least
+    * one of 4 chunks — pigeonhole), verified with exact Hamming distance.
+    */
+  def simhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                            maxHammingDistance: Int = 3): DataFrame = {
+    val chunks = 4 // 4 × 16-bit chunks of the 64-bit fingerprint
+    val fp = docs.select(col(idCol).as("id"),
+      VectorExpressions.simhash64(TextStats.tokens(lower(col(textCol)))).as("fp"))
+    val chunkVals = (0 until chunks).map(i =>
+      shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)))
+    val keyed = fp.select(col("id"), col("fp"),
+      posexplode(array(chunkVals: _*)).as(Seq("chunk", "ck")))
+    keyed.as("l")
+      .join(keyed.as("r"), col("l.chunk") === col("r.chunk") &&
+        col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.fp").as("fp1"), col("r.fp").as("fp2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))))
+      .filter(col("hamming") <= maxHammingDistance)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  // -------------------------------------------- n-gram Jaccard (blocked)
+
+  /** Exact token-set Jaccard over pairs within a blocking key (e.g. same
+    * (lang, n_chars)). The blocking key bounds the pair explosion; exact
+    * and fully SQL-expressible, so it doubles as the oracle-checkable
+    * near-dup path.
+    */
+  def blockedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                          blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      array_distinct(TextStats.tokens(lower(col(textCol)))).as("tok"),
+      struct(blockCols.map(col): _*).as("blk"))
+      .filter(size(col("tok")) > 0)
+    base.as("l").join(base.as("r"),
+        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("l.tok"), col("r.tok"))).cast("double") /
+          size(array_union(col("l.tok"), col("r.tok"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding near-dup: cosine ≥ threshold, candidates from sign-random-
+    * projection LSH buckets (see SimSearch.signBuckets). Exact cosine on
+    * candidates only.
+    */
+  def embeddingNearDuplicates(emb: DataFrame, vecCol: String, idCol: String,
+                              planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      SimSearch.signBucket(col(vecCol), planes).as("bkt"))
+    keyed.as("l").join(keyed.as("r"),
+        col("l.bkt") === col("r.bkt") && col("l.id") < col("r.id"))
+      .withColumn("cosine",
+        VectorExpressions.cosine_similarity(col("l.v"), col("r.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming surface (engine extension — the reference is batch
+  * only, SURVEY.md §2.8; the `events` testdata table provides the schema).
+  *
+  * Each transform takes a DataFrame that may be batch OR streaming — the
+  * same code path serves both, which is how the engine's batch operators
+  * stay reusable in streaming pipelines.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregate: count + value sum per
+    * (window, event_type). State is bounded by the watermark.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Long, value: Double)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Long,
+                               total_value: Double)
+
+  /** Sessionization with explicit state: a user's session closes after
+    * `gapMs` of inactivity (event-time timeout). The canonical
+    * `flatMapGroupsWithState` shape for custom streaming state.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+                (implicit spark: SparkSession): Dataset[UserSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.n, s.value))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1, value = s.value + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+
+  /** Batch-equivalent of `windowedCounts` for oracle checking: the same
+    * hourly bucketing expressed with date_trunc (window() start ==
+    * date_trunc for aligned tumbling windows).
+    */
+  def hourlyCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+}
