@@ -1,0 +1,57 @@
+package graft.quality
+
+import graft.SparkSpec
+import Expectations._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some("a"), Some(5.0), Some("HOT")),
+    (None, Some(25.0), Some("COLD")),
+    (Some("c"), None, Some("WARM")),
+    (Some("d"), Some(-1.0), None)
+  ).toDF("name", "score", "grade")
+
+  test("not-null / between / in-set violation counts in one pass (Q1/Q3)") {
+    val suite = Suite("s", Seq(
+      NotNull("name"),
+      Between("score", 0, 10),
+      InSet("grade", Seq("HOT", "COLD"))))
+    val r = Checkpoint.run(df, suite)
+    assert(r.rows == 4)
+    val byKind = r.results.map(x => (x.kind, x.column) -> x.violations).toMap
+    assert(byKind(("not_null", "name")) == 1)
+    assert(byKind(("between", "score")) == 2) // 25.0 and -1.0; NULL passes
+    assert(byKind(("in_set", "grade")) == 1) // WARM; NULL passes
+    assert(!r.passed)
+  }
+
+  test("column_exists is schema-level, missing row-level column reports all rows (Q2)") {
+    val suite = Suite("s", Seq(
+      ColumnExists("name"), ColumnExists("ghost"), NotNull("ghost")))
+    val r = Checkpoint.run(df, suite)
+    val byDesc = r.results.map(x => (x.kind, x.column) -> x).toMap
+    assert(byDesc(("column_exists", "name")).passed)
+    assert(!byDesc(("column_exists", "ghost")).passed)
+    assert(byDesc(("not_null", "ghost")).violations == 4)
+  }
+
+  test("matches_regex (engine extension)") {
+    val r = Checkpoint.run(df, Suite("s", Seq(MatchesRegex("grade", "^[A-Z]+$"))))
+    assert(r.passed) // WARM matches; NULL passes
+    val r2 = Checkpoint.run(df, Suite("s", Seq(MatchesRegex("grade", "^H"))))
+    assert(r2.results.head.violations == 2) // COLD, WARM
+  }
+
+  test("suite result serializes to a JSON report and stores it (Q4/Q5)") {
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    val r = Checkpoint.run(df, Suite("banks_silver", Seq(NotNull("name"))))
+    val path = Checkpoint.store(r, dir)
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(json.contains("\"suite\":\"banks_silver\""))
+    assert(json.contains("\"violations\":1"))
+    // report is diagnosable but never fatal (SURVEY §4.4-e)
+    assert(!r.passed)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts over a MemoryStream: per-hour counts and sums") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = windowedCounts(input.toDF(), "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(20), 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .orderBy("event_type")
+        .select("event_type", "n_events", "total_value")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("windowedCounts works identically on a batch frame") {
+    val batch = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0)).toDF()
+    val out = windowedCounts(batch).select("event_type", "n_events")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("click", 2L)))
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // burst at 10:00-10:05, then silence; late batch advances the
+      // watermark past the timeout so the session closes.
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(9, Timestamp.valueOf("2024-01-01 14:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(10, Timestamp.valueOf("2024-01-01 15:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .filter(col("user_id") === 1)
+        .select("n_events", "total_value").as[(Long, Double)].collect().toSeq
+      assert(rows == Seq((2L, 3.0)))
+    } finally q.stop()
+  }
+}
