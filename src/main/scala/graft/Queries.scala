@@ -351,7 +351,8 @@ object Queries {
     */
   val dedupMinhash: Q = (s, dir) =>
     Dedup.minhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
-      shingleSize = 5, numHashes = 64, bands = 16, threshold = 0.4)
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7,
+      useWordShingles = true)
       .orderBy(col("id1"), col("id2"))
 
   /** SimHash near-dup pairs (custom expression; rows-only check). */

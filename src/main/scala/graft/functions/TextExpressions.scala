@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native MinHash signature: one pass over the shingle array.
+  *
+  * Each shingle is hashed ONCE (FNV-1a 64); the k permutation values are
+  * derived per-shingle with a multiply-add universal-hash family whose
+  * constants come from SplitMix64(i) — the standard "one hash + k cheap
+  * permutations" MinHash construction (Broder '97). Compared to evaluating
+  * k independent string hashes via higher-order functions, this is
+  * O(bytes + k) per shingle instead of O(k × bytes), with no per-(i,shingle)
+  * UTF8String traffic — the difference between minutes and seconds at even
+  * 5k docs, and the only viable shape at 100 TB.
+  *
+  * Returns array<long> of length k; NULL input → NULL; empty array → NULL
+  * (empty docs have no signature and can't be near-dup candidates).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 512, "numHashes in (0, 512]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = MinHashSignature.compute(arr, n, numHashes)
+    new GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cls = "graft.functions.MinHashSignature"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    $cls.compute($a, $n, $numHashes));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHashSignature {
+  /** SplitMix64 — public-domain mixing (Steele et al.), used to derive the
+    * per-permutation multiply-add constants deterministically.
+    */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // Constant tables are tiny; cache per k (built once per JVM).
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def constants(k: Int): (Array[Long], Array[Long]) =
+    tables.computeIfAbsent(k, kk => {
+      val a = new Array[Long](kk)
+      val b = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        a(i) = splitmix64(2L * i) | 1L // odd multiplier
+        b(i) = splitmix64(2L * i + 1)
+        i += 1
+      }
+      (a, b)
+    })
+
+  /** Called from both eval and generated code. */
+  def compute(arr: ArrayData, n: Int, k: Int): Array[Long] = {
+    val (a, b) = constants(k)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h0 = VectorExpressions.SimHash64.fnv1a64(arr.getUTF8String(t).getBytes)
+        var i = 0
+        while (i < k) {
+          val h = a(i) * h0 + b(i)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    sig
+  }
+
+  def minhash_signature(shingles: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(shingles), k))
+}

@@ -68,14 +68,13 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k-permutation MinHash signature over a shingle array: sig[i] =
-    * min over shingles of xxhash64(shingle, i). Empty shingle set → NULL
-    * signature (such docs can't be near-dup candidates).
+  /** k-permutation MinHash signature over a shingle array. Native
+    * expression: each shingle hashed once, k permutations derived by
+    * multiply-add mixing (see [[graft.functions.MinHashSignature]]).
+    * Empty shingle set → NULL signature.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    when(size(shingles) > 0,
-      transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(shingles, s => xxhash64(s, i)))))
+    graft.functions.MinHashSignature.minhash_signature(shingles, k)
 
   /** LSH banding: band j = hash of sig[j*r .. j*r+r). Docs sharing any band
     * hash are candidates. b bands of r rows ≈ threshold (1/b)^(1/r).
@@ -92,18 +91,32 @@ object Dedup {
     * two shingle sets → exact Jaccard. The self-join key includes the band
     * index so buckets from different bands never collide.
     */
+  /** `useWordShingles`: word n-grams give far better selectivity than char
+    * n-grams on corpora with a shared vocabulary (char shingles make nearly
+    * every doc pair a candidate — measured 100× more candidate pairs on the
+    * testdata corpus).
+    */
   def minhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
                             shingleSize: Int = 5, numHashes: Int = 64,
-                            bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                            bands: Int = 16, threshold: Double = 0.7,
+                            useWordShingles: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    val shingle =
+      if (useWordShingles) wordShingles(col(textCol), shingleSize)
+      else charShingles(col(textCol), shingleSize)
+    // Both `base` and `banded` feed both sides of a self-join — cache so
+    // shingling/signatures run once per doc, not once per join side.
+    // (Cluster analog: persist or write the signature table between stages.)
     val base = docs
-      .select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
+      .select(col(idCol).as("id"), shingle.as("sh"))
       .withColumn("sh", array_distinct(col("sh")))
       .filter(size(col("sh")) > 0)
+      .cache()
     val banded = base
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("id"), posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
+      .cache()
     val cand = banded.as("l")
       .join(banded.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
         && col("l.id") < col("r.id"))
@@ -134,6 +147,7 @@ object Dedup {
       shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)))
     val keyed = fp.select(col("id"), col("fp"),
       posexplode(array(chunkVals: _*)).as(Seq("chunk", "ck")))
+      .cache() // reused on both sides of the self-join
     keyed.as("l")
       .join(keyed.as("r"), col("l.chunk") === col("r.chunk") &&
         col("l.ck") === col("r.ck") && col("l.id") < col("r.id"))
