@@ -499,6 +499,179 @@ object Queries {
       |  / count(*), 4) AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  // ==================================================== extended relational
+
+  /** Rollup with grouping indicators (subtotal lattice). */
+  val rollupOrders: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg( // grouping() is only resolvable inside the grouping aggregate
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"), decSum(col("o_totalprice"), 2).as("total"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("g_status"), col("g_prio"), col("n"), col("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val rollupOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      | CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+      | count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  /** Cube over lineitem flags. */
+  val cubeFlags: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("g_rf"), col("g_ls"), col("n"), col("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+        col("g_rf"), col("g_ls"))
+
+  val cubeFlagsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+      | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+      | count(*) AS n, sum(l_quantity) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3, 4""".stripMargin
+
+  /** Left-semi join (EXISTS). */
+  val joinSemi: Q = (s, dir) => {
+    val pending = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    t(s, dir, "customer")
+      .join(pending, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS). */
+  val joinAnti: Q = (s, dir) => {
+    val discounted = t(s, dir, "lineitem").filter(col("l_discount") > 0.09)
+    t(s, dir, "part")
+      .join(discounted, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val joinAntiSql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_partkey = p_partkey AND l_discount > 0.09)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Intersect: customers holding both finished and open orders. */
+  val intersectBuyers: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  val intersectBuyersSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Pivot order counts: one column per status. */
+  val pivotStatus: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Backward as-of join: latest purchase by the same user at/before each
+    * error event (composed union+window — see [[graft.ops.AsOfJoin]]).
+    */
+  val asofJoin: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+    graft.ops.AsOfJoin.backward(errors, purchases, Seq("user_id"),
+      "ts", "ts", Seq("ts"), tiebreak = Some("p_event_id"))
+      .select(col("event_id"), col("user_id"), col("asof_ts").as("last_purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'error'),
+      |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Scalar-function battery: string/date/math parity in one projection. */
+  val functionBattery: Q = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      regexp_replace(lower(col("o_orderpriority")), "-", "_").as("prio_snake"),
+      lpad(col("o_orderstatus"), 3, "*").as("status_pad"),
+      reverse(col("o_orderstatus")).as("status_rev"),
+      length(col("o_orderpriority")).as("prio_len"),
+      floor(col("o_totalprice")).as("price_floor"),
+      ceil(col("o_totalprice")).as("price_ceil"),
+      round(sqrt(col("o_totalprice")), 6).as("price_sqrt"),
+      (col("o_orderkey") % 7).as("key_mod"))
+      .orderBy(col("o_orderkey"))
+
+  val functionBatterySql: String =
+    """SELECT o_orderkey,
+      | CAST(year(o_orderdate) AS INTEGER) AS y,
+      | CAST(month(o_orderdate) AS INTEGER) AS m,
+      | CAST(day(o_orderdate) AS INTEGER) AS d,
+      | substring(o_orderpriority, 1, 1) AS prio_code,
+      | regexp_replace(lower(o_orderpriority), '-', '_', 'g') AS prio_snake,
+      | lpad(o_orderstatus, 3, '*') AS status_pad,
+      | reverse(o_orderstatus) AS status_rev,
+      | CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+      | CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      | CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+      | round(sqrt(o_totalprice), 6) AS price_sqrt,
+      | o_orderkey % 7 AS key_mod
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** IVF-style ANN (coarse cells + nprobe; rows-only check). */
+  val simsearchIvf: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val centroids = SimSearch.strideCentroids(corpus, stride = 50)
+    SimSearch.ivfTopK(corpus, emb.filter(col("vec_id") < 10), k = 5,
+      centroids = centroids, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -532,7 +705,16 @@ object Queries {
     "q28_lang_id" -> langId,
     "q29_fingerprints" -> fingerprints,
     "q30_multimodal_meta" -> multimodalMeta,
-    "q31_embedding_norms" -> embeddingNorms)
+    "q31_embedding_norms" -> embeddingNorms,
+    "q32_rollup" -> rollupOrders,
+    "q33_cube" -> cubeFlags,
+    "q34_join_semi" -> joinSemi,
+    "q35_join_anti" -> joinAnti,
+    "q36_intersect" -> intersectBuyers,
+    "q37_pivot" -> pivotStatus,
+    "q38_asof_join" -> asofJoin,
+    "q39_function_battery" -> functionBattery,
+    "q40_simsearch_ivf" -> simsearchIvf)
 
   val oracles: Map[String, String] = Map(
     "q01_gold_flagship" -> goldFlagshipSql,
@@ -561,5 +743,13 @@ object Queries {
     "q27_token_histogram" -> tokenHistogramSql,
     "q29_fingerprints" -> fingerprintsSql,
     "q30_multimodal_meta" -> multimodalMetaSql,
-    "q31_embedding_norms" -> embeddingNormsSql)
+    "q31_embedding_norms" -> embeddingNormsSql,
+    "q32_rollup" -> rollupOrdersSql,
+    "q33_cube" -> cubeFlagsSql,
+    "q34_join_semi" -> joinSemiSql,
+    "q35_join_anti" -> joinAntiSql,
+    "q36_intersect" -> intersectBuyersSql,
+    "q37_pivot" -> pivotStatusSql,
+    "q38_asof_join" -> asofJoinSql,
+    "q39_function_battery" -> functionBatterySql)
 }

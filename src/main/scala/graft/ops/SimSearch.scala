@@ -84,4 +84,55 @@ object SimSearch {
   /** Per-vector L2 norm in double (deterministic in-order fold). */
   def l2Norm(vec: Column): Column =
     sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** IVF-style ANN: a small deterministic centroid set (collected to the
+    * driver and broadcast as literals — the coarse quantizer is tiny by
+    * construction, like any IVF codebook), every vector assigned to its
+    * nearest centroid, and each query probing only its `nprobe` closest
+    * cells. At 100 TB the cell id is computable at write time and becomes
+    * the partition key, so a query touches nprobe partitions, not the
+    * corpus.
+    *
+    * Centroid choice here is "every strideth vector" — deterministic and
+    * seedless; a k-means codebook drops in without changing the plan.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroids: Array[(Long, Array[Float])], nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1)
+    val centLits = centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"),
+        array(v.map(x => lit(x)).toIndexedSeq: _*).as("cv"))
+    }
+
+    def cellScores(vec: Column): Column = sort_array(
+      array(centLits.map(c => struct(
+        VectorExpressions.cosine_similarity(vec, c.getField("cv")).as("score"),
+        c.getField("cid").as("cid"))).toIndexedSeq: _*), asc = false)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cellScores(col(vecCol)).getItem(0).getField("cid").as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(slice(cellScores(col(vecCol)), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .withColumn("score", VectorExpressions.cosine_similarity(col("qv"), col("cv")))
+      .filter(col("score").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Deterministic stride-sampled centroids for [[ivfTopK]]. */
+  def strideCentroids(corpus: DataFrame, stride: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[(Long, Array[Float])] =
+    corpus.filter(col(idCol) % stride === 0)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 }

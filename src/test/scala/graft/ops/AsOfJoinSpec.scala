@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("backward as-of: greatest right time <= left time, per key") {
+    val left = Seq(
+      (1L, 100L, ts(10)), // after r@05 → matches 05
+      (2L, 100L, ts(20)), // after r@15 → matches 15
+      (3L, 100L, ts(1)),  // before any right → null
+      (4L, 200L, ts(30))  // other key, right@30 equal ts → inclusive match
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, ts(5), 50L),
+      (100L, ts(15), 51L),
+      (200L, ts(30), 52L)
+    ).toDF("k", "t", "rid")
+
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t",
+      Seq("rid"), tiebreak = Some("rid"))
+      .orderBy("id")
+      .select("id", "asof_rid")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(out.toSeq == Seq(
+      (1L, Some(50L)), (2L, Some(51L)), (3L, None), (4L, Some(52L))))
+  }
+
+  test("equal-timestamp right rows: tiebreak picks the largest") {
+    val left = Seq((1L, 9L, ts(10))).toDF("id", "k", "t")
+    val right = Seq((9L, ts(10), 1L), (9L, ts(10), 7L), (9L, ts(10), 3L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t",
+      Seq("rid"), tiebreak = Some("rid")).select("asof_rid").as[Long].head()
+    assert(out == 7L)
+  }
+
+  test("ivfTopK agrees with brute force when probing enough cells") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 17 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" >= 5)
+    val queries = vecs.filter($"vec_id" < 2)
+    val cents = SimSearch.strideCentroids(corpus, stride = 10)
+    val brute = SimSearch.bruteForceTopK(corpus, queries, k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    // probe ALL cells → identical to brute force
+    val ivfAll = SimSearch.ivfTopK(corpus, queries, k = 3, cents,
+      nprobe = cents.length)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(ivfAll == brute)
+    // probe 1 cell → a subset of candidates, still correctly ranked
+    val ivf1 = SimSearch.ivfTopK(corpus, queries, k = 3, cents, nprobe = 1)
+      .select("rank").as[Int].collect().toSeq
+    assert(ivf1.nonEmpty && ivf1.forall(_ <= 3))
+  }
+}
