@@ -672,6 +672,48 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Capstone curation pipeline: quality-filter + fingerprint-dedup a
+    * corpus, then per-language stats — the canonical LLM training-data
+    * prep flow, end-to-end oracle-checkable. One narrow scoring pass,
+    * one 16-byte-key shuffle for dedup, one aggregation.
+    */
+  val curationPipeline: Q = (s, dir) => {
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextStats.qualityScore(col("text")).as("q"),
+      TextStats.tokenCount(col("text")).as("n_tok"),
+      TextStats.fingerprint(col("text")).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    scored
+      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(w))
+      .filter(col("q") >= 0.7 && !col("is_dup"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("total_tokens"),
+        round(decSum(col("q"), 6) / count(lit(1)), 4).as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
+  val curationPipelineSql: String =
+    """WITH s AS (
+      | SELECT doc_id, lang,
+      |  round(
+      |    least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      |  + (1.0 - least(CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+      |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+      |  + least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |      / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3,
+      |  6) AS q,
+      |  length(regexp_extract_all(text, '\S+')) AS n_tok,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      | FROM documents),
+      |d AS (SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup FROM s)
+      |SELECT lang, count(*) AS n_docs,
+      | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      | round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/count(*), 4) AS avg_quality
+      |FROM d WHERE q >= 0.7 AND NOT is_dup
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -714,7 +756,8 @@ object Queries {
     "q37_pivot" -> pivotStatus,
     "q38_asof_join" -> asofJoin,
     "q39_function_battery" -> functionBattery,
-    "q40_simsearch_ivf" -> simsearchIvf)
+    "q40_simsearch_ivf" -> simsearchIvf,
+    "q41_curation" -> curationPipeline)
 
   val oracles: Map[String, String] = Map(
     "q01_gold_flagship" -> goldFlagshipSql,
@@ -751,5 +794,6 @@ object Queries {
     "q36_intersect" -> intersectBuyersSql,
     "q37_pivot" -> pivotStatusSql,
     "q38_asof_join" -> asofJoinSql,
-    "q39_function_battery" -> functionBatterySql)
+    "q39_function_battery" -> functionBatterySql,
+    "q41_curation" -> curationPipelineSql)
 }
