@@ -683,10 +683,8 @@ object Queries {
       TextStats.qualityScore(col("text")).as("q"),
       TextStats.tokenCount(col("text")).as("n_tok"),
       TextStats.fingerprint(col("text")).as("fp"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    scored
-      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(w))
-      .filter(col("q") >= 0.7 && !col("is_dup"))
+    Dedup.markDuplicates(scored, col("fp"), col("doc_id"))
+      .filter(col("q") >= 0.7 && !col("is_duplicate"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok").cast("long")).as("total_tokens"),

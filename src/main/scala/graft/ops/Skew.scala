@@ -25,6 +25,10 @@ object Skew {
                  saltFrom: String, factor: Int,
                  joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    // right/full would keep every replicated copy of an unmatched dim row —
+    // silently wrong, so the contract is enforced.
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin is equivalence-preserving only for inner/left, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(saltFrom)), lit(factor)).cast("int"))
     val replicated = dim.withColumn("__salt",
@@ -39,10 +43,13 @@ object Skew {
     * (e.g. sums feeding ratios) where the two phases are written manually.
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
-                     factor: Int): DataFrame = {
+                     factor: Int, saltFrom: String): DataFrame = {
     require(factor > 0)
+    // Salt must come from a (near-)unique row identity — salting on the
+    // aggregated value would collapse when hot keys carry few distinct
+    // values, putting the whole hot key back in one task.
     val partial = df
-      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(factor)).cast("int"))
+      .withColumn("__salt", pmod(xxhash64(col(saltFrom)), lit(factor)).cast("int"))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__c"))
     partial.groupBy(keys.map(col): _*)

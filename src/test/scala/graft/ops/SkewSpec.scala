@@ -26,8 +26,21 @@ class SkewSpec extends SparkSpec {
     val direct = big.groupBy("k")
       .agg(sum($"v").as("sum_v"), count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val salted = Skew.saltedSumCount(big, Seq("k"), "v", factor = 8)
+    val salted = Skew.saltedSumCount(big, Seq("k"), "v", factor = 8, saltFrom = "v")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == direct)
+  }
+
+  test("saltedSumCount spreads a constant-valued hot key across salts") {
+    // all rows share one value — salting on a row identity still spreads
+    val const = (1 to 100).map(i => ("hot", 1L, i.toLong)).toDF("k", "v", "id")
+    val out = Skew.saltedSumCount(const, Seq("k"), "v", factor = 8, saltFrom = "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("hot", 100L, 100L)))
+  }
+
+  test("saltedJoin rejects join types it cannot preserve") {
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(big, dim, Seq("k"), "v", 4, "full"))
   }
 }
