@@ -102,19 +102,24 @@ object Dedup {
                             useWordShingles: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val shingle =
-      if (useWordShingles) wordShingles(col(textCol), shingleSize)
-      else charShingles(col(textCol), shingleSize)
-    // Both `base` and `banded` feed both sides of a self-join — cache so
-    // shingling/signatures run once per doc, not once per join side.
-    // (Cluster analog: persist or write the signature table between stages.)
-    val base = docs
-      .select(col(idCol).as("id"), shingle.as("sh"))
-      .withColumn("sh", array_distinct(col("sh")))
-      .filter(size(col("sh")) > 0)
-      .cache()
-    val banded = base
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // Signature stage: a pure narrow map. Word mode fuses tokenize →
+    // shingle-hash → k-permutation-min into one expression and never
+    // materializes shingle arrays (shingle DISTINCT is unnecessary for a
+    // min). Char mode still goes through the array pipeline.
+    val sigCol =
+      if (useWordShingles)
+        graft.functions.WordShingleMinHash.word_shingle_minhash(
+          col(textCol), shingleSize, numHashes)
+      else
+        minhashSignature(array_distinct(charShingles(col(textCol), shingleSize)),
+          numHashes)
+    // `banded` feeds both sides of the self-join — cache the (id, band,
+    // hash) table (small: ids+longs, no text). Cluster analog: materialize
+    // the signature table between stages.
+    val banded = docs
+      .select(col(idCol).as("id"), sigCol.as("sig"))
+      .filter(col("sig").isNotNull)
       .select(col("id"), posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
       .cache()
     val cand = banded.as("l")
@@ -122,9 +127,22 @@ object Dedup {
         && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
+
+    // Exact-verify stage: shingle sets are built ONLY for candidate docs
+    // (semi-join first) — at scale the expensive array work touches the
+    // candidate neighborhood, not the corpus.
+    val shingle =
+      if (useWordShingles) wordShingles(col(textCol), shingleSize)
+      else charShingles(col(textCol), shingleSize)
+    val candIds = cand.select(col("id1").as("id"))
+      .union(cand.select(col("id2").as("id"))).distinct()
+    val candDocs = docs.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), array_distinct(shingle).as("sh"))
+      .cache()
     cand
-      .join(base.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(base.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .join(candDocs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(candDocs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double"))
