@@ -50,3 +50,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
   }
 }
+
+object GraftExtensions {
+  /** Register the same functions on an ALREADY-RUNNING session (extensions
+    * passed to the builder only bind when the session is first created —
+    * `getOrCreate()` against a live session silently skips them).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      (args: Seq[Expression]) =>
+        VectorExpressions.CosineSimilarity(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      (args: Seq[Expression]) =>
+        VectorExpressions.DotProduct(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      (args: Seq[Expression]) => VectorExpressions.SimHash64(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature k must be a literal, got $other")
+        }
+        MinHashSignature(args.head, k)
+      }, "scala_udf")
+  }
+}

@@ -3,21 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The extension hook needs its own session (extensions bind at build
-  * time), so this suite does not share [[SparkSpec.session]].
+/** Uses `GraftExtensions.install` on whatever session is live — builder
+  * extensions only bind at first creation, and in a full test run another
+  * suite has usually created the session already (getOrCreate would
+  * silently skip them). The builder/config path is exercised at runtime by
+  * `graft.ExtDemo`.
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  private lazy val spark: SparkSession = graft.SparkSpec.session
 
   test("native expressions are callable from SQL") {
-    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
     val row = spark.sql(
       """SELECT
         | cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
