@@ -712,6 +712,74 @@ object Queries {
       |FROM d WHERE q >= 0.7 AND NOT is_dup
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Batch sessionization: lag + cumulative gap-count window (the batch
+    * twin of streaming `EventStreams.sessionize`). 30-minute gap.
+    */
+  val sessionizeBatch: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > 1800, 1L)
+      .otherwise(lit(0L))
+    Tables.events(s, dir)
+      .withColumn("session_id", sum(newSession).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeBatchSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |marked AS (
+      | SELECT user_id, ts,
+      |  CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessioned AS (
+      | SELECT user_id, ts,
+      |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      | FROM marked)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      | min(ts) AS session_start, max(ts) AS session_end
+      |FROM sessioned GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Exact percentiles (sort-based `percentile`, not the approximate
+    * sketch) — rounded to absorb interpolation ulp.
+    */
+  val percentiles: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val percentilesSql: String =
+    """SELECT o_orderstatus,
+      | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      | count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Aggregate-to-array: sorted collect (deterministic by construction). */
+  val collectArrays: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy(col("l_returnflag"))
+
+  val collectArraysSql: String =
+    """SELECT l_returnflag,
+      | list_sort(list_distinct(list(l_linestatus))) AS statuses,
+      | CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -755,7 +823,10 @@ object Queries {
     "q38_asof_join" -> asofJoin,
     "q39_function_battery" -> functionBattery,
     "q40_simsearch_ivf" -> simsearchIvf,
-    "q41_curation" -> curationPipeline)
+    "q41_curation" -> curationPipeline,
+    "q42_sessionize" -> sessionizeBatch,
+    "q43_percentiles" -> percentiles,
+    "q44_collect" -> collectArrays)
 
   val oracles: Map[String, String] = Map(
     "q01_gold_flagship" -> goldFlagshipSql,
@@ -793,5 +864,8 @@ object Queries {
     "q37_pivot" -> pivotStatusSql,
     "q38_asof_join" -> asofJoinSql,
     "q39_function_battery" -> functionBatterySql,
-    "q41_curation" -> curationPipelineSql)
+    "q41_curation" -> curationPipelineSql,
+    "q42_sessionize" -> sessionizeBatchSql,
+    "q43_percentiles" -> percentilesSql,
+    "q44_collect" -> collectArraysSql)
 }
