@@ -197,6 +197,8 @@ object WordShingleMinHash {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+  private[functions] def permutationConstants(k: Int): (Array[Long], Array[Long]) =
+    constants(k)
   private def constants(k: Int): (Array[Long], Array[Long]) =
     tables.computeIfAbsent(k, kk => {
       val a = new Array[Long](kk)
@@ -213,4 +215,104 @@ object WordShingleMinHash {
   def word_shingle_minhash(text: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(
       WordShingleMinHash(GraftColumnBridge.expression(text), n, k))
+}
+
+/** Fused char-shingle MinHash with a ROLLING polynomial hash: the hash of
+  * each n-char window is maintained in O(1) per step (subtract the
+  * outgoing char's highest-power term, multiply, add the incoming char),
+  * so a document costs O(len + len·k) long ops total instead of
+  * O(len·n) string-hash bytes — and, like [[WordShingleMinHash]], no
+  * shingle arrays exist at all.
+  *
+  * Normalization matches `Dedup.charShingles`: lowercase + whitespace
+  * runs collapsed to one space + trim. NULL when fewer than n normalized
+  * chars.
+  */
+case class CharShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(shingleSize > 0 && numHashes > 0 && numHashes <= 512)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = CharShingleMinHash.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+      shingleSize, numHashes)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig")
+      val cls = "graft.functions.CharShingleMinHash"
+      s"""
+         |long[] $sig = $cls.compute($a.toString(), $shingleSize, $numHashes);
+         |if ($sig == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CharShingleMinHash {
+  private final val P = 1099511628211L // FNV prime as the rolling base
+
+  def compute(text: String, n: Int, k: Int): Array[Long] = {
+    // normalize: lower, collapse whitespace runs to ' ', trim
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    val s = sb
+    val len = s.length
+    if (len < n) return null
+
+    // highest-power base factor P^(n-1) for the outgoing char
+    var pow = 1L
+    var j = 0
+    while (j < n - 1) { pow *= P; j += 1 }
+
+    val (a, b) = WordShingleMinHash.permutationConstants(k)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+
+    // h after processing char i == sum_{t=0}^{n-1} c[i-n+1+t] * P^(n-1-t)
+    var h = 0L
+    i = 0
+    while (i < len) {
+      h = h * P + s.charAt(i)
+      if (i >= n - 1) {
+        // finalize-mix so adjacent windows decorrelate before permuting
+        var m = h
+        m = (m ^ (m >>> 30)) * 0xbf58476d1ce4e5b9L
+        m = (m ^ (m >>> 27)) * 0x94d049bb133111ebL
+        m ^= (m >>> 31)
+        var p = 0
+        while (p < k) {
+          val hp = a(p) * m + b(p)
+          if (hp < sig(p)) sig(p) = hp
+          p += 1
+        }
+        // roll: drop the leading char so the next h*P+c covers the next window
+        h -= s.charAt(i - n + 1) * pow
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def char_shingle_minhash(text: Column, n: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      CharShingleMinHash(GraftColumnBridge.expression(text), n, k))
 }

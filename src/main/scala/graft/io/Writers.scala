@@ -28,6 +28,28 @@ object Writers {
     df
   }
 
+  /** Engine extensions beyond the reference's parquet-only sink: the same
+    * layer contract over ORC / JSON-lines / delimited text.
+    */
+  def orc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+          partitionBy: Seq[String] = Nil): DataFrame = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+    df
+  }
+
+  def jsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): DataFrame = {
+    df.write.mode(mode).json(path)
+    df
+  }
+
+  def csv(df: DataFrame, path: String, delimiter: String = ",",
+          header: Boolean = true, mode: SaveMode = SaveMode.Overwrite): DataFrame = {
+    df.write.mode(mode)
+      .option("header", header.toString).option("sep", delimiter).csv(path)
+    df
+  }
+
   private def fs(path: Path, conf: Configuration): FileSystem = path.getFileSystem(conf)
 
   /** S7: list `*.parquet` part-files under a directory (E1:91-97). */

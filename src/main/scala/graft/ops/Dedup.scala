@@ -112,8 +112,8 @@ object Dedup {
         graft.functions.WordShingleMinHash.word_shingle_minhash(
           col(textCol), shingleSize, numHashes)
       else
-        minhashSignature(array_distinct(charShingles(col(textCol), shingleSize)),
-          numHashes)
+        graft.functions.CharShingleMinHash.char_shingle_minhash(
+          col(textCol), shingleSize, numHashes)
     // `banded` feeds both sides of the self-join — cache the (id, band,
     // hash) table (small: ids+longs, no text). Cluster analog: materialize
     // the signature table between stages.

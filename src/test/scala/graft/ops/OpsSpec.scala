@@ -39,6 +39,24 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(0, 2)) // "abcde","bcdef"
   }
 
+  test("CharShingleMinHash rolling hash agrees with per-window recomputation") {
+    // Exact property: the full-text signature equals the element-wise min
+    // over every single-window signature (each computed WITHOUT rolling,
+    // since a lone window never rolls) — verifying the O(1)-per-step
+    // arithmetic against from-scratch hashing.
+    import graft.functions.CharShingleMinHash.compute
+    // whitespace-free so window substrings aren't re-trimmed by compute's
+    // own normalization
+    val text = "TheQuickBrownFoxJumpsOverTheLazyDog"
+    val n = 5; val k = 16
+    val norm = text.toLowerCase
+    val rolled = compute(text, n, k)
+    val direct = (0 to norm.length - n)
+      .map(s => compute(norm.substring(s, s + n), n, k))
+      .reduce((x, y) => x.zip(y).map { case (a, b) => math.min(a, b) })
+    assert(rolled.toSeq == direct.toSeq)
+  }
+
   test("minhash near-dup finds the near pair, not the unrelated doc") {
     val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
