@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine of two float vectors in double"),
@@ -57,6 +58,10 @@ object GraftExtensions {
     * `getOrCreate()` against a live session silently skips them).
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_similarity",
       (args: Seq[Expression]) =>

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, SimSearch, TextStats}
+import graft.ops.{Dedup, Multimodal, SimSearch, TextStats, TopK}
 import graft.transform.{Canonicalize, Enrich, Harmonize, Normalize}
 import graft.quality.Expectations._
 import graft.streaming.EventStreams
@@ -209,14 +209,17 @@ object Queries {
         && col("l_discount") > 0.05 && col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_shipdate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata — order by
+      // every output column so tied rows can't flip between engines
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_quantity"), col("l_shipdate"))
 
   val filterPushdownSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
       |  AND l_discount > 0.05 AND l_returnflag = 'R'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_shipdate""".stripMargin
 
   /** J2: left join with unmatched rows + null-aware aggregation. */
   val leftJoinNulls: Q = (s, dir) => {
@@ -780,6 +783,29 @@ object Queries {
       | CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Native top-k-per-key via the custom TopKPerKey operator (partial
+    * bounded top-k → shuffle of survivors → final top-k; see
+    * graft/plans/TopKPerKey.scala). Same semantics as the q13 window
+    * formulation — which is exactly what the oracle checks.
+    */
+  val topkNative: Q = (s, dir) => {
+    GraftExtensions.install(s) // planner strategy on the live session
+    TopK.perKey(t(s, dir, "lineitem"),
+      keyCols = Seq("l_orderkey"), orderCol = "l_extendedprice",
+      tiebreakCol = "l_linenumber", k = 2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      // total order: (orderkey, linenumber) is not unique in the testdata
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+
+  val topkNativeSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      | SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      | FROM lineitem) x
+      |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -826,7 +852,8 @@ object Queries {
     "q41_curation" -> curationPipeline,
     "q42_sessionize" -> sessionizeBatch,
     "q43_percentiles" -> percentiles,
-    "q44_collect" -> collectArrays)
+    "q44_collect" -> collectArrays,
+    "q45_topk_native" -> topkNative)
 
   val oracles: Map[String, String] = Map(
     "q01_gold_flagship" -> goldFlagshipSql,
@@ -867,5 +894,6 @@ object Queries {
     "q41_curation" -> curationPipelineSql,
     "q42_sessionize" -> sessionizeBatchSql,
     "q43_percentiles" -> percentilesSql,
-    "q44_collect" -> collectArraysSql)
+    "q44_collect" -> collectArraysSql,
+    "q45_topk_native" -> topkNativeSql)
 }

@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Custom whole-operator: top-k rows per key, ordered by `order` DESC with
+  * `tiebreak` ASC — the "k best per group" primitive behind similarity
+  * search, per-entity sampling, and leaderboards.
+  *
+  * Why a custom operator instead of `row_number().over(window) <= k`: the
+  * window form shuffles EVERY row to its key's partition and sorts the
+  * whole partition. This operator runs a bounded per-partition top-k
+  * BEFORE the exchange (partial stage, like partial aggregation), so at
+  * most k rows per key per input partition ever reach the shuffle, then a
+  * final bounded top-k after it. At 100 TB with bounded k, the shuffle
+  * shrinks from O(rows) to O(keys·k·partitions) and no full sort happens
+  * anywhere.
+  *
+  * Planned via [[TopKStrategy]] (registered through
+  * `GraftExtensions`/`withExtensions`); constructed via `graft.ops.TopK`.
+  */
+case class TopKPerKey(
+    keys: Seq[Expression], order: Expression, tiebreak: Expression,
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, tb, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, tb, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, order, tb, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical node. `partial = true` runs on map-side input partitions
+  * (no distribution requirement); `partial = false` requires rows
+  * clustered by key — Spark's EnsureRequirements inserts the hash
+  * Exchange between the two, exactly like partial/final aggregation.
+  */
+case class TopKPerKeyExec(
+    keys: Seq[Expression], order: Expression, tiebreak: Expression,
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val orderExpr = order
+    val tbExpr = tiebreak
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val boundOrder = BindReferences.bindReference(orderExpr, childOutput)
+      val boundTb = BindReferences.bindReference(tbExpr, childOutput)
+      val ordOrdering = TypeUtils.getInterpretedOrdering(orderExpr.dataType)
+      val tbOrdering = TypeUtils.getInterpretedOrdering(tbExpr.dataType)
+
+      // "a beats b" = higher order value, or equal order and lower tiebreak
+      // (NULL order values lose to everything, matching desc NULLS LAST).
+      def beats(oa: Any, ta: Any, ob: Any, tb: Any): Boolean = {
+        if (oa == null) false
+        else if (ob == null) true
+        else {
+          val c = ordOrdering.compare(oa, ob)
+          if (c != 0) c > 0
+          else if (ta == null) false
+          else if (tb == null) true
+          else tbOrdering.compare(ta, tb) < 0
+        }
+      }
+
+      final class Entry(val o: Any, val t: Any, val row: InternalRow)
+      // min-heap on "goodness": head is the current worst of the kept k
+      val heapOrd = new Ordering[Entry] {
+        def compare(x: Entry, y: Entry): Int =
+          if (beats(x.o, x.t, y.o, y.t)) 1
+          else if (beats(y.o, y.t, x.o, x.t)) -1
+          else 0
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[Entry]]()
+
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty(heapOrd.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        val o = boundOrder.eval(row)
+        val t = boundTb.eval(row)
+        if (heap.size < limit) {
+          heap.enqueue(new Entry(o, t, row.copy()))
+        } else {
+          val worst = heap.head
+          if (beats(o, t, worst.o, worst.t)) {
+            heap.dequeue()
+            heap.enqueue(new Entry(o, t, row.copy()))
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator.map(_.row))
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}

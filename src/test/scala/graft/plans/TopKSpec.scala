@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.TopK
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = {
+    graft.GraftExtensions.install(spark)
+    (1 to 500).map(i => (i % 13L, i.toDouble % 97, i.toLong))
+      .toDF("k", "score", "id")
+      .repartition(7) // several input partitions so the partial stage matters
+  }
+
+  test("TopKPerKey matches the window row_number formulation exactly") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"score".desc, $"id")
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    val got = TopK.perKey(df, Seq("k"), "score", "id", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("planned as partial -> exchange -> final (aggregation-style)") {
+    val plan = TopK.perKey(df, Seq("k"), "score", "id", k = 3)
+      .queryExecution.executedPlan.toString
+    // physical nodes print without the Exec suffix
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("ties on score resolved by ascending tiebreak") {
+    val tied = Seq((1L, 5.0, 10L), (1L, 5.0, 3L), (1L, 5.0, 7L), (1L, 1.0, 1L))
+      .toDF("k", "score", "id")
+    val got = TopK.perKey(tied, Seq("k"), "score", "id", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 7L))
+  }
+
+  test("k larger than group size returns whole groups") {
+    val small = Seq((1L, 2.0, 1L), (1L, 3.0, 2L)).toDF("k", "score", "id")
+    assert(TopK.perKey(small, Seq("k"), "score", "id", k = 10).count() == 2)
+  }
+
+  test("null scores lose to everything") {
+    val withNulls = Seq(
+      (1L, Some(2.0), 1L), (1L, None, 2L), (1L, Some(1.0), 3L))
+      .toDF("k", "score", "id")
+    val got = TopK.perKey(withNulls, Seq("k"), "score", "id", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+}
