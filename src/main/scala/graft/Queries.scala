@@ -806,6 +806,83 @@ object Queries {
       | FROM lineitem) x
       |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin
 
+  /** Higher-order array functions: transform / filter / aggregate / zip. */
+  val hofArrays: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("tok"))
+      .select(
+        col("doc_id"),
+        sort_array(transform(col("tok"), t => length(t))).as("len_sorted"),
+        aggregate(col("tok"), lit(0), (acc, t) => acc + length(t)).as("len_sum"),
+        size(filter(col("tok"), t => length(t) > 4)).as("n_long"))
+      .orderBy(col("doc_id"))
+
+  val hofArraysSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok FROM documents)
+      |SELECT doc_id,
+      | list_sort(list_transform(tok, t -> CAST(length(t) AS INTEGER))) AS len_sorted,
+      | CAST(coalesce(list_sum(list_transform(tok, t -> length(t))), 0) AS INTEGER) AS len_sum,
+      | CAST(length(list_filter(tok, t -> length(t) > 4)) AS INTEGER) AS n_long
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Null-handling semantics: coalesce, nullif, null-safe equality. */
+  val nullSemantics: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val nullable = when(col("o_orderstatus") === "P", lit(null).cast("string"))
+      .otherwise(col("o_orderstatus"))
+    o.select(
+      col("o_orderkey"),
+      coalesce(nullable, lit("UNKNOWN")).as("status_filled"),
+      nullif(col("o_orderstatus"), lit("O")).as("status_nullif"),
+      (nullable <=> lit(null).cast("string")).as("is_null_safe_eq"),
+      isnull(nullable).as("is_null"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val nullSemanticsSql: String =
+    """SELECT o_orderkey,
+      | coalesce(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END, 'UNKNOWN') AS status_filled,
+      | nullif(o_orderstatus, 'O') AS status_nullif,
+      | (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END IS NOT DISTINCT FROM NULL) AS is_null_safe_eq,
+      | (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END IS NULL) AS is_null
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Ordered string aggregation per group. */
+  val stringAgg: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .groupBy((col("n_regionkey") % 2).as("rk_mod"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("rk_mod"))
+
+  val stringAggSql: String =
+    """SELECT n_regionkey % 2 AS rk_mod,
+      | string_agg(n_name, ',' ORDER BY n_name) AS names,
+      | count(*) AS n
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Date arithmetic: diffs, offsets, truncation, extraction. */
+  val dateArithmetic: Q = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .as("days_to_2002"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"),
+      quarter(col("o_orderdate")).as("qtr"),
+      dayofweek(col("o_orderdate")).as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  val dateArithmeticSql: String =
+    """SELECT o_orderkey,
+      | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+      | CAST(o_orderdate AS DATE) + 30 AS plus30,
+      | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -853,7 +930,11 @@ object Queries {
     "q42_sessionize" -> sessionizeBatch,
     "q43_percentiles" -> percentiles,
     "q44_collect" -> collectArrays,
-    "q45_topk_native" -> topkNative)
+    "q45_topk_native" -> topkNative,
+    "q46_hof_arrays" -> hofArrays,
+    "q47_null_semantics" -> nullSemantics,
+    "q48_string_agg" -> stringAgg,
+    "q49_date_arith" -> dateArithmetic)
 
   val oracles: Map[String, String] = Map(
     "q01_gold_flagship" -> goldFlagshipSql,
@@ -895,5 +976,9 @@ object Queries {
     "q42_sessionize" -> sessionizeBatchSql,
     "q43_percentiles" -> percentilesSql,
     "q44_collect" -> collectArraysSql,
-    "q45_topk_native" -> topkNativeSql)
+    "q45_topk_native" -> topkNativeSql,
+    "q46_hof_arrays" -> hofArraysSql,
+    "q47_null_semantics" -> nullSemanticsSql,
+    "q48_string_agg" -> stringAggSql,
+    "q49_date_arith" -> dateArithmeticSql)
 }
