@@ -33,9 +33,6 @@ object BucketDemo {
       .agg(sum(col("l_quantity")).as("qty"))
 
     val plan = joined.queryExecution.executedPlan.toString
-    val joinShuffles = plan.linesIterator
-      .takeWhile(l => !l.contains("HashAggregate"))
-      .count(_.contains("Exchange hashpartitioning"))
     println(s"BUCKETED_JOIN_SHUFFLES=${if (plan.contains("SortMergeJoin")) countJoinExchanges(plan) else -1}")
     println(s"HAS_SMJ=${plan.contains("SortMergeJoin")}")
     joined.orderBy("o_orderstatus").show()

@@ -277,17 +277,21 @@ object Queries {
     """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
       |ORDER BY 1, 2""".stripMargin
 
-  /** Time-bucketed aggregation (batch equivalent of the streaming window). */
+  /** Time-bucketed aggregation (batch equivalent of the streaming window).
+    * Sum goes through PER-VALUE decimal casts (the determinism contract) —
+    * summing raw doubles then casting would leave the result dependent on
+    * partial-aggregation order.
+    */
   val hourlyEvents: Q = (s, dir) =>
-    EventStreams.hourlyCountsBatch(Tables.events(s, dir))
-      .withColumn("total_value",
-        round(col("total_value").cast("decimal(18,2)").cast("double"), 2))
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value"), 2).as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
   val hourlyEventsSql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       | count(*) AS n_events,
-      | round(CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_value
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** JSON field extraction from a string column. */

@@ -33,19 +33,20 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val n = arr.numElements()
     if (n == 0) return null
     val sig = MinHashSignature.compute(arr, n, numHashes)
-    new GenericArrayData(sig)
+    if (sig == null) null else new GenericArrayData(sig)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
       val cls = "graft.functions.MinHashSignature"
       s"""
          |int $n = $a.numElements();
-         |if ($n == 0) { ${ev.isNull} = true; }
+         |long[] $sig = $n == 0 ? null : $cls.compute($a, $n, $numHashes);
+         |if ($sig == null) { ${ev.isNull} = true; }
          |else {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |    $cls.compute($a, $n, $numHashes));
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
          |}
        """.stripMargin
     })
@@ -82,14 +83,19 @@ object MinHashSignature {
       (a, b)
     })
 
-  /** Called from both eval and generated code. */
+  /** Called from both eval and generated code. Returns null when no
+    * non-null element contributed (an all-null array must not yield the
+    * all-MaxValue sentinel — every such doc would LSH-collide).
+    */
   def compute(arr: ArrayData, n: Int, k: Int): Array[Long] = {
     val (a, b) = constants(k)
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
+    var contributed = false
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
+        contributed = true
         val h0 = VectorExpressions.SimHash64.fnv1a64(arr.getUTF8String(t).getBytes)
         var i = 0
         while (i < k) {
@@ -100,7 +106,7 @@ object MinHashSignature {
       }
       t += 1
     }
-    sig
+    if (contributed) sig else null
   }
 
   def minhash_signature(shingles: Column, k: Int): Column =
@@ -149,8 +155,15 @@ case class WordShingleMinHash(child: Expression, shingleSize: Int, numHashes: In
 }
 
 object WordShingleMinHash {
-  /** Shared with generated code. Tokenization = maximal non-whitespace
-    * runs (same token rule as TextStats.tokens).
+  /** Java-regex `\s` matches ONLY this ASCII set (no UNICODE flag) — the
+    * fused paths must match `TextStats.tokens` (split on `\s+`) exactly,
+    * so exotic whitespace like U+2028 must NOT split here either.
+    */
+  private[functions] def isRegexWhitespace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Shared with generated code. Tokenization = maximal non-`\s` runs
+    * (identical to TextStats.tokens' regex semantics).
     */
   def compute(text: String, n: Int, k: Int): Array[Long] = {
     // hash each token once
@@ -158,9 +171,9 @@ object WordShingleMinHash {
     var i = 0
     val len = text.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < len && isRegexWhitespace(text.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < len && !isRegexWhitespace(text.charAt(i))) i += 1
       if (i > start) {
         tokHashes += VectorExpressions.SimHash64.fnv1a64(
           text.substring(start, i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -261,16 +274,20 @@ object CharShingleMinHash {
   private final val P = 1099511628211L // FNV prime as the rolling base
 
   def compute(text: String, n: Int, k: Int): Array[Long] = {
-    // normalize: lower, collapse whitespace runs to ' ', trim
-    val sb = new java.lang.StringBuilder(text.length)
+    // normalize EXACTLY like Dedup.charShingles: Spark lower() == full-
+    // string ROOT lowercasing (not per-char — 'İ' expands to two chars),
+    // then regex-\s runs collapsed to ' ', then trim
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lowered.length)
     var i = 0
     var pendingSpace = false
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
-      else {
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if (WordShingleMinHash.isRegexWhitespace(c)) {
+        if (sb.length > 0) pendingSpace = true
+      } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(Character.toLowerCase(c))
+        sb.append(c)
       }
       i += 1
     }

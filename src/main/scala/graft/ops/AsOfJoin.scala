@@ -34,7 +34,9 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
     val rTagged = right.select(
       (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
-        tiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tb")) ++
+        // natural-type ordering: casting to long would silently null out
+        // non-numeric tiebreaks and lose determinism
+        tiebreak.map(col).getOrElse(lit(0L)).as("__tb")) ++
         valueCols.map(c => col(c).as(s"__v_$c")): _*)
     // Left rows lack __tb/__v_*; right rows lack the left payload — the
     // by-name union null-fills both directions and we keep only left rows.

@@ -116,7 +116,10 @@ object Dedup {
           col(textCol), shingleSize, numHashes)
     // `banded` feeds both sides of the self-join — cache the (id, band,
     // hash) table (small: ids+longs, no text). Cluster analog: materialize
-    // the signature table between stages.
+    // the signature table between stages. NOTE: caches stay pinned for the
+    // session (they back the returned lazy frame); long-lived sessions
+    // running many dedup jobs should unpersist via
+    // spark.catalog.clearCache() or persist to a table instead.
     val banded = docs
       .select(col(idCol).as("id"), sigCol.as("sig"))
       .filter(col("sig").isNotNull)
@@ -152,17 +155,27 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** SimHash near-dup candidates: 64-bit fingerprints, bucketed by 16-bit
-    * chunks (any doc pair within `maxHammingDistance` ≤ 3 shares at least
-    * one of 4 chunks — pigeonhole), verified with exact Hamming distance.
+  /** SimHash near-dup candidates: 64-bit fingerprints bucketed into
+    * `maxHammingDistance + 1` bit-range chunks — by pigeonhole, any pair
+    * within the radius shares at least one identical chunk — then exact
+    * Hamming verification. (A fixed chunk count would silently lose
+    * recall for radii above chunks-1.)
     */
   def simhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
                             maxHammingDistance: Int = 3): DataFrame = {
-    val chunks = 4 // 4 × 16-bit chunks of the 64-bit fingerprint
+    require(maxHammingDistance >= 0 && maxHammingDistance < 32,
+      "maxHammingDistance in [0, 32)")
+    val chunks = maxHammingDistance + 1
     val fp = docs.select(col(idCol).as("id"),
       VectorExpressions.simhash64(TextStats.tokens(lower(col(textCol)))).as("fp"))
-    val chunkVals = (0 until chunks).map(i =>
-      shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL)))
+    // chunk i covers bits [i*64/chunks, (i+1)*64/chunks)
+    val chunkVals = (0 until chunks).map { i =>
+      val lo = i * 64 / chunks
+      val hi = (i + 1) * 64 / chunks
+      val width = hi - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask))
+    }
     val keyed = fp.select(col("id"), col("fp"),
       posexplode(array(chunkVals: _*)).as(Seq("chunk", "ck")))
       .cache() // reused on both sides of the self-join

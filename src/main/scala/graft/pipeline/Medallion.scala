@@ -83,6 +83,8 @@ object Medallion {
 
   def gold(fact: DataFrame, dimInner: DataFrame, dimLeft: DataFrame,
            spec: GoldSpec): DataFrame = {
+    require(spec.averages.nonEmpty || spec.roundedAverages.nonEmpty,
+      "GoldSpec needs at least one average")
     val joined = fact
       .join(dimInner, Seq(spec.innerKey), "inner")
       .join(dimLeft, Seq(spec.leftKey), "left")

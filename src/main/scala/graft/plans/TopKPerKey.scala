@@ -106,12 +106,16 @@ case class TopKPerKeyExec(
         val o = boundOrder.eval(row)
         val t = boundTb.eval(row)
         if (heap.size < limit) {
-          heap.enqueue(new Entry(o, t, row.copy()))
+          // copyValue: eval results over buffer-backed rows can be VIEWS
+          // (UTF8String/ArrayData) into memory the iterator reuses
+          heap.enqueue(new Entry(InternalRow.copyValue(o),
+            InternalRow.copyValue(t), row.copy()))
         } else {
           val worst = heap.head
           if (beats(o, t, worst.o, worst.t)) {
             heap.dequeue()
-            heap.enqueue(new Entry(o, t, row.copy()))
+            heap.enqueue(new Entry(InternalRow.copyValue(o),
+              InternalRow.copyValue(t), row.copy()))
           }
         }
       }

@@ -46,6 +46,23 @@ class TopKSpec extends SparkSpec {
     assert(TopK.perKey(small, Seq("k"), "score", "id", k = 10).count() == 2)
   }
 
+  test("string order column over a columnar parquet scan (buffer reuse)") {
+    // eval results over columnar rows can be views into reused buffers —
+    // regression for the copyValue fix; parquet forces the columnar path
+    val dir = java.nio.file.Files.createTempDirectory("topk_str").toString
+    (1 to 2000).map(i => (i % 7L, f"s${i % 37}%03d", i.toLong))
+      .toDF("k", "sval", "id")
+      .write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"sval".desc, $"id")
+    val expected = pq.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4).drop("rn").collect().map(_.toSeq).toSet
+    val got = TopK.perKey(pq, Seq("k"), "sval", "id", k = 4)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
   test("null scores lose to everything") {
     val withNulls = Seq(
       (1L, Some(2.0), 1L), (1L, None, 2L), (1L, Some(1.0), 3L))
