@@ -887,6 +887,45 @@ object Queries {
       | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Six-table analytics join (TPC-H Q5 shape): regional revenue through
+    * customer→orders→lineitem→supplier with co-nation constraint. The
+    * dims chain into broadcasts; lineitem never shuffles for the joins.
+    */
+  val revenueByNation: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM customer
+      | JOIN orders   ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      | JOIN nation   ON s_nationkey = n_nationkey
+      | JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -938,7 +977,8 @@ object Queries {
     "q46_hof_arrays" -> hofArrays,
     "q47_null_semantics" -> nullSemantics,
     "q48_string_agg" -> stringAgg,
-    "q49_date_arith" -> dateArithmetic)
+    "q49_date_arith" -> dateArithmetic,
+    "q50_revenue_by_nation" -> revenueByNation)
 
   val oracles: Map[String, String] = Map(
     "q01_gold_flagship" -> goldFlagshipSql,
@@ -984,5 +1024,6 @@ object Queries {
     "q46_hof_arrays" -> hofArraysSql,
     "q47_null_semantics" -> nullSemanticsSql,
     "q48_string_agg" -> stringAggSql,
-    "q49_date_arith" -> dateArithmeticSql)
+    "q49_date_arith" -> dateArithmeticSql,
+    "q50_revenue_by_nation" -> revenueByNationSql)
 }
