@@ -926,6 +926,37 @@ object Queries {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** Unicode NFC normalization (custom expression; DuckDB nfc_normalize
+    * oracle) + normalized fingerprint — the dedup-prep combination.
+    */
+  val unicodeNormalize: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      graft.functions.NormalizeUnicode.normalize_unicode(col("text"), "NFC")
+        .as("text_nfc"),
+      md5(graft.functions.NormalizeUnicode.normalize_unicode(
+        lower(col("text")), "NFC").cast("binary")).as("fp_nfc"))
+      .orderBy(col("doc_id"))
+
+  val unicodeNormalizeSql: String =
+    """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+      | md5(nfc_normalize(lower(text))) AS fp_nfc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Approximate distinct counts (HLL++) next to exact — the sketch
+    * every 100 TB cardinality estimate runs on. HLL merge is commutative
+    * so the estimate is deterministic across partitionings, but its exact
+    * value is engine-specific → rows-only check.
+    */
+  val approxSketches: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -978,7 +1009,9 @@ object Queries {
     "q47_null_semantics" -> nullSemantics,
     "q48_string_agg" -> stringAgg,
     "q49_date_arith" -> dateArithmetic,
-    "q50_revenue_by_nation" -> revenueByNation)
+    "q50_revenue_by_nation" -> revenueByNation,
+    "q51_unicode_normalize" -> unicodeNormalize,
+    "q52_approx_sketches" -> approxSketches)
 
   val oracles: Map[String, String] = Map(
     "q01_gold_flagship" -> goldFlagshipSql,
@@ -1025,5 +1058,6 @@ object Queries {
     "q47_null_semantics" -> nullSemanticsSql,
     "q48_string_agg" -> stringAggSql,
     "q49_date_arith" -> dateArithmeticSql,
-    "q50_revenue_by_nation" -> revenueByNationSql)
+    "q50_revenue_by_nation" -> revenueByNationSql,
+    "q51_unicode_normalize" -> unicodeNormalizeSql)
 }

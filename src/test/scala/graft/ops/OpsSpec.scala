@@ -83,6 +83,24 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 0.6))) // |{a,b,c}|/|{a,b,c,d,e}| = 3/5
   }
 
+  test("NormalizeUnicode: composed == normalized decomposed; ASCII fast path") {
+    import graft.functions.NormalizeUnicode.normalize_unicode
+    val composed = "caf\u00e9"            // é U+00E9
+    val decomposed = "cafe\u0301"         // e + combining acute
+    val df = Seq((composed, decomposed, "plain ascii")).toDF("a", "b", "c")
+    val row = df.select(
+      (normalize_unicode(col("a"), "NFC") === normalize_unicode(col("b"), "NFC")).as("eq"),
+      (col("a") === col("b")).as("raw_eq"),
+      normalize_unicode(col("c"), "NFC").as("ascii")).head()
+    assert(row.getBoolean(0))      // NFC unifies the two forms
+    assert(!row.getBoolean(1))     // raw strings differ
+    assert(row.getString(2) == "plain ascii")
+    // NFKC folds compatibility chars (ﬁ ligature → fi)
+    val k = Seq("\ufb01le").toDF("s")
+      .select(normalize_unicode(col("s"), "NFKC")).as[String].head()
+    assert(k == "file")
+  }
+
   // ------------------------------------------------------------ simsearch
 
   private def vecs = Seq(
