@@ -160,7 +160,8 @@ object Queries {
       NotNull("o_custkey"),
       Between("o_totalprice", 0, 1e7),
       InSet("o_orderpriority",
-        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))))
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      MatchesRegex("o_orderpriority", "^[0-9]-[A-Z ]+$")))
     val aggs = suite.expectations.map(e =>
       sum(e.violationIndicator).as(s"v_${e.kind}_${e.column}"))
     t(s, dir, "orders").agg(count(lit(1)).as("n_rows"), aggs: _*)
@@ -171,7 +172,8 @@ object Queries {
       | CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_not_null_o_orderstatus,
       | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_not_null_o_custkey,
       | CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 10000000) THEN 1 ELSE 0 END) AS BIGINT) AS v_between_o_totalprice,
-      | CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS v_in_set_o_orderpriority
+      | CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS v_in_set_o_orderpriority,
+      | CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v_matches_regex_o_orderpriority
       |FROM orders""".stripMargin
 
   /** P10/X3: upper + length. */

@@ -83,6 +83,21 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 0.6))) // |{a,b,c}|/|{a,b,c,d,e}| = 3/5
   }
 
+  test("embeddingNearDuplicates finds planted near-identical vectors") {
+    val base = Array.tabulate(16)(i => math.sin(i * 3.1).toFloat)
+    val nearCopy = base.clone(); nearCopy(0) = base(0) + 1e-4f
+    // hash-ish generator, NOT sin(i*k): sine is periodic, so vectors at
+    // i and i+17 would themselves be near-identical (289 ≈ 46·2π)
+    val vecs = (Seq((1L, base), (2L, nearCopy)) ++
+      (3L to 30L).map(i => (i, Array.tabulate(16)(d =>
+        (((i * 2654435761L + d * 40503L) % 1000L) / 500.0f) - 1.0f))))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "embedding", "vec_id",
+      planes = 6, threshold = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("NormalizeUnicode: composed == normalized decomposed; ASCII fast path") {
     import graft.functions.NormalizeUnicode.normalize_unicode
     val composed = "caf\u00e9"            // é U+00E9
