@@ -40,4 +40,34 @@ object Readers {
   /** JSON-lines source (engine extension; not in the reference surface). */
   def jsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** CSV ingest that CAPTURES malformed rows instead of dropping or dying:
+    * PERMISSIVE mode with a corrupt-record column, so a quarantine branch
+    * can write bad rows aside while good rows continue — at 100 TB some
+    * malformed input is a certainty, and silent drops are unacceptable
+    * for training-data lineage. Requires an explicit schema (the corrupt
+    * column must be declared in it). NOTE: Spark refuses queries that
+    * reference ONLY the corrupt column on the raw scan — cache() or write
+    * the frame before splitting good/bad.
+    */
+  def csvWithCorruptCapture(spark: SparkSession, path: String,
+                            schema: StructType, delimiter: String = ",",
+                            corruptCol: String = "_corrupt_record"): DataFrame = {
+    val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("header", "true")
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(full)
+      .csv(path)
+  }
+
+  /** Parquet directory scan with schema merging across part files —
+    * the read-side half of schema evolution (new columns appear as nulls
+    * on old files). Costs a footer pass per file; use only on layers
+    * where schemas actually drift.
+    */
+  def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -34,4 +34,32 @@ class IoSpec extends SparkSpec {
     assert(Readers.parquet(spark, s"$root/dst").count() == 2)
     assert(Writers.listParquetFiles(s"$root/nope").isEmpty)
   }
+
+  test("corrupt-record capture: bad rows quarantined, good rows intact") {
+    import org.apache.spark.sql.types._
+    val path = s"$root/landing/mixed.csv"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/landing"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "id,score\n1,2.5\n2,notanumber\n3,4.0\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    // Spark disallows querying only the corrupt column straight off the
+    // raw file — materialize first (the documented usage)
+    val out = Readers.csvWithCorruptCapture(spark, path, schema).cache()
+    val good = out.filter(col("_corrupt_record").isNull)
+    val bad = out.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.select("_corrupt_record").as[String].head().contains("notanumber"))
+  }
+
+  test("parquet mergeSchema: evolved columns appear as nulls on old files") {
+    val dir = s"$root/evolving"
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "s", "extra").write.mode("append").parquet(dir)
+    val merged = Readers.parquetMergeSchema(spark, dir).orderBy("id")
+    assert(merged.columns.toSet == Set("id", "s", "extra"))
+    val rows = merged.collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
+  }
 }
