@@ -50,8 +50,10 @@ object Medallion {
     Writers.parquet(unioned, spec.out, SaveMode.Overwrite)
   }
 
-  /** Silver: one Project for renames+rules+derivations, then a single-pass
-    * DQ checkpoint on the frame about to be written.
+  /** Silver: one Project for renames+rules+derivations; the DQ suite is
+    * collected via `observe()` DURING the layer write itself — zero
+    * dedicated validation scans (vs the reference's one job per
+    * expectation over a re-read file, SURVEY §4.2).
     */
   def silver(spark: SparkSession, spec: SilverSpec): DataFrame = {
     val raw = Readers.parquet(spark, spec.in)
@@ -60,12 +62,17 @@ object Medallion {
     val derived = spec.derived.foldLeft(cleaned) { case (d, (name, f)) =>
       d.withColumn(name, f(d))
     }
-    spec.suite.foreach { s =>
-      val result = Checkpoint.run(derived, s)
-      spec.reportDir.foreach(dir => Checkpoint.store(result, dir))
-      // Reference semantics: report, never fail the pipeline (SURVEY §4.4-e).
+    spec.suite match {
+      case Some(s) =>
+        val (instrumented, obs) = Checkpoint.observed(derived, s)
+        Writers.parquet(instrumented, spec.out, SaveMode.Overwrite)
+        val result = Checkpoint.observedResult(instrumented, obs, s)
+        spec.reportDir.foreach(dir => Checkpoint.store(result, dir))
+        // Reference semantics: report, never fail (SURVEY §4.4-e).
+        derived
+      case None =>
+        Writers.parquet(derived, spec.out, SaveMode.Overwrite)
     }
-    Writers.parquet(derived, spec.out, SaveMode.Overwrite)
   }
 
   /** Gold (E4 shape, parameterized): inner-join fact to a dim on one key,

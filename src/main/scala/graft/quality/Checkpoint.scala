@@ -55,4 +55,54 @@ object Checkpoint {
     Files.writeString(p, result.toJson)
     p.toString
   }
+
+  /** Zero-extra-scan validation: attach the suite's violation counters to
+    * the frame with `observe()`, so they are collected DURING whatever
+    * action the caller runs next (typically the layer write) — even the
+    * one-pass checkpoint costs one dedicated scan; this costs none.
+    * Returns the instrumented frame plus the `Observation` handle; call
+    * [[observedResult]] with the handle after the action.
+    */
+  def observed(df: DataFrame, suite: Suite)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val (_, rowLevel) = partitionSuite(df, suite)
+    val aggs = count(lit(1)).cast("long").as("__rows") +:
+      rowLevel.zipWithIndex.map { case (e, i) =>
+        sum(e.violationIndicator).cast("long").as(s"__v$i")
+      }
+    val obs = org.apache.spark.sql.Observation(s"graft_dq_${suite.name}")
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
+  /** Read the counters after an action ran on the instrumented frame
+    * (blocks until the observation completes).
+    */
+  def observedResult(df: DataFrame, obs: org.apache.spark.sql.Observation,
+                     suite: Suite): SuiteResult = {
+    val metrics = obs.get
+    val (schemaLevel, rowLevel) = partitionSuite(df, suite)
+    val rows = metrics("__rows").asInstanceOf[Long]
+    val rowResults = rowLevel.zipWithIndex.map { case (e, i) =>
+      val v = metrics.get(s"__v$i") match {
+        case Some(x: Long) => x
+        case _             => 0L
+      }
+      ExpectationResult(e.kind, e.column, v, v == 0L)
+    }
+    val fields = df.schema.fieldNames.toSet
+    val schemaResults = schemaLevel.map { e =>
+      val ok = fields(e.column)
+      ExpectationResult(e.kind, e.column, if (ok) 0L else 1L, ok)
+    }
+    SuiteResult(suite.name, rows, schemaResults ++ rowResults)
+  }
+
+  private def partitionSuite(df: DataFrame, suite: Suite) = {
+    val (schemaLevel, rowLevel) = suite.expectations.partition {
+      case _: ColumnExists => true
+      case _               => false
+    }
+    val fields = df.schema.fieldNames.toSet
+    (schemaLevel, rowLevel.filter(e => fields(e.column)))
+  }
 }

@@ -76,6 +76,17 @@ object EventStreams {
         })
   }
 
+  /** Streaming deduplication with bounded state: duplicates of `keyCols`
+    * arriving within the watermark window are dropped; state for keys
+    * older than the watermark is evicted automatically — the streaming
+    * half of the north-star dedup story (exact dedup at ingest time).
+    */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String],
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch-equivalent of `windowedCounts` for oracle checking: the same
     * hourly bucketing expressed with date_trunc (window() start ==
     * date_trunc for aligned tumbling windows).

@@ -54,4 +54,20 @@ class QualitySpec extends SparkSpec {
     // report is diagnosable but never fatal (SURVEY §4.4-e)
     assert(!r.passed)
   }
+
+  test("observe-based DQ: counters collected during the write, no extra scan") {
+    val suite = Suite("obs", Seq(
+      NotNull("name"), Between("score", 0, 10), ColumnExists("grade")))
+    val (observed, obs) = Checkpoint.observed(df, suite)
+    val out = java.nio.file.Files.createTempDirectory("obs").toString
+    observed.write.mode("overwrite").parquet(out) // the ONLY scan
+    val r = Checkpoint.observedResult(observed, obs, suite)
+    assert(r.rows == 4)
+    val byKind = r.results.map(x => (x.kind, x.column) -> x.violations).toMap
+    assert(byKind(("not_null", "name")) == 1)
+    assert(byKind(("between", "score")) == 2)
+    assert(byKind(("column_exists", "grade")) == 0)
+    // reading back proves the write itself succeeded alongside collection
+    assert(spark.read.parquet(out).count() == 4)
+  }
 }

@@ -41,6 +41,26 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(("click", 2L)))
   }
 
+  test("dedupedStream drops within-watermark duplicates, keeps distinct keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = EventStreams.dedupedStream(input.toDF(), Seq("user_id", "event_type"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0), // dup key within watermark
+        Event(3, ts(2), 1, "view", 3.0),
+        Event(4, ts(3), 2, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("user_id", "event_type").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "click"), (1L, "view"), (2L, "click")))
+      assert(spark.table("dedup_out").count() == 3)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
