@@ -959,6 +959,24 @@ object Queries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** regexp_extract with capture groups (completes the regex family:
+    * replace, count, extract_all, matches, extract).
+    */
+  val regexExtract: Q = (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "Customer#(0*)([0-9]+)", 2).as("cust_num"),
+      length(regexp_extract(col("c_name"), "Customer#(0*)", 1)).as("n_zeros"),
+      regexp_extract(col("c_name"), "([a-z]+)", 1).as("no_match_empty"))
+      .orderBy(col("c_custkey"))
+
+  val regexExtractSql: String =
+    """SELECT c_custkey,
+      | regexp_extract(c_name, 'Customer#(0*)([0-9]+)', 2) AS cust_num,
+      | CAST(length(regexp_extract(c_name, 'Customer#(0*)', 1)) AS INTEGER) AS n_zeros,
+      | regexp_extract(c_name, '([a-z]+)', 1) AS no_match_empty
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -1013,7 +1031,8 @@ object Queries {
     "q49_date_arith" -> dateArithmetic,
     "q50_revenue_by_nation" -> revenueByNation,
     "q51_unicode_normalize" -> unicodeNormalize,
-    "q52_approx_sketches" -> approxSketches)
+    "q52_approx_sketches" -> approxSketches,
+    "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
     "q01_gold_flagship" -> goldFlagshipSql,
@@ -1061,5 +1080,6 @@ object Queries {
     "q48_string_agg" -> stringAggSql,
     "q49_date_arith" -> dateArithmeticSql,
     "q50_revenue_by_nation" -> revenueByNationSql,
-    "q51_unicode_normalize" -> unicodeNormalizeSql)
+    "q51_unicode_normalize" -> unicodeNormalizeSql,
+    "q53_regex_extract" -> regexExtractSql)
 }
