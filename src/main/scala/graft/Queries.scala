@@ -775,17 +775,22 @@ object Queries {
       | count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  /** Aggregate-to-array: sorted collect (deterministic by construction). */
+  /** Aggregate-to-array: sorted collect (deterministic by construction).
+    * The array op (collect_set → sort_array) stays under test, but the
+    * final column is canonicalized to a comma-joined string — the driver's
+    * comparator cannot hash array cells, so both sides emit the scalar.
+    */
   val collectArrays: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
         countDistinct(col("l_linestatus")).as("n_statuses"))
       .orderBy(col("l_returnflag"))
 
   val collectArraysSql: String =
     """SELECT l_returnflag,
-      | list_sort(list_distinct(list(l_linestatus))) AS statuses,
+      | array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
       | CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
@@ -812,13 +817,19 @@ object Queries {
       | FROM lineitem) x
       |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin
 
-  /** Higher-order array functions: transform / filter / aggregate / zip. */
+  /** Higher-order array functions: transform / filter / aggregate / zip.
+    * The numeric sort happens on the int array (sort_array over
+    * transform(length)); only the final emitted column is joined to a
+    * string, because the driver's comparator cannot hash array cells.
+    */
   val hofArrays: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("tok"))
       .select(
         col("doc_id"),
-        sort_array(transform(col("tok"), t => length(t))).as("len_sorted"),
+        array_join(
+          sort_array(transform(col("tok"), t => length(t))).cast("array<string>"),
+          ",").as("len_sorted"),
         aggregate(col("tok"), lit(0), (acc, t) => acc + length(t)).as("len_sum"),
         size(filter(col("tok"), t => length(t) > 4)).as("n_long"))
       .orderBy(col("doc_id"))
@@ -827,7 +838,7 @@ object Queries {
     """WITH toks AS (
       | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok FROM documents)
       |SELECT doc_id,
-      | list_sort(list_transform(tok, t -> CAST(length(t) AS INTEGER))) AS len_sorted,
+      | array_to_string(list_sort(list_transform(tok, t -> CAST(length(t) AS INTEGER))), ',') AS len_sorted,
       | CAST(coalesce(list_sum(list_transform(tok, t -> length(t))), 0) AS INTEGER) AS len_sum,
       | CAST(length(list_filter(tok, t -> length(t) > 4)) AS INTEGER) AS n_long
       |FROM toks ORDER BY doc_id""".stripMargin

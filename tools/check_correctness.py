@@ -15,6 +15,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class ArrayCellError(Exception):
+    """The driver's pandas comparator crashes on array-typed cells
+    (unhashable numpy.ndarray during sort_values). Reproduce that
+    intolerance here so the local gate can never pass what the driver
+    fails: any list-valued cell is a hard FAIL, not a normalizable value.
+    """
+
+
 def norm_cell(v):
     if v is None:
         return None
@@ -24,8 +32,10 @@ def norm_cell(v):
         return v
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        raise ArrayCellError(
+            "array-typed cell: the driver comparator cannot hash arrays; "
+            "emit a canonical string (array_join / array_to_string) instead")
     return v
 
 
