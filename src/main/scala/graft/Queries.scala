@@ -675,7 +675,7 @@ object Queries {
   val simsearchIvf: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val corpus = emb.filter(col("vec_id") >= 10)
-    val centroids = SimSearch.strideCentroids(corpus, stride = 50)
+    val centroids = SimSearch.sampledCentroids(corpus, k = 8)
     SimSearch.ivfTopK(corpus, emb.filter(col("vec_id") < 10), k = 5,
       centroids = centroids, nprobe = 2)
       .orderBy(col("query_id"), col("rank"))

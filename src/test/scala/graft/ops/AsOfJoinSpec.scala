@@ -45,7 +45,7 @@ class AsOfJoinSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val corpus = vecs.filter($"vec_id" >= 5)
     val queries = vecs.filter($"vec_id" < 2)
-    val cents = SimSearch.strideCentroids(corpus, stride = 10)
+    val cents = SimSearch.sampledCentroids(corpus, k = 4)
     val brute = SimSearch.bruteForceTopK(corpus, queries, k = 3)
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
       .collect().toSet
