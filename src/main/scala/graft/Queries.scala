@@ -456,12 +456,28 @@ object Queries {
       | SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token FROM documents) x
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
-  /** Language-ID heuristic (profile scoring; rows-only check). */
+  /** Language-ID heuristic (profile scoring). Oracle-checked: the scoring
+    * is plain regexp counting + argmax, so the DuckDB twin reproduces it
+    * with an order-preserving "zero-padded score ‖ lang" string max
+    * (DuckDB 1.0's greatest() has no struct overload). Ties resolve to the
+    * lexicographically largest lang on both sides.
+    */
   val langId: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         TextStats.languageId(col("text")).as("predicted_lang"))
       .orderBy(col("doc_id"))
+
+  val langIdSql: String = {
+    val packs = TextStats.defaultProfiles.toSeq.sortBy(_._1).map {
+      case (lang, grams) =>
+        s"lpad(CAST(length(regexp_extract_all(lower(text), '${grams.mkString("|")}')) " +
+          s"AS VARCHAR), 10, '0') || '$lang'"
+    }.mkString(", ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       | substr(greatest($packs), 11) AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** Content fingerprinting: md5 (oracle-checkable) + simhash (custom). */
   val fingerprints: Q = (s, dir) =>
@@ -959,16 +975,28 @@ object Queries {
   /** Approximate distinct counts (HLL++) next to exact — the sketch
     * every 100 TB cardinality estimate runs on. HLL merge is commutative
     * so the estimate is deterministic across partitionings, but its exact
-    * value is engine-specific → rows-only check.
+    * value is engine-specific, so the gate columns are the exact count
+    * plus an assertion that each sketch landed within 5% of truth (the
+    * configured rsd) — the oracle checks the exact count and expects the
+    * assertions to hold.
     */
   val approxSketches: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        (abs(approx_count_distinct(col("l_partkey"), 0.02) - countDistinct(col("l_partkey")))
+          .cast("double") / countDistinct(col("l_partkey")) <= 0.05).as("parts_est_ok"),
+        (abs(approx_count_distinct(col("l_orderkey"), 0.02) - countDistinct(col("l_orderkey")))
+          .cast("double") / countDistinct(col("l_orderkey")) <= 0.05).as("orders_est_ok"))
       .orderBy(col("l_returnflag"))
+
+  val approxSketchesSql: String =
+    """SELECT l_returnflag,
+      | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      | TRUE AS parts_est_ok,
+      | TRUE AS orders_est_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** regexp_extract with capture groups (completes the regex family:
     * replace, count, extract_all, matches, extract).
@@ -1070,6 +1098,7 @@ object Queries {
     "q24_simsearch_brute" -> simsearchBruteSql,
     "q26_text_stats" -> textStatsSql,
     "q27_token_histogram" -> tokenHistogramSql,
+    "q28_lang_id" -> langIdSql,
     "q29_fingerprints" -> fingerprintsSql,
     "q30_multimodal_meta" -> multimodalMetaSql,
     "q31_embedding_norms" -> embeddingNormsSql,
@@ -1092,5 +1121,6 @@ object Queries {
     "q49_date_arith" -> dateArithmeticSql,
     "q50_revenue_by_nation" -> revenueByNationSql,
     "q51_unicode_normalize" -> unicodeNormalizeSql,
+    "q52_approx_sketches" -> approxSketchesSql,
     "q53_regex_extract" -> regexExtractSql)
 }
