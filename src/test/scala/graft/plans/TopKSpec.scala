@@ -63,6 +63,33 @@ class TopKSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bounded partial map: overflow keys pass through, result stays exact") {
+    // force the partial stage to hold at most 4 key heaps per partition —
+    // most of the 200 keys overflow and stream through to the final stage
+    spark.conf.set("graft.topk.maxPartialKeys", "4")
+    try {
+      val wide = (1 to 4000).map(i => (i % 200L, (i * 31 % 199).toDouble, i.toLong))
+        .toDF("k", "score", "id").repartition(5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"score".desc, $"id")
+      val expected = wide.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).drop("rn").collect().map(_.toSeq).toSet
+      val got = TopK.perKey(wide, Seq("k"), "score", "id", k = 3)
+        .collect().map(_.toSeq).toSet
+      assert(got == expected)
+    } finally spark.conf.unset("graft.topk.maxPartialKeys")
+  }
+
+  test("final stage emits groups in sorted order (streaming scan, no heaps)") {
+    val got = TopK.perKey(df, Seq("k"), "score", "id", k = 3).collect()
+    // within each key, rows must arrive score-desc then id-asc — the
+    // contract that lets the final stage run with O(1) state
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val scores = rows.map(r => (-r.getDouble(1), r.getLong(2))).toSeq
+      assert(scores == scores.sorted)
+    }
+  }
+
   test("null scores lose to everything") {
     val withNulls = Seq(
       (1L, Some(2.0), 1L), (1L, None, 2L), (1L, Some(1.0), 3L))
