@@ -204,6 +204,29 @@ object Queries {
       | round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/count(*), 4) AS "Saldo Médio"
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exotic identifiers end-to-end: the reference's en-dash column
+    * `quantidade_de_clientes_–_scr` (U+2013 survives the reference's
+    * rename loop, E2:151) plus accented/space names. Verify writes this
+    * result to parquet and the driver re-reads + hash-compares it, so the
+    * full parquet round-trip of the SURVEY §1.2 identifier hazard is on
+    * the oracle gate.
+    */
+  val endashReport: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("Nação"))
+      .agg(
+        count(lit(1)).as("quantidade_de_clientes_–_scr"),
+        round(decSum(col("c_acctbal"), 2) / count(lit(1)), 4)
+          .as("Saldo Médio – Posição"))
+      .orderBy(col("Nação"))
+
+  val endashReportSql: String =
+    """SELECT c_nationkey AS "Nação",
+      | CAST(count(*) AS BIGINT) AS "quantidade_de_clientes_–_scr",
+      | round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/count(*), 4)
+      |   AS "Saldo Médio – Posição"
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1075,6 +1098,7 @@ object Queries {
     "q50_revenue_by_nation" -> revenueByNation,
     "q51_unicode_normalize" -> unicodeNormalize,
     "q52_approx_sketches" -> approxSketches,
+    "q54_endash_roundtrip" -> endashReport,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1126,5 +1150,6 @@ object Queries {
     "q50_revenue_by_nation" -> revenueByNationSql,
     "q51_unicode_normalize" -> unicodeNormalizeSql,
     "q52_approx_sketches" -> approxSketchesSql,
-    "q53_regex_extract" -> regexExtractSql)
+    "q53_regex_extract" -> regexExtractSql,
+    "q54_endash_roundtrip" -> endashReportSql)
 }

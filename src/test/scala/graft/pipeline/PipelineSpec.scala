@@ -77,6 +77,29 @@ class PipelineSpec extends SparkSpec {
     assert(report.contains("\"violations\":2"))
   }
 
+  test("en-dash + accented names survive normalize → parquet → re-read (E2:151)") {
+    import spark.implicits._
+    // raw report header exactly as the reference receives it: the en-dash
+    // is U+2013, NOT an ASCII hyphen, so the rename loop keeps it
+    val raw = Seq(("S1", 10L, 2.5), ("S2", 20L, 7.5))
+      .toDF("Segmento", "Quantidade de Clientes – SCR", "Índice Médio")
+    val normalized = graft.transform.Normalize.columns(raw)
+    assert(normalized.columns.toSeq ==
+      Seq("segmento", "quantidade_de_clientes_–_scr", "índice_médio"))
+
+    val dir = s"$root/silver/endash"
+    normalized.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSeq ==
+      Seq("segmento", "quantidade_de_clientes_–_scr", "índice_médio"))
+    // quoted unicode identifiers must select and aggregate
+    val total = back.agg(sum(col("`quantidade_de_clientes_–_scr`")))
+      .head().getLong(0)
+    assert(total == 30L)
+    assert(back.orderBy("segmento").select("índice_médio")
+      .as[Double].collect().toSeq == Seq(2.5, 7.5))
+  }
+
   test("silver claims + gold join/agg with unicode report names (E4 analog)") {
     silver(spark, SilverSpec(
       in = s"$root/bronze/claims",
