@@ -56,6 +56,20 @@ object Checkpoint {
     p.toString
   }
 
+  /** Q4: persist a suite DEFINITION (not its result) as JSON — the
+    * engine's `save_expectation_suite` (E1:156). Returns the file path.
+    */
+  def saveSuite(suite: Suite, outDir: String): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val p = Paths.get(outDir, s"${suite.name}.suite.json")
+    Files.writeString(p, Expectations.suiteToJson(suite))
+    p.toString
+  }
+
+  /** Load a suite definition persisted by [[saveSuite]]. */
+  def loadSuite(path: String): Suite =
+    Expectations.suiteFromJson(Files.readString(Paths.get(path)))
+
   /** Zero-extra-scan validation: attach the suite's violation counters to
     * the frame with `observe()`, so they are collected DURING whatever
     * action the caller runs next (typically the layer write) — even the

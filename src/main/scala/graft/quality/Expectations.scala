@@ -65,6 +65,57 @@ object Expectations {
 
   final case class Suite(name: String, expectations: Seq[Expectation])
 
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Q4: the suite DEFINITION as JSON — the reference round-trips suites
+    * through `save_expectation_suite` (E1:156); results alone are not the
+    * whole DQ surface. Inverse of [[suiteFromJson]].
+    */
+  def suiteToJson(s: Suite): String = {
+    val es = s.expectations.map {
+      case NotNull(c) =>
+        s"""{"kind":"not_null","column":"${esc(c)}"}"""
+      case Between(c, lo, hi) =>
+        s"""{"kind":"between","column":"${esc(c)}","lo":$lo,"hi":$hi}"""
+      case MatchesRegex(c, p) =>
+        s"""{"kind":"matches_regex","column":"${esc(c)}","pattern":"${esc(p)}"}"""
+      case InSet(c, vs) =>
+        s"""{"kind":"in_set","column":"${esc(c)}",""" +
+          s""""values":${vs.map(v => s""""${esc(v)}"""").mkString("[", ",", "]")}}"""
+      case ColumnExists(c) =>
+        s"""{"kind":"column_exists","column":"${esc(c)}"}"""
+    }.mkString("[", ",", "]")
+    s"""{"name":"${esc(s.name)}","expectations":$es}"""
+  }
+
+  /** Rebuild a [[Suite]] from [[suiteToJson]] output (json4s ships with
+    * Spark). Unknown kinds fail loudly — silent drops would weaken a gate.
+    */
+  def suiteFromJson(json: String): Suite = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    val name = (j \ "name").extract[String]
+    val es = (j \ "expectations").extract[List[JValue]].map { o =>
+      def s(field: String) = (o \ field).extract[String]
+      (o \ "kind").extract[String] match {
+        case "not_null"      => NotNull(s("column"))
+        case "between"       => Between(s("column"),
+          (o \ "lo").extract[Double], (o \ "hi").extract[Double])
+        case "matches_regex" => MatchesRegex(s("column"), s("pattern"))
+        case "in_set"        => InSet(s("column"),
+          (o \ "values").extract[List[String]])
+        case "column_exists" => ColumnExists(s("column"))
+        case k => throw new IllegalArgumentException(s"unknown expectation kind: $k")
+      }
+    }
+    Suite(name, es)
+  }
+
   final case class ExpectationResult(kind: String, column: String,
                                      violations: Long, passed: Boolean)
 

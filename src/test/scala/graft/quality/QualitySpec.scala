@@ -55,6 +55,23 @@ class QualitySpec extends SparkSpec {
     assert(!r.passed)
   }
 
+  test("suite DEFINITION round-trips through JSON (save_expectation_suite analog)") {
+    val suite = Suite("claims_silver", Seq(
+      NotNull("cnpj"),
+      Between("índice", 0.0, 10.0),
+      MatchesRegex("cnpj", "^[0-9]+$"),
+      InSet("segmento", Seq("S1", "S2", "s\"3")),
+      ColumnExists("quantidade_de_clientes_–_scr")))
+    val dir = java.nio.file.Files.createTempDirectory("dq_suite").toString
+    val path = Checkpoint.saveSuite(suite, dir)
+    assert(path.endsWith("claims_silver.suite.json"))
+    val loaded = Checkpoint.loadSuite(path)
+    assert(loaded == suite) // full structural equality incl. quotes/unicode
+    // a reloaded suite must be runnable
+    val r = Checkpoint.run(df, Suite("reloaded", loaded.expectations.take(1)))
+    assert(r.results.head.kind == "not_null")
+  }
+
   test("observe-based DQ: counters collected during the write, no extra scan") {
     val suite = Suite("obs", Seq(
       NotNull("name"), Between("score", 0, 10), ColumnExists("grade")))
