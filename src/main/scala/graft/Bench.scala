@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up (untimed): JVM/codegen/parquet-footer costs land here, not
+    // on whichever query happens to run first (VERDICT r1 bench hygiene)
+    try { SparkEntry.queries("q01_gold_flagship")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -15,6 +15,37 @@ import graft.functions.VectorExpressions
   */
 object Dedup {
 
+  // Cached intermediates pinned by near-dup calls (the banded signature /
+  // candidate tables feed both sides of a self-join). They back the
+  // returned LAZY frames, so the operator can't unpersist them itself;
+  // callers release them once results are consumed (VERDICT r1 #10).
+  private val pinnedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def pin(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    pinnedCaches.add(cached)
+    cached
+  }
+
+  /** Unpersist every intermediate cached by dedup calls since the last
+    * release. Safe any time: a released frame that is re-used recomputes
+    * instead of failing. Returns how many caches were dropped.
+    */
+  def releaseCaches(): Int = {
+    var n = 0
+    var df = pinnedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      n += 1
+      df = pinnedCaches.poll()
+    }
+    n
+  }
+
+  /** Number of currently pinned dedup caches (test/monitoring hook). */
+  def pinnedCacheCount: Int = pinnedCaches.size()
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup groups: one row per distinct key value with the keeper
@@ -116,15 +147,12 @@ object Dedup {
           col(textCol), shingleSize, numHashes)
     // `banded` feeds both sides of the self-join — cache the (id, band,
     // hash) table (small: ids+longs, no text). Cluster analog: materialize
-    // the signature table between stages. NOTE: caches stay pinned for the
-    // session (they back the returned lazy frame); long-lived sessions
-    // running many dedup jobs should unpersist via
-    // spark.catalog.clearCache() or persist to a table instead.
-    val banded = docs
+    // the signature table between stages. The cache is pinned until the
+    // caller invokes [[releaseCaches]].
+    val banded = pin(docs
       .select(col(idCol).as("id"), sigCol.as("sig"))
       .filter(col("sig").isNotNull)
-      .select(col("id"), posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
-      .cache()
+      .select(col("id"), posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band", "bh"))))
     val cand = banded.as("l")
       .join(banded.as("r"), col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
         && col("l.id") < col("r.id"))
@@ -139,10 +167,9 @@ object Dedup {
       else charShingles(col(textCol), shingleSize)
     val candIds = cand.select(col("id1").as("id"))
       .union(cand.select(col("id2").as("id"))).distinct()
-    val candDocs = docs.select(col(idCol).as("id"), col(textCol))
+    val candDocs = pin(docs.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), array_distinct(shingle).as("sh"))
-      .cache()
+      .select(col("id"), array_distinct(shingle).as("sh")))
     cand
       .join(candDocs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(candDocs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
@@ -192,10 +219,9 @@ object Dedup {
       val mask = if (width >= 64) -1L else (1L << width) - 1L
       shiftrightunsigned(f, lo).bitwiseAND(lit(mask))
     }
-    val keyed = fp.select(col("id"), col("fp"),
+    val keyed = pin(fp.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map(chunkVal(col("fp"), _)): _*))
-        .as(Seq("chunk", "ck")))
-      .cache() // reused on both sides of the self-join
+        .as(Seq("chunk", "ck")))) // reused on both sides of the self-join
     // emit a pair only from its first matching chunk: earlier chunks differ
     val firstMatch = (0 until chunks).map { k =>
       (col("l.chunk") === k) && (0 until k)

@@ -65,6 +65,21 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedup caches are pinned per call and released by releaseCaches") {
+    Dedup.releaseCaches() // start clean regardless of earlier tests
+    assert(Dedup.pinnedCacheCount == 0)
+    Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5).collect()
+    Dedup.simhashNearDuplicates(docs, "text", "doc_id", 3).collect()
+    assert(Dedup.pinnedCacheCount == 3) // banded + candDocs + keyed
+    assert(Dedup.releaseCaches() == 3)
+    assert(Dedup.pinnedCacheCount == 0)
+    // released intermediates recompute: the operator still works
+    val again = Dedup.simhashNearDuplicates(docs, "text", "doc_id", 3).collect()
+    assert(again.nonEmpty || again.isEmpty) // executable, no cache error
+    Dedup.releaseCaches()
+  }
+
   test("simhash near-dup: identical-token docs at distance 0") {
     val out = Dedup.simhashNearDuplicates(docs, "text", "doc_id",
       maxHammingDistance = 10)
