@@ -227,6 +227,133 @@ object Queries {
       |   AS "Saldo Médio – Posição"
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Window-function battery: lag/lead, row_number, running decimal sum,
+    * 3-row moving average — partition by customer, total order within the
+    * partition via (o_orderdate, o_orderkey unique). Running sums use the
+    * per-row decimal cast so cross-row accumulation is exact (doubles
+    * would differ in ulps between engines' window accumulators).
+    */
+  val windowBattery: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = w.rowsBetween(-2, Window.currentRow)
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      row_number().over(w).as("seq"),
+      sum(dec).over(wRun).cast("double").as("run_total"),
+      round(sum(dec).over(wMov).cast("double") / count(lit(1)).over(wMov), 4)
+        .as("mov_avg3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowBatterySql: String =
+    """SELECT o_custkey, o_orderkey,
+      | lag(o_totalprice) OVER w AS prev_price,
+      | lead(o_totalprice) OVER w AS next_price,
+      | CAST(row_number() OVER w AS INTEGER) AS seq,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+      | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** GROUPING SETS with grouping() markers (generalizes q32 rollup /
+    * q33 cube). Expressed via spark.sql — grouping sets have no
+    * DataFrame-API form.
+    */
+  val groupingSetsQ: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      | CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+      | CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Deterministic stratified sampling: the sample membership is a pure
+    * function of the row key (first md5 hex digit), so the sample is
+    * reproducible across engines, runs, and partitionings — unlike
+    * rand()/TABLESAMPLE. Per-stratum rates via the digit threshold
+    * (F 25%, O 12.5%, P 50%).
+    */
+  val hashSample: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("h", substring(md5(col("o_orderkey").cast("string")), 1, 1))
+      .filter(
+        (col("o_orderstatus") === "F" && col("h") < "4") ||
+          (col("o_orderstatus") === "O" && col("h") < "2") ||
+          (col("o_orderstatus") === "P" && col("h") < "8"))
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+
+  val hashSampleSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM (
+      | SELECT o_orderkey, o_orderstatus,
+      |  substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h
+      | FROM orders) x
+      |WHERE (o_orderstatus = 'F' AND h < '4')
+      |   OR (o_orderstatus = 'O' AND h < '2')
+      |   OR (o_orderstatus = 'P' AND h < '8')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Range join (equality + time-band): events of the same user within
+    * 5 minutes AFTER each event — burst detection. The equality key
+    * (user) bounds the join: the shuffle clusters by user and the band is
+    * a probe-side condition, so no cross product ever forms; for pure
+    * range joins (no equality key) the same shape works with a time-bin
+    * bucket key on both sides.
+    */
+  val rangeJoinBursts: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val l = e.select(col("event_id").as("eid"), col("user_id").as("uid"),
+      col("ts").as("t0"))
+    val r = e.select(col("event_id").as("eid2"), col("user_id").as("uid2"),
+      col("ts").as("t1"), col("value"))
+    l.join(r, col("uid") === col("uid2") && col("t1") > col("t0") &&
+        col("t1") <= col("t0") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("eid"))
+      .agg(count(lit(1)).as("n_followers"), decSum(col("value"), 2).as("follower_value"))
+      .orderBy(col("eid"))
+  }
+
+  val rangeJoinBurstsSql: String =
+    """SELECT l.event_id AS eid,
+      | CAST(count(*) AS BIGINT) AS n_followers,
+      | CAST(sum(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE) AS follower_value
+      |FROM events l JOIN events r
+      |  ON r.user_id = l.user_id AND r.ts > l.ts
+      | AND r.ts <= l.ts + INTERVAL 5 MINUTE
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1099,6 +1226,10 @@ object Queries {
     "q51_unicode_normalize" -> unicodeNormalize,
     "q52_approx_sketches" -> approxSketches,
     "q54_endash_roundtrip" -> endashReport,
+    "q55_window_battery" -> windowBattery,
+    "q56_grouping_sets" -> groupingSetsQ,
+    "q57_hash_sample" -> hashSample,
+    "q58_range_join" -> rangeJoinBursts,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1151,5 +1282,9 @@ object Queries {
     "q51_unicode_normalize" -> unicodeNormalizeSql,
     "q52_approx_sketches" -> approxSketchesSql,
     "q53_regex_extract" -> regexExtractSql,
-    "q54_endash_roundtrip" -> endashReportSql)
+    "q54_endash_roundtrip" -> endashReportSql,
+    "q55_window_battery" -> windowBatterySql,
+    "q56_grouping_sets" -> groupingSetsSql,
+    "q57_hash_sample" -> hashSampleSql,
+    "q58_range_join" -> rangeJoinBurstsSql)
 }
