@@ -354,6 +354,152 @@ object Queries {
       | AND r.ts <= l.ts + INTERVAL 5 MINUTE
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Unpivot/melt (inverse of q37 pivot): conditional-agg a wide frame,
+    * then melt metric columns into (status, metric, n) long form via
+    * Dataset.unpivot — one narrow map after the aggregate, no shuffle.
+    */
+  val unpivotMetrics: Q = (s, dir) => {
+    val wide = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+        count(when(col("o_orderpriority") === "2-HIGH", 1)).as("n_high"),
+        count(when(col("o_orderpriority") === "5-LOW", 1)).as("n_low"))
+    wide.unpivot(
+      ids = Array(col("o_orderstatus")),
+      values = Array(col("n_urgent"), col("n_high"), col("n_low")),
+      variableColumnName = "metric", valueColumnName = "n")
+      .orderBy(col("o_orderstatus"), col("metric"))
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH wide AS (
+      | SELECT o_orderstatus,
+      |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+      |  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+      |  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+      | FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, 'n_urgent' AS metric, n_urgent AS n FROM wide
+      |UNION ALL SELECT o_orderstatus, 'n_high', n_high FROM wide
+      |UNION ALL SELECT o_orderstatus, 'n_low', n_low FROM wide
+      |ORDER BY o_orderstatus, metric""".stripMargin
+
+  /** SCD1 merge/upsert: a base snapshot merged with an updates delta —
+    * updated rows override, unmatched updates insert, the rest carry over.
+    * Expressed as a full outer join + coalesce (the portable MERGE INTO):
+    * one shuffle on the merge key; at scale the base side would be
+    * bucketed on the key so only the delta shuffles.
+    */
+  val mergeUpsert: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val base = c.filter(col("c_custkey") < 1000)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val updates = c.filter(col("c_custkey") >= 500 && col("c_custkey") < 1200)
+      .select(col("c_custkey").as("u_custkey"),
+        lit("UPDATED").as("u_mktsegment"),
+        round(col("c_acctbal") + 100.0, 2).as("u_acctbal"))
+    base.join(updates, col("c_custkey") === col("u_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("u_custkey")).as("custkey"),
+        coalesce(col("u_mktsegment"), col("c_mktsegment")).as("mktsegment"),
+        coalesce(col("u_acctbal"), col("c_acctbal")).as("acctbal"))
+      .orderBy(col("custkey"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      | SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey < 1000),
+      |updates AS (
+      | SELECT c_custkey AS u_custkey, 'UPDATED' AS u_mktsegment,
+      |  round(c_acctbal + 100.0, 2) AS u_acctbal
+      | FROM customer WHERE c_custkey >= 500 AND c_custkey < 1200)
+      |SELECT coalesce(c_custkey, u_custkey) AS custkey,
+      | coalesce(u_mktsegment, c_mktsegment) AS mktsegment,
+      | coalesce(u_acctbal, c_acctbal) AS acctbal
+      |FROM base FULL OUTER JOIN updates ON c_custkey = u_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** PII anonymization pass: irreversible keyed hash (sha2-256) for join
+    * keys, regex masking for quasi-identifiers — pure narrow map, the
+    * shape of a compliance scrub over 100 TB.
+    */
+  val anonymize: Q = (s, dir) =>
+    t(s, dir, "customer").select(
+      sha2(concat(lit("pepper:"), col("c_name")), 256).as("name_hash"),
+      regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
+      col("c_mktsegment"))
+      .orderBy(col("name_hash"))
+
+  val anonymizeSql: String =
+    """SELECT sha256('pepper:' || c_name) AS name_hash,
+      | regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+      | c_mktsegment
+      |FROM customer ORDER BY name_hash""".stripMargin
+
+  /** Schema-based JSON parsing (from_json → struct field access), the
+    * typed counterpart of q17's get_json_object.
+    */
+  val fromJsonStruct: Q = (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k_typed"))
+      .orderBy(col("event_id"))
+
+  val fromJsonStructSql: String =
+    """SELECT event_id,
+      | TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Map-typed columns: build a map from entries, access by key, list the
+    * sorted key set (final columns scalar — the driver comparator cannot
+    * hash map/array cells).
+    */
+  val mapOps: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        map_from_arrays(
+          array(lit("status"), lit("priority")),
+          array(col("o_orderstatus"), col("o_orderpriority"))).as("m"))
+      .select(
+        col("o_orderkey"),
+        col("m").getItem("status").as("m_status"),
+        element_at(col("m"), "priority").as("m_priority"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("m_keys"),
+        size(col("m")).as("m_size"))
+      .orderBy(col("o_orderkey"))
+
+  val mapOpsSql: String =
+    """SELECT o_orderkey,
+      | o_orderstatus AS m_status,
+      | o_orderpriority AS m_priority,
+      | 'priority,status' AS m_keys,
+      | 2 AS m_size
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** min_by/max_by: value of one column at the extremum of another
+    * (DuckDB arg_min/arg_max). Extremum column (o_orderkey) is unique per
+    * group, so the pick is deterministic.
+    */
+  val minByMaxBy: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"),
+        max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+
+  val minByMaxBySql: String =
+    """SELECT o_orderstatus,
+      | arg_min(o_custkey, o_orderkey) AS first_cust,
+      | arg_max(o_custkey, o_orderkey) AS last_cust,
+      | min(o_orderkey) AS min_key,
+      | max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1230,6 +1376,12 @@ object Queries {
     "q56_grouping_sets" -> groupingSetsQ,
     "q57_hash_sample" -> hashSample,
     "q58_range_join" -> rangeJoinBursts,
+    "q59_unpivot" -> unpivotMetrics,
+    "q60_merge_upsert" -> mergeUpsert,
+    "q61_anonymize" -> anonymize,
+    "q62_from_json" -> fromJsonStruct,
+    "q63_map_ops" -> mapOps,
+    "q64_minby_maxby" -> minByMaxBy,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1286,5 +1438,11 @@ object Queries {
     "q55_window_battery" -> windowBatterySql,
     "q56_grouping_sets" -> groupingSetsSql,
     "q57_hash_sample" -> hashSampleSql,
-    "q58_range_join" -> rangeJoinBurstsSql)
+    "q58_range_join" -> rangeJoinBurstsSql,
+    "q59_unpivot" -> unpivotMetricsSql,
+    "q60_merge_upsert" -> mergeUpsertSql,
+    "q61_anonymize" -> anonymizeSql,
+    "q62_from_json" -> fromJsonStructSql,
+    "q63_map_ops" -> mapOpsSql,
+    "q64_minby_maxby" -> minByMaxBySql)
 }
