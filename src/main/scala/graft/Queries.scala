@@ -500,6 +500,119 @@ object Queries {
       | max(o_orderkey) AS max_key
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Dedup cluster formation: connected components (min-label fixpoint)
+    * over the q23 exact-Jaccard pair list — pairwise matches → clusters →
+    * keeper per cluster. Oracle: DuckDB recursive CTE transitive closure
+    * over the identical edge set.
+    */
+  val dedupClusters: Q = (s, dir) => {
+    val pairs = Dedup.blockedJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      Seq("lang", "n_chars"), threshold = 0.5)
+    Dedup.clusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, lang, n_chars,
+      |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS tok
+      | FROM documents WHERE length(regexp_extract_all(lower(text), '\S+')) > 0),
+      |edges AS (
+      | SELECT l.doc_id AS a, r.doc_id AS b
+      | FROM toks l JOIN toks r
+      |   ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+      | WHERE CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |       length(list_distinct(list_concat(l.tok, r.tok))) >= 0.5),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach AS (SELECT a, b FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
+      |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** Quantile-band quality filter: keep documents between p10 and p90 of
+    * the per-language length distribution (percent_rank — exact, unlike
+    * approx_percentile, so it is oracle-checkable; at 100 TB you'd swap in
+    * approx_percentile thresholds computed once per partition).
+    */
+  val qualityBand: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        percent_rank().over(w).as("pr"))
+      .filter(col("pr") >= 0.1 && col("pr") <= 0.9)
+      .select(col("doc_id"), col("lang"), col("n_chars"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityBandSql: String =
+    """SELECT doc_id, lang, n_chars, round(pr, 6) AS pr FROM (
+      | SELECT doc_id, lang, n_chars,
+      |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+      | FROM documents) x
+      |WHERE pr >= 0.1 AND pr <= 0.9 ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF top-3 terms per document. The idf is the SMOOTHED RATIO
+    * (n+1)/(df+1) without the log: rational double arithmetic is
+    * bit-identical across engines where log()'s libm ulps are not, and
+    * the per-document ranking it induces is the same.
+    */
+  val tfidfTerms: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * (col("n") + 1.0) / (col("df") + 1.0), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfTermsSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      | FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      | SELECT tf.doc_id, tf.token,
+      |  round(tf.tf * (n.n + 1.0) / (df.df + 1.0), 6) AS score
+      | FROM tf JOIN df USING (token) CROSS JOIN n),
+      |ranked AS (
+      | SELECT doc_id, token, score,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+      | FROM scored)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, token, score
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Per-group embedding centroids (the aggregation behind k-means /
+    * cluster summaries): posexplode to (group, dim, value), exact decimal
+    * mean per cell. Long output (512 rows), no array columns on the gate.
+    */
+  val embeddingCentroids: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select((col("vec_id") % 8).as("grp"),
+        posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("grp"), (col("pos") + 1).as("dim"))
+      .agg(round(sum(col("val").cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+        .as("centroid"))
+      .orderBy(col("grp"), col("dim"))
+
+  val embeddingCentroidsSql: String =
+    """SELECT vec_id % 8 AS grp, CAST(d.dim AS INTEGER) AS dim,
+      | round(CAST(sum(CAST(embedding[d.dim] AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+      |   AS centroid
+      |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1382,6 +1495,10 @@ object Queries {
     "q62_from_json" -> fromJsonStruct,
     "q63_map_ops" -> mapOps,
     "q64_minby_maxby" -> minByMaxBy,
+    "q65_dedup_clusters" -> dedupClusters,
+    "q66_quality_band" -> qualityBand,
+    "q67_tfidf" -> tfidfTerms,
+    "q68_embedding_centroids" -> embeddingCentroids,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1444,5 +1561,9 @@ object Queries {
     "q61_anonymize" -> anonymizeSql,
     "q62_from_json" -> fromJsonStructSql,
     "q63_map_ops" -> mapOpsSql,
-    "q64_minby_maxby" -> minByMaxBySql)
+    "q64_minby_maxby" -> minByMaxBySql,
+    "q65_dedup_clusters" -> dedupClustersSql,
+    "q66_quality_band" -> qualityBandSql,
+    "q67_tfidf" -> tfidfTermsSql,
+    "q68_embedding_centroids" -> embeddingCentroidsSql)
 }

@@ -237,6 +237,64 @@ object Dedup {
         bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
   }
 
+  // ------------------------------------------------- cluster formation
+
+  /** Connected components over a near-dup pair list: iterative min-label
+    * propagation to a fixpoint — the distributed union-find that turns
+    * pairwise matches into dedup clusters (pick min-id per cluster as the
+    * keeper). Each superstep is one join + one aggregate over the
+    * VERTICES OF THE PAIR LIST (already a tiny fraction of the corpus at
+    * sane thresholds), never the corpus. Near-dup components have tiny
+    * diameter, so a handful of supersteps converge; labels only decrease,
+    * so the exact decimal sum of labels is a monotone convergence
+    * certificate costing one cheap action per superstep.
+    *
+    * Output: (id, cluster_id) for every vertex, cluster_id = min id in
+    * the component. Deterministic (min fixpoint is unique).
+    */
+  def clusters(pairs: DataFrame, id1Col: String = "id1", id2Col: String = "id2",
+               maxSupersteps: Int = 20): DataFrame = {
+    // localCheckpoint (not cache): iterative self-joins double the LOGICAL
+    // plan every superstep, and Catalyst re-analyzes the whole tree even
+    // when execution hits the cache — exponential driver time. Truncating
+    // lineage keeps every superstep's plan constant-size; on a cluster the
+    // same role is played by checkpoint()/intermediate tables.
+    val sym = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
+      .union(pairs.select(col(id2Col).as("a"), col(id1Col).as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var step = 0
+    var done = false
+    while (!done && step < maxSupersteps) {
+      val neighborMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val viaNeighbors = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(labels("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer halving: also adopt the label OF the current label, so
+      // chains collapse in O(log diameter) supersteps instead of O(diameter)
+      val links = viaNeighbors.select(col("id").as("pid"), col("cluster_id").as("plabel"))
+      val next = viaNeighbors.join(links, viaNeighbors("cluster_id") === links("pid"), "left")
+        .select(viaNeighbors("id"),
+          least(viaNeighbors("cluster_id"),
+            coalesce(col("plabel"), viaNeighbors("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      labels = next
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      step += 1
+    }
+    labels
+  }
+
   // -------------------------------------------- n-gram Jaccard (blocked)
 
   /** Exact token-set Jaccard over pairs within a blocking key (e.g. same

@@ -65,6 +65,16 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("clusters: min-label fixpoint matches transitive connectivity") {
+    // components: {1,2,3,9} via chain 9-1, 1-2, 2-3; {5,7}; {8} absent (no pair)
+    val pairs = Seq((9L, 1L), (1L, 2L), (2L, 3L), (5L, 7L))
+      .toDF("id1", "id2")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+    Dedup.releaseCaches()
+  }
+
   test("dedup caches are pinned per call and released by releaseCaches") {
     Dedup.releaseCaches() // start clean regardless of earlier tests
     assert(Dedup.pinnedCacheCount == 0)
