@@ -50,6 +50,39 @@ object Writers {
     df
   }
 
+  /** Small-file compaction with optional clustering: re-lay a parquet
+    * directory into ~`targetBytesPerFile` files; with `sortCols`, rows are
+    * range-partitioned + sorted within files so parquet row-group min/max
+    * stats prune reads on those columns (poor-man's Z-order for one sort
+    * family). Writes to a temp sibling then swaps, so a failed compaction
+    * never destroys the input. Returns the new file count.
+    *
+    * The 100 TB story: streaming/micro-batch sinks accrete thousands of
+    * small files per partition; compaction is the maintenance op that
+    * keeps scan task counts and footer overhead sane.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytesPerFile: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(dir)
+    val fileSys = fs(src, conf)
+    val totalBytes = fileSys.listStatus(src)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    val df = spark.read.parquet(dir)
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    val tmp = new Path(src.getParent, src.getName + "._compact_tmp")
+    arranged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fileSys.delete(src, true)
+    fileSys.rename(tmp, src)
+    nFiles
+  }
+
   private def fs(path: Path, conf: Configuration): FileSystem = path.getFileSystem(conf)
 
   /** S7: list `*.parquet` part-files under a directory (E1:91-97). */

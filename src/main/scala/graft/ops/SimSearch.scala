@@ -130,4 +130,46 @@ object SimSearch {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
   }
+
+  /** Lloyd-refined codebook for [[ivfTopK]]: start from the bounded
+    * deterministic sample, then `iterations` rounds of assign (native
+    * [[VectorExpressions.NearestCells]], a narrow map over the corpus) +
+    * exact per-dimension decimal mean per cell. Only k×dim aggregate rows
+    * ever reach the driver, so memory is bounded by the codebook, never
+    * the corpus; per-dim means use decimal sums + driver-side division so
+    * the refined codebook is bit-identical across partitionings. Cells
+    * that lose all members keep their previous centroid.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iterations: Int = 3,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[(Long, Array[Float])] = {
+    var cents = sampledCentroids(corpus, k, idCol, vecCol)
+    for (_ <- 1 to iterations) {
+      val cellIds = cents.map(_._1)
+      val cvs = cents.map(_._2)
+      val stats = corpus
+        .select(
+          VectorExpressions.nearest_cells(col(vecCol), cellIds, cvs, 1)
+            .getItem(0).as("cell"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x").cast("decimal(28,12)")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = stats.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val v = old.clone()
+            rows.foreach { r =>
+              val dim = r.getInt(1)
+              val mean = r.getDecimal(2).doubleValue() / r.getLong(3)
+              v(dim) = mean.toFloat
+            }
+            (cid, v)
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
+  }
 }

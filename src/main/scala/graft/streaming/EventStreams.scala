@@ -95,4 +95,51 @@ object EventStreams {
     events
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Stream-stream inner join: right-side events of the same user within
+    * `joinWindow` AFTER a left event (click-to-impression attribution
+    * shape). Both sides are watermarked and the join condition bounds the
+    * time band, so Spark can expire state on both sides — unbounded-state
+    * stream joins never survive production.
+    */
+  def joinWithinWindow(left: DataFrame, right: DataFrame,
+                       keyCol: String = "user_id",
+                       joinWindow: String = "10 minutes",
+                       watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("k"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value"))
+    l.join(r, col("k") === col("rk") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("k").as(keyCol), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"), col("value"))
+  }
+
+  /** foreachBatch idempotent-append sink: per micro-batch, dedup the batch
+    * on `idCol` and append only ids absent from the target — the portable
+    * MERGE for streaming onto a plain parquet target (re-delivered batches
+    * after a failure do not duplicate rows). At scale the existing-ids
+    * read narrows to `idCol` only (column pruning) or a key index table.
+    */
+  def idempotentAppendSink(events: DataFrame, targetDir: String,
+                           checkpointDir: String, idCol: String = "event_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val deduped = batch.dropDuplicates(idCol)
+        val fresh =
+          try {
+            val existing = s.read.parquet(targetDir).select(col(idCol))
+            deduped.join(existing, Seq(idCol), "left_anti")
+          } catch { case _: org.apache.spark.sql.AnalysisException => deduped }
+        fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(targetDir)
+        ()
+      }
+      .start()
 }

@@ -35,6 +35,23 @@ class IoSpec extends SparkSpec {
     assert(Writers.listParquetFiles(s"$root/nope").isEmpty)
   }
 
+  test("compact: many small files -> few clustered files, data intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(20).write.parquet(dir)
+    def parts = Writers.listParquetFiles(dir)
+    assert(parts.size == 20)
+    val n = Writers.compact(spark, dir, targetBytesPerFile = 1L << 30,
+      sortCols = Seq("id"))
+    assert(n == 1 && parts.size == 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    // clustering sort applied: rows inside the single file are id-ordered
+    val ids = back.select("id").as[Long].collect().toSeq
+    assert(ids == ids.sorted)
+  }
+
   test("corrupt-record capture: bad rows quarantined, good rows intact") {
     import org.apache.spark.sql.types._
     val path = s"$root/landing/mixed.csv"

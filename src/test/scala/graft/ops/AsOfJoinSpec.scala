@@ -39,6 +39,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == 7L)
   }
 
+  test("kmeansCentroids converge toward separated blobs; codebook stays k") {
+    // two tight blobs around +1 and -1 in every dimension
+    val vecs = (0 until 60).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(4)(d =>
+        sign * (1.0f + ((i * 31 + d * 7) % 10) / 100.0f)))
+    }.toDF("vec_id", "embedding")
+    val cents = SimSearch.kmeansCentroids(vecs, k = 2, iterations = 4)
+    assert(cents.length == 2)
+    // each refined centroid sits inside one blob (all components same sign,
+    // magnitude ~1), and the two centroids take opposite signs
+    val signs = cents.map { case (_, v) =>
+      assert(v.forall(x => math.abs(x) > 0.9 && math.abs(x) < 1.2), v.toSeq)
+      assert(v.forall(_ > 0) || v.forall(_ < 0), v.toSeq)
+      v(0) > 0
+    }
+    assert(signs.toSet == Set(true, false))
+    // a k-means codebook drops into ivfTopK unchanged
+    val out = SimSearch.ivfTopK(vecs.filter($"vec_id" >= 5),
+      vecs.filter($"vec_id" < 2), k = 3, cents, nprobe = 2)
+    assert(out.count() > 0)
+  }
+
   test("ivfTopK agrees with brute force when probing enough cells") {
     val vecs = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 17 + d).toFloat)))

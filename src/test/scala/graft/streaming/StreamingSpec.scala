@@ -61,6 +61,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join within time band: bounded-state attribution") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStreams.joinWithinWindow(
+      clicks.toDF(), buys.toDF(), joinWindow = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("join_out").start()
+    try {
+      clicks.addData(Event(1, ts(0), 7, "click", 0.0),
+        Event(2, ts(0), 8, "click", 0.0))
+      buys.addData(
+        Event(10, ts(5), 7, "buy", 9.5),   // within 10 min of click 1
+        Event(11, ts(30), 7, "buy", 1.0),  // outside the band
+        Event(12, ts(4), 9, "buy", 2.0))   // no matching click user
+      q.processAllAvailable()
+      val rows = spark.table("join_out")
+        .select("user_id", "l_id", "r_id", "value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows == Set((7L, 1L, 10L, 9.5)))
+    } finally q.stop()
+  }
+
+  test("idempotentAppendSink: re-delivered ids never duplicate in the target") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("upsert").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.idempotentAppendSink(
+      input.toDF(), s"$root/target", s"$root/ckpt")
+    try {
+      input.addData(Event(1, ts(1), 1, "a", 1.0), Event(2, ts(2), 1, "b", 2.0))
+      q.processAllAvailable()
+      // second batch re-delivers id 2 and adds id 3
+      input.addData(Event(2, ts(2), 1, "b", 2.0), Event(3, ts(3), 2, "c", 3.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$root/target")
+        .select("event_id").as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
