@@ -596,22 +596,198 @@ object Queries {
   /** Per-group embedding centroids (the aggregation behind k-means /
     * cluster summaries): posexplode to (group, dim, value), exact decimal
     * mean per cell. Long output (512 rows), no array columns on the gate.
+    * Floats go float→STRING→decimal on BOTH sides: the shortest
+    * round-trip string of a float is engine-independent, whereas direct
+    * float→decimal rounding differs in ulps (Spark rounds the shortest
+    * double string, DuckDB the full binary expansion — caught at sf0.001).
     */
   val embeddingCentroids: Q = (s, dir) =>
     t(s, dir, "embeddings")
       .select((col("vec_id") % 8).as("grp"),
         posexplode(col("embedding")).as(Seq("pos", "val")))
       .groupBy(col("grp"), (col("pos") + 1).as("dim"))
-      .agg(round(sum(col("val").cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
-        .as("centroid"))
+      .agg(round(sum(col("val").cast("string").cast("decimal(18,9)")).cast("double")
+        / count(lit(1)), 6).as("centroid"))
       .orderBy(col("grp"), col("dim"))
 
   val embeddingCentroidsSql: String =
     """SELECT vec_id % 8 AS grp, CAST(d.dim AS INTEGER) AS dim,
-      | round(CAST(sum(CAST(embedding[d.dim] AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
-      |   AS centroid
+      | round(CAST(sum(CAST(CAST(embedding[d.dim] AS VARCHAR) AS DECIMAL(18,9)))
+      |   AS DOUBLE) / count(*), 6) AS centroid
       |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Date/time battery: month-end, ISO week, day-of-week, week truncation,
+    * month arithmetic. dayofweek differs between engines (Spark 1=Sunday,
+    * DuckDB 0=Sunday) and DuckDB's date_trunc returns DATE — the oracle
+    * normalizes both; month delta uses the explicit (year, month) formula
+    * on both sides rather than engine-specific month-diff functions.
+    */
+  val dateBattery: Q = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      last_day(col("o_orderdate")).as("month_end"),
+      weekofyear(col("o_orderdate")).as("iso_week"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      date_trunc("week", col("o_orderdate")).as("week_start"),
+      ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+        .as("months_since"))
+      .orderBy(col("o_orderkey"))
+
+  val dateBatterySql: String =
+    """SELECT o_orderkey,
+      | last_day(o_orderdate) AS month_end,
+      | CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+      | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      | CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+      | CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS INTEGER)
+      |   AS months_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Fuzzy string matching: levenshtein distance (record-linkage /
+    * canonical-name matching primitive) + translate remap.
+    */
+  val fuzzyStrings: Q = (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      levenshtein(col("c_name"), lit("Customer#000000000")).as("lev_to_proto"),
+      levenshtein(col("c_name"), translate(col("c_name"), "0123456789", "OI234S6789"))
+        .as("lev_digit_swap"),
+      translate(col("c_name"), "#", "-").as("name_dashed"))
+      .orderBy(col("c_custkey"))
+
+  val fuzzyStringsSql: String =
+    """SELECT c_custkey,
+      | CAST(levenshtein(c_name, 'Customer#000000000') AS INTEGER) AS lev_to_proto,
+      | CAST(levenshtein(c_name, translate(c_name, '0123456789', 'OI234S6789'))
+      |   AS INTEGER) AS lev_digit_swap,
+      | translate(c_name, '#', '-') AS name_dashed
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Conditional / boolean / bitwise aggregates: count_if, bool_and,
+    * bool_or, bit_and/or/xor — the profiling-and-flags aggregate family.
+    */
+  val condAggs: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_pos"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        bit_and(col("o_orderkey")).as("key_band"),
+        bit_or(col("o_orderkey")).as("key_bor"),
+        bit_xor(col("o_orderkey")).as("key_bxor"))
+      .orderBy(col("o_orderstatus"))
+
+  val condAggsSql: String =
+    """SELECT o_orderstatus,
+      | CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_big,
+      | bool_and(o_totalprice > 0) AS all_pos,
+      | bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+      | bit_and(o_orderkey) AS key_band,
+      | bit_or(o_orderkey) AS key_bor,
+      | bit_xor(o_orderkey) AS key_bxor
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Exact-arithmetic standard deviation: decimal sum and sum-of-squares
+    * (order-independent), variance assembled in double from exact inputs —
+    * byte-identical across engines and partitionings where stddev_samp's
+    * streaming double accumulation is not.
+    */
+  val exactStddev: Q = (s, dir) => {
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec * dec).cast("double").as("sq"),
+        sum(dec).cast("double").as("sm"))
+      .select(col("o_orderstatus"), col("n"),
+        round(sqrt((col("sq") - col("sm") * col("sm") / col("n")) / (col("n") - 1)), 4)
+          .as("sd"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val exactStddevSql: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | round(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+      |                       CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) *
+      |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |  / (count(*) - 1)), 4) AS sd
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Column profiler: one scan → long-form per-column stats (see
+    * quality/Profiler.scala). Doubles canonicalize through decimal before
+    * stringification — double→string formatting is engine-specific.
+    */
+  val profileColumns: Q = (s, dir) =>
+    graft.quality.Profiler.profile(
+      t(s, dir, "customer"),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      canon = Map("c_acctbal" -> ((c: Column) => c.cast("decimal(18,2)"))))
+      .orderBy(col("col_name"))
+
+  val profileColumnsSql: String = {
+    def one(c: String, canonExpr: String) =
+      s"""SELECT '$c' AS col_name,
+         | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         | CAST(min($canonExpr) AS VARCHAR) AS min_value,
+         | CAST(max($canonExpr) AS VARCHAR) AS max_value
+         |FROM customer""".stripMargin
+    Seq(
+      one("c_custkey", "c_custkey"),
+      one("c_name", "c_name"),
+      one("c_nationkey", "c_nationkey"),
+      one("c_acctbal", "CAST(c_acctbal AS DECIMAL(18,2))"),
+      one("c_mktsegment", "c_mktsegment"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** HOF predicate quantifiers: exists / forall / filter-count over token
+    * arrays (DuckDB expresses the quantifiers via list_filter lengths).
+    */
+  val existsForall: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("tok"))
+      .select(
+        col("doc_id"),
+        exists(col("tok"), t => length(t) > 10).as("has_long"),
+        forall(col("tok"), t => length(t) < 25).as("all_under25"),
+        size(filter(col("tok"), t => t.rlike("^[0-9]+$"))).as("n_numeric"))
+      .orderBy(col("doc_id"))
+
+  val existsForallSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok FROM documents)
+      |SELECT doc_id,
+      | length(list_filter(tok, t -> length(t) > 10)) > 0 AS has_long,
+      | length(list_filter(tok, t -> NOT length(t) < 25)) = 0 AS all_under25,
+      | CAST(length(list_filter(tok, t -> regexp_full_match(t, '[0-9]+'))) AS INTEGER)
+      |   AS n_numeric
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Calendar densification: explode each order into one row per month of
+    * its following quarter (sequence + explode — the gap-filling shape
+    * behind as-of reporting tables).
+    */
+  val dateDensify: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        explode(sequence(
+          date_trunc("month", col("o_orderdate")),
+          date_trunc("month", col("o_orderdate")) + expr("INTERVAL 2 MONTHS"),
+          expr("INTERVAL 1 MONTH"))).as("report_month"))
+      .orderBy(col("o_orderkey"), col("report_month"))
+
+  val dateDensifySql: String =
+    """SELECT o_orderkey, unnest(generate_series(
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) + INTERVAL 2 MONTH,
+      |  INTERVAL 1 MONTH)) AS report_month
+      |FROM orders WHERE o_orderkey < 500
+      |ORDER BY o_orderkey, report_month""".stripMargin
 
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
@@ -1499,6 +1675,13 @@ object Queries {
     "q66_quality_band" -> qualityBand,
     "q67_tfidf" -> tfidfTerms,
     "q68_embedding_centroids" -> embeddingCentroids,
+    "q69_date_battery" -> dateBattery,
+    "q70_fuzzy_strings" -> fuzzyStrings,
+    "q71_cond_aggs" -> condAggs,
+    "q72_exact_stddev" -> exactStddev,
+    "q73_profiler" -> profileColumns,
+    "q74_exists_forall" -> existsForall,
+    "q75_date_densify" -> dateDensify,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1565,5 +1748,12 @@ object Queries {
     "q65_dedup_clusters" -> dedupClustersSql,
     "q66_quality_band" -> qualityBandSql,
     "q67_tfidf" -> tfidfTermsSql,
-    "q68_embedding_centroids" -> embeddingCentroidsSql)
+    "q68_embedding_centroids" -> embeddingCentroidsSql,
+    "q69_date_battery" -> dateBatterySql,
+    "q70_fuzzy_strings" -> fuzzyStringsSql,
+    "q71_cond_aggs" -> condAggsSql,
+    "q72_exact_stddev" -> exactStddevSql,
+    "q73_profiler" -> profileColumnsSql,
+    "q74_exists_forall" -> existsForallSql,
+    "q75_date_densify" -> dateDensifySql)
 }
