@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(args.head, k)
       }))
+    e.injectFunction((FunctionIdentifier("srp_bucket"),
+      info("srp_bucket",
+        "srp_bucket(vec, planes[, seed]) - sign-random-projection LSH bucket id"),
+      (args: Seq[Expression]) => GraftExtensions.srpFromArgs(args)))
   }
 }
 
@@ -81,5 +85,19 @@ object GraftExtensions {
         }
         MinHashSignature(args.head, k)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("srp_bucket",
+      (args: Seq[Expression]) => srpFromArgs(args), "scala_udf")
   }
+
+  private def litInt(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toLong
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
+  private[graft] def srpFromArgs(args: Seq[Expression]): Expression =
+    VectorExpressions.SrpBucket(args.head,
+      litInt(args(1), "srp_bucket planes").toInt,
+      if (args.length > 2) litInt(args(2), "srp_bucket seed") else 0x5eedL)
 }

@@ -22,11 +22,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
         | dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
         | simhash64(array('a', 'b')) AS sh,
-        | size(minhash_signature(array('abc', 'def'), 16)) AS sig_len
+        | size(minhash_signature(array('abc', 'def'), 16)) AS sig_len,
+        | srp_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8) AS bkt
         |""".stripMargin).head()
     assert(row.getDouble(0) === 1.0)
     assert(row.getDouble(1) === 11.0)
     assert(row.getLong(2) != 0L)
     assert(row.getInt(3) == 16)
+    assert(row.getLong(4) >= 0L && row.getLong(4) < 256L)
+  }
+
+  test("srp_bucket from SQL equals the Column API bucket") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions
+    val df = spark.range(1).select(
+      expr("srp_bucket(array(CAST(0.3 AS FLOAT), CAST(0.9 AS FLOAT)), 12)").as("a"),
+      VectorExpressions.srp_bucket(
+        array(lit(0.3f), lit(0.9f)), 12).as("b"))
+    val r = df.head()
+    assert(r.getLong(0) == r.getLong(1))
   }
 }
