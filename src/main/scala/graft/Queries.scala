@@ -789,6 +789,30 @@ object Queries {
       |FROM orders WHERE o_orderkey < 500
       |ORDER BY o_orderkey, report_month""".stripMargin
 
+  /** PURE range join (no equality key) via time-bin bucketing
+    * (ops/RangeJoin.binned): every event paired with all events in the
+    * next 2 minutes corpus-wide. The bin key restores an equi-join —
+    * shuffle 2|L|+|R|, never a cross product — where q58 relies on a
+    * user-key broadcast. Oracle: the naive inequality join (DuckDB IEJoin
+    * handles it exactly).
+    */
+  val rangeJoinBinned: Q = (s, dir) => {
+    val e = Tables.events(s, dir).withColumn("one", lit(1))
+    graft.ops.RangeJoin.binned(e, e, "one", "ts", windowMs = 120000L,
+      leftCols = Seq("event_id"), rightCols = Seq("event_id", "value"))
+      .groupBy(col("l_event_id"))
+      .agg(count(lit(1)).as("n_next"), decSum(col("r_value"), 2).as("next_value"))
+      .orderBy(col("l_event_id"))
+  }
+
+  val rangeJoinBinnedSql: String =
+    """SELECT l.event_id AS l_event_id,
+      | CAST(count(*) AS BIGINT) AS n_next,
+      | CAST(sum(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE) AS next_value
+      |FROM events l JOIN events r
+      |  ON r.ts > l.ts AND epoch_ms(r.ts) <= epoch_ms(l.ts) + 120000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1682,6 +1706,7 @@ object Queries {
     "q73_profiler" -> profileColumns,
     "q74_exists_forall" -> existsForall,
     "q75_date_densify" -> dateDensify,
+    "q76_range_join_binned" -> rangeJoinBinned,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1755,5 +1780,6 @@ object Queries {
     "q72_exact_stddev" -> exactStddevSql,
     "q73_profiler" -> profileColumnsSql,
     "q74_exists_forall" -> existsForallSql,
-    "q75_date_densify" -> dateDensifySql)
+    "q75_date_densify" -> dateDensifySql,
+    "q76_range_join_binned" -> rangeJoinBinnedSql)
 }

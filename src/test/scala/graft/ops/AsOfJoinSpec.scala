@@ -39,6 +39,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == 7L)
   }
 
+  test("binned range join == naive range join (keyed and pure-range)") {
+    import org.apache.spark.sql.functions._
+    val n = 300
+    val ev = (1 to n).map(i =>
+      (i.toLong, i % 5L, new java.sql.Timestamp(1700000000000L + i * 97000L)))
+      .toDF("event_id", "user_id", "ts")
+    val naive = ev.as("l").join(ev.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+        col("r.ts") > col("l.ts") &&
+        unix_millis(col("r.ts")) <= unix_millis(col("l.ts")) + 600000L)
+      .select(col("l.event_id"), col("r.event_id"))
+      .as[(Long, Long)].collect().toSet
+    val binned = RangeJoin.binned(ev, ev, "user_id", "ts", 600000L,
+        leftCols = Seq("event_id"), rightCols = Seq("event_id"))
+      .select(col("l_event_id"), col("r_event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(binned == naive && naive.nonEmpty)
+
+    // pure range join: constant key — binning alone bounds the pairs
+    val evK = ev.withColumn("one", lit(1))
+    val pureNaive = ev.as("l").join(ev.as("r"),
+        col("r.ts") > col("l.ts") &&
+        unix_millis(col("r.ts")) <= unix_millis(col("l.ts")) + 200000L)
+      .select(col("l.event_id"), col("r.event_id"))
+      .as[(Long, Long)].collect().toSet
+    val pureBinned = RangeJoin.binned(evK, evK, "one", "ts", 200000L,
+        leftCols = Seq("event_id"), rightCols = Seq("event_id"))
+      .select(col("l_event_id"), col("r_event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pureBinned == pureNaive && pureNaive.nonEmpty)
+  }
+
   test("kmeansCentroids converge toward separated blobs; codebook stays k") {
     // two tight blobs around +1 and -1 in every dimension
     val vecs = (0 until 60).map { i =>
