@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("srp_bucket",
         "srp_bucket(vec, planes[, seed]) - sign-random-projection LSH bucket id"),
       (args: Seq[Expression]) => GraftExtensions.srpFromArgs(args)))
+    e.injectFunction((FunctionIdentifier("morton_interleave"),
+      info("morton_interleave",
+        "morton_interleave(a, b) - Z-order bit interleave of two 32-bit keys"),
+      (args: Seq[Expression]) =>
+        VectorExpressions.MortonInterleave(args(0), args(1))))
   }
 }
 
@@ -87,6 +92,9 @@ object GraftExtensions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("srp_bucket",
       (args: Seq[Expression]) => srpFromArgs(args), "scala_udf")
+    reg.createOrReplaceTempFunction("morton_interleave",
+      (args: Seq[Expression]) =>
+        VectorExpressions.MortonInterleave(args(0), args(1)), "scala_udf")
   }
 
   private def litInt(e: Expression, what: String): Long = e match {

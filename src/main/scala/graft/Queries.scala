@@ -813,6 +813,32 @@ object Queries {
       |  ON r.ts > l.ts AND epoch_ms(r.ts) <= epoch_ms(l.ts) + 120000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Approximate quantiles (Greenwald–Khanna sketch behind
+    * approx_percentile) next to exact: the gate carries the exact median
+    * plus assertions that the sketch landed within 1% — the q52 pattern
+    * applied to quantiles.
+    */
+  val approxQuantiles: Q = (s, dir) => {
+    val ap50 = expr("approx_percentile(o_totalprice, 0.5, 10000)")
+    val ap90 = expr("approx_percentile(o_totalprice, 0.9, 10000)")
+    val ex50 = expr("percentile(o_totalprice, 0.5)")
+    val ex90 = expr("percentile(o_totalprice, 0.9)")
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(ex50, 4).as("p50_exact"),
+        (abs(ap50 - ex50) / ex50 <= 0.01).as("p50_est_ok"),
+        (abs(ap90 - ex90) / ex90 <= 0.01).as("p90_est_ok"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT o_orderstatus,
+      | round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+      | TRUE AS p50_est_ok,
+      | TRUE AS p90_est_ok
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1707,6 +1733,7 @@ object Queries {
     "q74_exists_forall" -> existsForall,
     "q75_date_densify" -> dateDensify,
     "q76_range_join_binned" -> rangeJoinBinned,
+    "q77_approx_quantiles" -> approxQuantiles,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1781,5 +1808,6 @@ object Queries {
     "q73_profiler" -> profileColumnsSql,
     "q74_exists_forall" -> existsForallSql,
     "q75_date_densify" -> dateDensifySql,
-    "q76_range_join_binned" -> rangeJoinBinnedSql)
+    "q76_range_join_binned" -> rangeJoinBinnedSql,
+    "q77_approx_quantiles" -> approxQuantilesSql)
 }

@@ -341,6 +341,62 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Morton (Z-order) interleave of two 32-bit keys into one long: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1. Sorting data by
+    * this key before writing clusters rows so parquet row-group min/max
+    * stats stay tight on BOTH dimensions — range filters on either column
+    * prune row groups, where a lexicographic (a, b) sort only serves `a`.
+    * Use with `Writers.compact(sortCols = Seq(<morton col>))`.
+    */
+  case class MortonInterleave(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(MortonInterleave.interleave(
+        a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue()))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = MortonInterleave.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $cls.interleave((long) $a, (long) $b);")
+    }
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case IntegerType | LongType | ShortType | ByteType => true
+        case _                                             => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"morton_interleave needs integral inputs, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object MortonInterleave {
+    /** Spread the low 32 bits of x to even bit positions (textbook
+      * bit-twiddling dilation, public domain).
+      */
+    def spread(x0: Long): Long = {
+      var x = x0 & 0xffffffffL
+      x = (x | (x << 16)) & 0x0000ffff0000ffffL
+      x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+      x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      x = (x | (x << 1)) & 0x5555555555555555L
+      x
+    }
+
+    def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+  }
+
   // Column-facing wrappers.
   def cosine_similarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(GraftColumnBridge.expression(a),
@@ -357,4 +413,7 @@ object VectorExpressions {
                     centroids: Array[Array[Float]], n: Int): Column =
     GraftColumnBridge.column(NearestCells(GraftColumnBridge.expression(vec),
       cellIds, centroids, n))
+  def morton_interleave(a: Column, b: Column): Column =
+    GraftColumnBridge.column(MortonInterleave(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
 }

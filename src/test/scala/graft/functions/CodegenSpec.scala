@@ -24,7 +24,11 @@ class CodegenSpec extends SparkSpec {
     MinHashSignature.minhash_signature(split(col("text"), "\\s+"), 8).as("mh"),
     WordShingleMinHash.word_shingle_minhash(col("text"), 2, 8).as("wmh"),
     CharShingleMinHash.char_shingle_minhash(col("text"), 4, 8).as("cmh"),
-    NormalizeUnicode.normalize_unicode(col("text"), "NFC").as("nfc"))
+    NormalizeUnicode.normalize_unicode(col("text"), "NFC").as("nfc"),
+    VectorExpressions.srp_bucket(col("vec"), 6).as("srp"),
+    VectorExpressions.nearest_cells(col("vec"),
+      Array(1L, 2L), Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f)), 1).as("cell"),
+    VectorExpressions.morton_interleave(col("id"), col("id") + 1).as("mz"))
 
   test("all custom expressions survive forced codegen (no fallback)") {
     val conf = spark.conf
@@ -41,6 +45,25 @@ class CodegenSpec extends SparkSpec {
       conf.set("spark.sql.codegen.fallback", prevFallback)
       conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
+  }
+
+  test("morton_interleave: exact bit interleave + quadrant locality") {
+    import VectorExpressions.MortonInterleave.interleave
+    assert(interleave(0L, 0L) == 0L)
+    assert(interleave(1L, 0L) == 1L)           // a bit 0 → position 0
+    assert(interleave(0L, 1L) == 2L)           // b bit 0 → position 1
+    assert(interleave(3L, 3L) == 15L)          // 0b11,0b11 → 0b1111
+    assert(interleave(0xffffffffL, 0L) == 0x5555555555555555L)
+    // quadrant locality: points sharing high halves of (x, y) sort together
+    val inQuadrant = for (x <- 0 until 4; y <- 0 until 4)
+      yield interleave(x, y)
+    val elsewhere = interleave(4, 0)
+    assert(inQuadrant.max < elsewhere)
+    // column API over a frame
+    val got = Seq((5L, 9L)).toDF("a", "b")
+      .select(VectorExpressions.morton_interleave(col("a"), col("b")))
+      .as[Long].head()
+    assert(got == interleave(5L, 9L))
   }
 
   test("codegen and interpreted paths agree") {
