@@ -39,7 +39,10 @@ object RangeJoin {
       .withColumn("__bin", binOf(col("__rts")))
 
     l.join(r, col("__k") === col("__rk") && l("__bin") === r("__bin") &&
-        unix_millis(col("__rts")) > unix_millis(col("__lts")) &&
+        // strict lower bound at FULL timestamp precision (a millisecond-
+        // truncated compare silently includes/excludes same-ms pairs);
+        // the upper bound works on truncated millis, matching the bin key
+        col("__rts") > col("__lts") &&
         unix_millis(col("__rts")) <= unix_millis(col("__lts")) + windowMs)
       .select((leftCols.map(c => col(s"l_$c")) ++ rightCols.map(c => col(s"r_$c")) :+
         col("__lts").as("l_ts") :+ col("__rts").as("r_ts")): _*)
