@@ -35,6 +35,23 @@ class IoSpec extends SparkSpec {
     assert(Writers.listParquetFiles(s"$root/nope").isEmpty)
   }
 
+  test("dynamic partition overwrite touches only rewritten partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dyn").toString + "/t"
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq(("a", 1), ("b", 2)).toDF("p", "v")
+        .write.partitionBy("p").parquet(dir)
+      // incremental rewrite of partition b only — a must survive
+      Seq(("b", 99)).toDF("p", "v")
+        .write.mode("overwrite").partitionBy("p").parquet(dir)
+      val got = spark.read.parquet(dir).orderBy("p")
+        .as[(Int, String)].collect().toSeq
+      assert(got == Seq((1, "a"), (99, "b")))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("compact: many small files -> few clustered files, data intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
