@@ -839,6 +839,49 @@ object Queries {
       | TRUE AS p90_est_ok
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Bitwise scalar battery: shifts, and/or/xor, popcount — the bit-level
+    * functions behind fingerprints and bucket keys, as first-class gate
+    * coverage (they ran only inside q22's internals before).
+    */
+  val bitScalars: Q = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      shiftleft(col("o_orderkey"), 3).as("shl3"),
+      shiftrightunsigned(col("o_orderkey"), 2).as("shr2"),
+      col("o_orderkey").bitwiseAND(lit(0xffL)).as("low8"),
+      col("o_orderkey").bitwiseOR(lit(1L)).as("odd"),
+      col("o_orderkey").bitwiseXOR(col("o_custkey")).as("mix"),
+      bit_count(col("o_orderkey")).as("pop"))
+      .orderBy(col("o_orderkey"))
+
+  val bitScalarsSql: String =
+    """SELECT o_orderkey,
+      | o_orderkey << 3 AS shl3,
+      | o_orderkey >> 2 AS shr2,
+      | o_orderkey & 255 AS low8,
+      | o_orderkey | 1 AS odd,
+      | xor(o_orderkey, o_custkey) AS mix,
+      | CAST(bit_count(o_orderkey) AS INTEGER) AS pop
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Binary encoding battery: hex / base64 round-trips over string bytes. */
+  val encodeBattery: Q = (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      hex(col("c_name").cast("binary")).as("name_hex"),
+      base64(col("c_name").cast("binary")).as("name_b64"),
+      unbase64(base64(col("c_name").cast("binary"))).cast("string").as("b64_rt"),
+      lower(hex(unhex(hex(col("c_name").cast("binary"))))).as("hex_rt_lc"))
+      .orderBy(col("c_custkey"))
+
+  val encodeBatterySql: String =
+    """SELECT c_custkey,
+      | hex(CAST(c_name AS BLOB)) AS name_hex,
+      | to_base64(CAST(c_name AS BLOB)) AS name_b64,
+      | CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR) AS b64_rt,
+      | lower(hex(CAST(c_name AS BLOB))) AS hex_rt_lc
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1734,6 +1777,8 @@ object Queries {
     "q75_date_densify" -> dateDensify,
     "q76_range_join_binned" -> rangeJoinBinned,
     "q77_approx_quantiles" -> approxQuantiles,
+    "q78_bit_scalars" -> bitScalars,
+    "q79_encode_battery" -> encodeBattery,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1809,5 +1854,7 @@ object Queries {
     "q74_exists_forall" -> existsForallSql,
     "q75_date_densify" -> dateDensifySql,
     "q76_range_join_binned" -> rangeJoinBinnedSql,
-    "q77_approx_quantiles" -> approxQuantilesSql)
+    "q77_approx_quantiles" -> approxQuantilesSql,
+    "q78_bit_scalars" -> bitScalarsSql,
+    "q79_encode_battery" -> encodeBatterySql)
 }
