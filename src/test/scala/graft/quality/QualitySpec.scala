@@ -72,6 +72,24 @@ class QualitySpec extends SparkSpec {
     assert(r.results.head.kind == "not_null")
   }
 
+  test("Profiler: nulls, distincts, canonicalized min/max in one pass") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some(1L), Some("b"), Some(2.5)),
+      (Some(2L), None, Some(1.25)),
+      (Some(2L), Some("a"), None))
+      .toDF("id", "s", "x")
+    val out = graft.quality.Profiler.profile(df, Seq("id", "s", "x"),
+        canon = Map("x" -> ((c: org.apache.spark.sql.Column) => c.cast("decimal(10,2)"))))
+      .orderBy("col_name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      ("id", 0L, 2L, "1", "2"),
+      ("s", 1L, 2L, "a", "b"),
+      ("x", 1L, 2L, "1.25", "2.50")))
+  }
+
   test("observe-based DQ: counters collected during the write, no extra scan") {
     val suite = Suite("obs", Seq(
       NotNull("name"), Between("score", 0, 10), ColumnExists("grade")))

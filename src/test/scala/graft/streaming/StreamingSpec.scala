@@ -102,6 +102,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream -> parquet sink with AvailableNow (production shape)") {
+    val root = java.nio.file.Files.createTempDirectory("fstream").toString
+    val in = Seq(
+      Event(1, ts(1), 1, "a", 1.0), Event(2, ts(2), 1, "b", 2.0),
+      Event(3, ts(3), 2, "c", 3.0))
+    in.toDF().write.parquet(s"$root/in")
+    val stream = spark.readStream
+      .schema(in.toDF().schema)
+      .parquet(s"$root/in")
+    val q = stream
+      .writeStream
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000))
+      val got = spark.read.parquet(s"$root/out")
+        .select("event_id").as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
