@@ -259,9 +259,15 @@ object Dedup {
     // when execution hits the cache — exponential driver time. Truncating
     // lineage keeps every superstep's plan constant-size; on a cluster the
     // same role is played by checkpoint()/intermediate tables.
-    val sym = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
+    val symRaw = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
       .union(pairs.select(col(id2Col).as("a"), col(id1Col).as("b")))
       .localCheckpoint(true)
+    // adaptive parallelism: the vertex set is a tiny fraction of the
+    // corpus; size the superstep shuffles to it (~1M edges/partition),
+    // not to the session-wide shuffle.partitions
+    val nEdges = symRaw.count()
+    val parts = math.max(1L, nEdges / 1000000L).toInt
+    val sym = symRaw.repartition(parts, col("b")).localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
