@@ -882,6 +882,66 @@ object Queries {
       | lower(hex(CAST(c_name AS BLOB))) AS hex_rt_lc
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Struct-typed columns: build, field access, and whole-struct ordering
+    * comparison (lexicographic by field) — the nested-type family the gate
+    * didn't cover yet. Final columns are scalars for the comparator.
+    */
+  val structOps: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("s"), col("o_totalprice").as("p")).as("st"))
+      .select(
+        col("o_orderkey"),
+        col("st.s").as("st_status"),
+        col("st.p").as("st_price"),
+        (col("st") > struct(lit("O").as("s"), lit(100000.0).as("p"))).as("st_gt"))
+      .orderBy(col("o_orderkey"))
+
+  val structOpsSql: String =
+    """SELECT o_orderkey,
+      | struct_pack(s := o_orderstatus, p := o_totalprice).s AS st_status,
+      | struct_pack(s := o_orderstatus, p := o_totalprice).p AS st_price,
+      | struct_pack(s := o_orderstatus, p := o_totalprice) >
+      |   struct_pack(s := 'O', p := 100000.0) AS st_gt
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** explode_outer NULL semantics: rows with empty arrays survive as a
+    * NULL token row (plain explode silently drops them — a real data-loss
+    * footgun in token pipelines).
+    */
+  val explodeOuter: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(TextStats.tokens(lower(col("text"))), t => length(t) > 12).as("longs"))
+      .select(col("doc_id"), explode_outer(col("longs")).as("tok"))
+      .orderBy(col("doc_id"), col("tok"))
+
+  val explodeOuterSql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_extract_all(lower(text), '\S+'),
+      |              x -> length(x) > 12) AS longs
+      | FROM documents)
+      |SELECT t.doc_id, u.tok
+      |FROM t LEFT JOIN LATERAL (SELECT unnest(longs) AS tok) u ON TRUE
+      |ORDER BY doc_id, tok NULLS FIRST""".stripMargin
+
+  /** Regex capture-group backreferences in replacement (Spark `$n`,
+    * DuckDB/RE2 `\n` — same semantics, different spelling).
+    */
+  val regexBackrefs: Q = (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "^(Customer)#0*([0-9]+)$", "$2:$1").as("swapped"),
+      regexp_replace(col("c_name"), "(0+)([1-9])", "<$2>").as("zeros_tagged"))
+      .orderBy(col("c_custkey"))
+
+  val regexBackrefsSql: String =
+    """SELECT c_custkey,
+      | regexp_replace(c_name, '^(Customer)#0*([0-9]+)$', '\2:\1') AS swapped,
+      | regexp_replace(c_name, '(0+)([1-9])', '<\2>', 'g') AS zeros_tagged
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1779,6 +1839,9 @@ object Queries {
     "q77_approx_quantiles" -> approxQuantiles,
     "q78_bit_scalars" -> bitScalars,
     "q79_encode_battery" -> encodeBattery,
+    "q80_struct_ops" -> structOps,
+    "q81_explode_outer" -> explodeOuter,
+    "q82_regex_backrefs" -> regexBackrefs,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1856,5 +1919,8 @@ object Queries {
     "q76_range_join_binned" -> rangeJoinBinnedSql,
     "q77_approx_quantiles" -> approxQuantilesSql,
     "q78_bit_scalars" -> bitScalarsSql,
-    "q79_encode_battery" -> encodeBatterySql)
+    "q79_encode_battery" -> encodeBatterySql,
+    "q80_struct_ops" -> structOpsSql,
+    "q81_explode_outer" -> explodeOuterSql,
+    "q82_regex_backrefs" -> regexBackrefsSql)
 }
