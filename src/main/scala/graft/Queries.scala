@@ -942,6 +942,94 @@ object Queries {
       | regexp_replace(c_name, '(0+)([1-9])', '<\2>', 'g') AS zeros_tagged
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Window value functions: first/last/nth over the full partition frame
+    * plus ntile bucketing — deterministic because the partition order
+    * (o_orderdate, unique o_orderkey) is total.
+    */
+  val windowValues: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      first(col("o_totalprice")).over(wFull).as("fv"),
+      last(col("o_totalprice")).over(wFull).as("lv"),
+      nth_value(col("o_totalprice"), 2).over(wFull).as("nv2"),
+      ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val windowValuesSql: String =
+    """SELECT o_orderkey,
+      | first_value(o_totalprice) OVER wf AS fv,
+      | last_value(o_totalprice) OVER wf AS lv,
+      | nth_value(o_totalprice, 2) OVER wf AS nv2,
+      | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM orders
+      |WINDOW
+      | w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** UNION DISTINCT (q05 exercises union-all harmonization; this is the
+    * dedup-union set operation).
+    */
+  val unionDistinct: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .union(o.filter(col("o_totalprice") > 300000).select(col("o_custkey")))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  val unionDistinctSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |UNION
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Exact-arithmetic Pearson correlation (same decimal-sums technique as
+    * q72's stddev): corr()'s streaming double accumulation is not
+    * cross-engine reproducible; sums of fixed-scale decimals are.
+    */
+  val exactCorr: Q = (s, dir) => {
+    val qd = col("l_quantity").cast("decimal(18,2)")
+    val pd = col("l_extendedprice").cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qd * pd).cast("double").as("sxy"),
+        sum(qd).cast("double").as("sx"),
+        sum(pd).cast("double").as("sy"),
+        sum(qd * qd).cast("double").as("sxx"),
+        sum(pd * pd).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val exactCorrSql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | round((CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |                 CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) *
+      |     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |  / (sqrt(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |                   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |       - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) *
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |   * sqrt(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                   CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |       - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) *
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))),
+      |  6) AS corr_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1842,6 +1930,9 @@ object Queries {
     "q80_struct_ops" -> structOps,
     "q81_explode_outer" -> explodeOuter,
     "q82_regex_backrefs" -> regexBackrefs,
+    "q83_window_values" -> windowValues,
+    "q84_union_distinct" -> unionDistinct,
+    "q85_exact_corr" -> exactCorr,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -1922,5 +2013,8 @@ object Queries {
     "q79_encode_battery" -> encodeBatterySql,
     "q80_struct_ops" -> structOpsSql,
     "q81_explode_outer" -> explodeOuterSql,
-    "q82_regex_backrefs" -> regexBackrefsSql)
+    "q82_regex_backrefs" -> regexBackrefsSql,
+    "q83_window_values" -> windowValuesSql,
+    "q84_union_distinct" -> unionDistinctSql,
+    "q85_exact_corr" -> exactCorrSql)
 }
