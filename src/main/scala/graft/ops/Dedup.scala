@@ -310,10 +310,12 @@ object Dedup {
     */
   def blockedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                           blockCols: Seq[String], threshold: Double): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
+    // pinned: both sides of the self-join read the tokenized table, and
+    // tokenization (regex split + distinct per doc) is the expensive part
+    val base = pin(docs.select(col(idCol).as("id"),
       array_distinct(TextStats.tokens(lower(col(textCol)))).as("tok"),
       struct(blockCols.map(col): _*).as("blk"))
-      .filter(size(col("tok")) > 0)
+      .filter(size(col("tok")) > 0))
     base.as("l").join(base.as("r"),
         col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
       .withColumn("jaccard",
