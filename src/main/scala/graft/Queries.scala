@@ -1030,6 +1030,29 @@ object Queries {
       |  6) AS corr_qty_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** percentile_disc: exact discrete quantiles (an actual data value, not
+    * an interpolation — deterministic by construction, no rounding
+    * needed). Completes the quantile family next to q43 (continuous) and
+    * q77 (sketch).
+    */
+  val percentileDisc: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+        min(col("o_totalprice")).as("p0"),
+        max(col("o_totalprice")).as("p100"))
+      .orderBy(col("o_orderstatus"))
+
+  val percentileDiscSql: String =
+    """SELECT o_orderstatus,
+      | quantile_disc(o_totalprice, 0.5) AS p50_disc,
+      | quantile_disc(o_totalprice, 0.9) AS p90_disc,
+      | min(o_totalprice) AS p0,
+      | max(o_totalprice) AS p100
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** F: row filter with parquet pushdown (latent in reference, SURVEY §2.3). */
   val filterPushdown: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -1933,6 +1956,7 @@ object Queries {
     "q83_window_values" -> windowValues,
     "q84_union_distinct" -> unionDistinct,
     "q85_exact_corr" -> exactCorr,
+    "q86_percentile_disc" -> percentileDisc,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -2016,5 +2040,6 @@ object Queries {
     "q82_regex_backrefs" -> regexBackrefsSql,
     "q83_window_values" -> windowValuesSql,
     "q84_union_distinct" -> unionDistinctSql,
-    "q85_exact_corr" -> exactCorrSql)
+    "q85_exact_corr" -> exactCorrSql,
+    "q86_percentile_disc" -> percentileDiscSql)
 }
