@@ -1869,6 +1869,228 @@ object Queries {
       | regexp_extract(c_name, '([a-z]+)', 1) AS no_match_empty
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ===================================================== round-3 additions
+
+  /** Embedding near-dup, incremental-ingest shape: a small "new batch"
+    * (broadcast) scanned exactly once against the historical corpus, exact
+    * cosine ≥ threshold — recall 1.0 by construction, linear in the corpus
+    * at any scale (the corpus side never shuffles). The LSH-bucketed
+    * variant (`Dedup.embeddingNearDuplicates`) is the sub-linear path when
+    * approximate recall is acceptable; this is the gate-exact one.
+    */
+  val embeddingNearDup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimSearch.thresholdSearch(
+      emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+      threshold = 0.35)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |p AS (SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+      | list_dot_product(b.e,c.e) /
+      |  (sqrt(list_dot_product(b.e,b.e))*sqrt(list_dot_product(c.e,c.e))) AS score
+      | FROM v b JOIN v c ON b.vec_id < 50 AND c.vec_id >= 50)
+      |SELECT batch_id, corpus_id, round(score,6) AS score
+      |FROM p WHERE score >= 0.35 ORDER BY batch_id, corpus_id""".stripMargin
+
+  /** Token-budget sequence packing: documents streamed in stable order are
+    * assigned to fixed-budget shards by running token count — the shard
+    * layout step before tokenized training data is written. The window is
+    * per-lang (each lang packs independently), so at 100 TB the cumsum
+    * parallelizes across the partition key instead of one global sort;
+    * shard id is `start_offset div budget` — pure integer arithmetic,
+    * bit-identical on any engine.
+    */
+  val packShards: Q = (s, dir) => {
+    TextStats.packIntoShards(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+      groupCol = "lang", orderCol = "doc_id",
+      nTok = TextStats.tokenCount(col("text")), budget = 4000L)
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard_id"))
+  }
+
+  val packShardsSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CAST(length(regexp_extract_all(text,'\S+')) AS BIGINT) AS n_tok FROM documents),
+      |c AS (SELECT doc_id, lang, n_tok,
+      |  CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+      |SELECT lang, (cum - n_tok) // 4000 AS shard_id, count(*) AS n_docs,
+      | CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+      | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY lang, (cum - n_tok) // 4000 ORDER BY lang, shard_id""".stripMargin
+
+  /** Canonical-document selection per dedup cluster: clusters from the
+    * exact-Jaccard pair list (q65 machinery), keeper = longest text with
+    * min-id tiebreak — the "which copy do we train on" step after near-dup
+    * clustering. Window runs over cluster members only (a tiny fraction of
+    * the corpus), never the corpus.
+    */
+  val clusterCanonical: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.blockedJaccardPairs(docs, "text", "doc_id",
+      Seq("lang", "n_chars"), threshold = 0.5)
+    val cl = Dedup.clusters(pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    cl.join(docs.select(col("doc_id"), col("n_chars")), cl("id") === col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("cluster_chars"),
+        min(when(col("rn") === 1, col("doc_id"))).as("canonical_id"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val clusterCanonicalSql: String =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, lang, n_chars,
+      |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS tok
+      | FROM documents WHERE length(regexp_extract_all(lower(text), '\S+')) > 0),
+      |edges AS (
+      | SELECT l.doc_id AS a, r.doc_id AS b FROM toks l JOIN toks r
+      |   ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+      | WHERE CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |       length(list_distinct(list_concat(l.tok, r.tok))) >= 0.5),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach AS (SELECT a, b FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+      |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      |m AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
+      |      row_number() OVER (PARTITION BY c.cluster_id
+      |        ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      |      FROM cl c JOIN documents d ON c.doc_id = d.doc_id)
+      |SELECT cluster_id, count(*) AS n_members,
+      | CAST(sum(n_chars) AS BIGINT) AS cluster_chars,
+      | min(CASE WHEN rn=1 THEN doc_id END) AS canonical_id
+      |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** Boilerplate stripping: HTML tags, URLs, e-mail addresses removed and
+    * whitespace collapsed — the standard web-scrape cleanup pass. A fixed
+    * boilerplate suffix is appended first so the strip rules demonstrably
+    * fire on every row; `clean_fp` (md5) proves byte-exact output against
+    * the oracle, not just lengths. One narrow codegen'd map, no shuffle.
+    */
+  val stripBoilerplate: Q = (s, dir) => {
+    val raw = concat(col("text"), lit(
+      " <div class=\"footer\">Contact <b>us</b></div> https://example.com/path?q=1 admin@example.com"))
+    val clean = trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      raw,
+      "<[^>]*>", " "),
+      "https?://\\S+", " "),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " "),
+      "\\s+", " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(raw).as("raw_len"),
+        length(clean).as("clean_len"),
+        (length(raw) - length(clean)).as("removed"),
+        md5(clean.cast("binary")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stripBoilerplateSql: String =
+    """WITH a AS (SELECT doc_id,
+      |  text || ' <div class="footer">Contact <b>us</b></div> https://example.com/path?q=1 admin@example.com' AS raw
+      | FROM documents),
+      |c AS (SELECT doc_id, raw,
+      |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+      |   '<[^>]*>', ' ', 'g'), 'https?://\S+', ' ', 'g'),
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+      |   '\s+', ' ', 'g')) AS clean FROM a)
+      |SELECT doc_id, CAST(length(raw) AS INTEGER) AS raw_len,
+      | CAST(length(clean) AS INTEGER) AS clean_len,
+      | CAST(length(raw)-length(clean) AS INTEGER) AS removed, md5(clean) AS clean_fp
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination check: character 13-gram overlap between each
+    * corpus document and a "benchmark" set (doc_id < 20 stands in for the
+    * eval suite). The benchmark's distinct grams are tiny and broadcast;
+    * the corpus side is one generate+explode pass and a broadcast semi-ish
+    * join — no corpus shuffle on the probe side at any scale.
+    */
+  val contamination: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").filter(length(col("text")) >= 13)
+    val grams = docs.select(col("doc_id"),
+      explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
+    val bench = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
+    val corpus = grams.filter(col("doc_id") >= 20)
+    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    corpus.join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    """WITH pos AS (SELECT doc_id, text,
+      |  unnest(generate_series(1, length(text)-12)) AS i
+      | FROM documents WHERE length(text) >= 13),
+      |g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 13) AS gram FROM pos),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+      |c AS (SELECT * FROM g WHERE doc_id >= 20),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM c GROUP BY doc_id),
+      |sh AS (SELECT c.doc_id, count(*) AS n_shared FROM c JOIN b USING (gram) GROUP BY c.doc_id)
+      |SELECT doc_id, n_grams, n_shared,
+      | round(CAST(n_shared AS DOUBLE)/n_grams, 6) AS contamination
+      |FROM sh JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Deterministic fixed-size per-group sample ("seeded reservoir"): top-20
+    * per lang by md5 of the id — reproducible across engines, runs, and
+    * partitionings, unlike rand()-based sampling. The hash order is data-
+    * independent, so re-running on a grown corpus changes membership only
+    * by consistent-hash eviction: an id leaves only when a newcomer hashes
+    * lower — never a wholesale reshuffle (the stability that matters for
+    * eval holdouts).
+    */
+  val reservoirSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"), col("hk"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val reservoirSampleSql: String =
+    """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn FROM h)
+      |SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, hk
+      |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
+  /** Corpus-wide top-10 word bigrams: element_at over a generated index
+    * sequence (the n-gram generalization of the q27 unigram histogram).
+    * Map-side partial agg absorbs the explode fan-out before the shuffle.
+    */
+  val bigramTopK: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(TextStats.tokens(lower(col("text"))).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tok)-1), i -> concat(element_at(tok, i), ' ', element_at(tok, i+1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(10)
+
+  val bigramTopKSql: String =
+    """WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS tok FROM documents
+      | WHERE length(regexp_extract_all(lower(text), '\S+')) >= 2),
+      |b AS (SELECT unnest(list_transform(generate_series(1, len(tok)-1),
+      |  i -> tok[i] || ' ' || tok[i+1])) AS bigram FROM toks)
+      |SELECT bigram, count(*) AS n FROM b
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -1957,6 +2179,13 @@ object Queries {
     "q84_union_distinct" -> unionDistinct,
     "q85_exact_corr" -> exactCorr,
     "q86_percentile_disc" -> percentileDisc,
+    "q87_embedding_neardup" -> embeddingNearDup,
+    "q88_pack_shards" -> packShards,
+    "q89_cluster_canonical" -> clusterCanonical,
+    "q90_strip_boilerplate" -> stripBoilerplate,
+    "q91_contamination" -> contamination,
+    "q92_reservoir_sample" -> reservoirSample,
+    "q93_bigram_topk" -> bigramTopK,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -2041,5 +2270,12 @@ object Queries {
     "q83_window_values" -> windowValuesSql,
     "q84_union_distinct" -> unionDistinctSql,
     "q85_exact_corr" -> exactCorrSql,
-    "q86_percentile_disc" -> percentileDiscSql)
+    "q86_percentile_disc" -> percentileDiscSql,
+    "q87_embedding_neardup" -> embeddingNearDupSql,
+    "q88_pack_shards" -> packShardsSql,
+    "q89_cluster_canonical" -> clusterCanonicalSql,
+    "q90_strip_boilerplate" -> stripBoilerplateSql,
+    "q91_contamination" -> contaminationSql,
+    "q92_reservoir_sample" -> reservoirSampleSql,
+    "q93_bigram_topk" -> bigramTopKSql)
 }

@@ -71,6 +71,24 @@ object SimSearch {
         round(col("score"), 6).as("score"))
   }
 
+  /** Exact threshold (radius) search: every corpus vector within
+    * `threshold` cosine of any batch vector. The batch is broadcast (small
+    * by construction — it's the incremental-ingest shape: today's new
+    * vectors vs the historical corpus), the corpus streams through one
+    * narrow map and never shuffles, so cost is linear in the corpus at any
+    * scale. This is the exact complement to [[lshTopK]]: when recall must
+    * be 1.0 (e.g. a dedup gate), scan; when approximate is fine, bucket.
+    */
+  def thresholdSearch(corpus: DataFrame, batch: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = batch.select(col(idCol).as("batch_id"), col(vecCol).as("bv"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    c.crossJoin(broadcast(b))
+      .withColumn("score", VectorExpressions.cosine_similarity(col("bv"), col("cv")))
+      .filter(col("score") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Per-vector L2 norm in double (deterministic in-order fold). */
   def l2Norm(vec: Column): Column =
     sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))

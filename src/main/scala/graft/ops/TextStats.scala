@@ -68,6 +68,35 @@ object TextStats {
       qualityScore(t).as("quality"))
   }
 
+  /** Distinct character n-grams of a document as an array — the unit of
+    * benchmark-contamination checks and shingle-based dedup. Guarded for
+    * short texts (Spark's `sequence(a, b)` DESCENDS when a > b, so the
+    * unguarded expression would emit garbage windows for len < n).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token-budget shard assignment: within each `groupCol` stream, docs in
+    * `orderCol` order go to shard `start_offset div budget` of their
+    * running token count — the layout step before tokenized training
+    * shards are written. Adds `n_tok`, `cum`, `shard_id`. Pure integer
+    * arithmetic (bit-identical on any engine); the window parallelizes
+    * across groups, so no global sort at scale.
+    */
+  def packIntoShards(docs: DataFrame, groupCol: String, orderCol: String,
+                     nTok: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.withColumn("n_tok", nTok.cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("shard_id", expr(s"(cum - n_tok) div ${budget}L"))
+  }
+
   /** Normalized-content fingerprint: lowercase, collapse whitespace, trim,
     * md5. Identical content up to spacing/case hashes identically — the
     * exact-dedup key for `Dedup.byFingerprint`.
