@@ -85,6 +85,7 @@ object SimSearch {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     c.crossJoin(broadcast(b))
       .withColumn("score", VectorExpressions.cosine_similarity(col("bv"), col("cv")))
+      .filter(col("score").isNotNull)  // zero-norm / length-mismatch vectors
       .filter(col("score") >= threshold)
       .select(col("batch_id"), col("corpus_id"), round(col("score"), 6).as("score"))
   }

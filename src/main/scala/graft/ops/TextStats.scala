@@ -89,6 +89,7 @@ object TextStats {
     */
   def packIntoShards(docs: DataFrame, groupCol: String, orderCol: String,
                      nTok: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -10,7 +10,9 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Custom whole-operator: top-k rows per key, ordered by `order` DESC with
   * `tiebreak` ASC — the "k best per group" primitive behind similarity
-  * search, per-entity sampling, and leaderboards.
+  * search, per-entity sampling, and leaderboards. With `asc = true` the
+  * order column sorts ASCENDING instead ("bottom-k per key" — e.g. the
+  * k smallest hash values per group, the consistent-sample primitive).
   *
   * Why a custom operator instead of `row_number().over(window) <= k`: the
   * window form shuffles EVERY row to its key's partition and sorts the
@@ -34,7 +36,7 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   */
 case class TopKPerKey(
     keys: Seq[Expression], order: Expression, tiebreak: Expression,
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan, asc: Boolean = false) extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -44,9 +46,9 @@ case class TopKPerKey(
 
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, tb, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, tb, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, tb, k, partial = false, partial) :: Nil
+    case TopKPerKey(keys, order, tb, k, child, asc) =>
+      val partial = TopKPerKeyExec(keys, order, tb, k, partial = true, planLater(child), asc)
+      TopKPerKeyExec(keys, order, tb, k, partial = false, partial, asc) :: Nil
     case _ => Nil
   }
 }
@@ -59,7 +61,8 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression], order: Expression, tiebreak: Expression,
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, child: SparkPlan,
+    asc: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -68,12 +71,13 @@ case class TopKPerKeyExec(
     else Seq(ClusteredDistribution(keys))
 
   // Sort matches the heap's "beats" relation: better rows first within a
-  // key group (order DESC with NULLs last, then tiebreak ASC, NULLs last).
+  // key group (order DESC — or ASC when `asc` — with NULLs last, then
+  // tiebreak ASC, NULLs last).
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     if (partial) Seq(Nil)
     else Seq(
       keys.map(SortOrder(_, Ascending)) ++ Seq(
-        SortOrder(order, Descending, NullsLast, Seq.empty),
+        SortOrder(order, if (asc) Ascending else Descending, NullsLast, Seq.empty),
         SortOrder(tiebreak, Ascending, NullsLast, Seq.empty)))
 
   override def outputOrdering: Seq[SortOrder] =
@@ -120,14 +124,16 @@ case class TopKPerKeyExec(
       val ordOrdering = TypeUtils.getInterpretedOrdering(orderExpr.dataType)
       val tbOrdering = TypeUtils.getInterpretedOrdering(tbExpr.dataType)
 
-      // "a beats b" = higher order value, or equal order and lower tiebreak
-      // (NULL order values lose to everything, matching desc NULLS LAST).
+      // "a beats b" = better order value (higher, or lower when `asc`), or
+      // equal order and lower tiebreak (NULL order values lose to
+      // everything, matching the NULLS LAST sort in both directions).
+      val ascending = asc
       def beats(oa: Any, ta: Any, ob: Any, tb: Any): Boolean = {
         if (oa == null) false
         else if (ob == null) true
         else {
           val c = ordOrdering.compare(oa, ob)
-          if (c != 0) c > 0
+          if (c != 0) { if (ascending) c < 0 else c > 0 }
           else if (ta == null) false
           else if (tb == null) true
           else tbOrdering.compare(ta, tb) < 0

@@ -90,6 +90,41 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("asc mode matches the ascending window formulation exactly") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"score".asc, $"id")
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    val got = TopK.perKey(df, Seq("k"), "score", "id", k = 3, asc = true)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("asc mode: null scores still lose to everything") {
+    val withNulls = Seq(
+      (1L, Some(2.0), 1L), (1L, None, 2L), (1L, Some(1.0), 3L))
+      .toDF("k", "score", "id")
+    val got = TopK.perKey(withNulls, Seq("k"), "score", "id", k = 2, asc = true)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("asc mode over a string order column (q92 shape: min-k by md5)") {
+    val dir = java.nio.file.Files.createTempDirectory("topk_asc_str").toString
+    (1 to 2000).map(i => (i % 5L, i.toLong)).toDF("k", "id")
+      .withColumn("hk", md5($"id".cast("string")))
+      .write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"hk", $"id")
+    val expected = pq.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4).drop("rn").collect().map(_.toSeq).toSet
+    val got = TopK.perKey(pq, Seq("k"), "hk", "id", k = 4, asc = true)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
   test("null scores lose to everything") {
     val withNulls = Seq(
       (1L, Some(2.0), 1L), (1L, None, 2L), (1L, Some(1.0), 3L))
