@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.io.{Readers, Writers}
 import graft.ops.{Dedup, Multimodal, SimSearch, TextStats, TopK}
 import graft.transform.{Canonicalize, Enrich, Harmonize, Normalize}
 import graft.quality.Expectations._
@@ -1446,16 +1447,50 @@ object Queries {
       | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Multimodal plumbing: opaque binary payload + cheap metadata pass. */
-  val multimodalMeta: Q = (s, dir) =>
-    Multimodal.payloadMetadata(
-      Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "doc"))
-      .select(col("media_id"), col("kind"), col("byte_len"))
-      .orderBy(col("media_id"))
+  /** Multimodal: opaque binary payloads + REAL header decode (r3 VERDICT
+    * #6 — decode was a stub). Fixture payloads are synthesized per row
+    * from the documents table: doc_id%3==0 → a valid PNG signature+IHDR
+    * with width/height derived from row fields; ==1 → a JPEG with
+    * SOI+APP0/JFIF+SOF0 (so the decoder must WALK segments, not just look
+    * at a fixed offset); ==2 → raw text bytes (must decode to NULLs). The
+    * oracle recomputes the planted dimensions arithmetically, so the gate
+    * proves the byte-level encode→parse round-trip: signature checks,
+    * big-endian field extraction, segment-length skipping.
+    */
+  val multimodalMeta: Q = (s, dir) => {
+    def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def be16(c: Column) = unhex(lpad(hex(c), 4, "0"))
+    val w = (lit(1) + col("n_chars") % 64).cast("int")
+    val h = (lit(1) + col("doc_id") % 64).cast("int")
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D49484452")), // IHDR length 13 + type
+      be32(w), be32(h),
+      unhex(lit("0802000000")),       // bit depth 8, truecolor, std flags
+      unhex(lit("DEADBEEF")))         // CRC (not validated by the parser)
+    val jpeg = concat(
+      unhex(lit("FFD8")),                                   // SOI
+      unhex(lit("FFE000104A46494600010100000100010000")),   // APP0/JFIF len 16
+      unhex(lit("FFC0001108")), be16(h), be16(w),           // SOF0 len 17, prec 8
+      unhex(lit("03012200021101031101")))                   // 3 components
+    val payload = when(col("doc_id") % 3 === 0, png)
+      .when(col("doc_id") % 3 === 1, jpeg)
+      .otherwise(col("text").cast("binary"))
+    val kind = when(col("doc_id") % 3 === 0, "png")
+      .when(col("doc_id") % 3 === 1, "jpeg").otherwise("doc")
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), kind.as("kind"), payload.as("payload"))
+    Multimodal.imageMeta(media).orderBy(col("media_id"))
+  }
 
   val multimodalMetaSql: String =
-    """SELECT doc_id AS media_id, 'doc' AS kind,
-      | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len
+    """SELECT doc_id AS media_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'doc' END AS kind,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39
+      |   ELSE octet_length(CAST(text AS BLOB)) END AS INTEGER) AS byte_len,
+      | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' END AS fmt,
+      | CAST(CASE WHEN doc_id % 3 <= 1 THEN 1 + n_chars % 64 END AS INTEGER) AS width,
+      | CAST(CASE WHEN doc_id % 3 <= 1 THEN 1 + doc_id % 64 END AS INTEGER) AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Embedding norms per label (deterministic double pipeline). */
@@ -2271,6 +2306,182 @@ object Queries {
       |FROM fps f LEFT JOIN cl ON f.doc_id = cl.doc_id
       |ORDER BY f.doc_id""".stripMargin
 
+  /** DQ checkpoint surface on the gate (r3 VERDICT #9: Q2/Q4–Q6 were
+    * spec-only): a suite DEFINITION goes through the JSON round-trip
+    * (Q4, `suiteToJson`→`suiteFromJson` — the reference's
+    * save_expectation_suite, E1:156), runs as ONE aggregate pass over the
+    * batch (Q5, `Checkpoint.run`), including a schema-level column_exists
+    * (Q2) and a row-level expectation on a column the schema LACKS (Q6
+    * introspection: reports failed with violations = all rows instead of
+    * throwing), and the per-expectation validation result is emitted as
+    * rows the oracle recomputes with plain SQL. The driver-side result
+    * materialization is bounded by the suite size, never the data.
+    */
+  val dqCheckpoint: Q = (s, dir) => {
+    val suite = Suite("customer_dq", Seq(
+      NotNull("c_custkey"),
+      NotNull("c_mktsegment"),
+      Between("c_acctbal", -1000, 9000),
+      MatchesRegex("c_name", "^Customer#\\d+$"),
+      InSet("c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+      ColumnExists("c_acctbal"),
+      ColumnExists("c_loyalty_tier"),   // absent: schema-level fail
+      NotNull("c_loyalty_tier")))       // absent row-level: fail, all rows
+    val roundTripped =
+      graft.quality.Expectations.suiteFromJson(
+        graft.quality.Expectations.suiteToJson(suite))
+    val result = graft.quality.Checkpoint.run(t(s, dir, "customer"), roundTripped)
+    import s.implicits._
+    result.results
+      .map(r => (r.kind, r.column, r.violations, r.passed, result.rows))
+      .toDF("expectation", "column", "violations", "passed", "n_rows")
+      .orderBy(col("expectation"), col("column"))
+  }
+
+  val dqCheckpointSql: String =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer)
+      |SELECT * FROM (
+      | SELECT 'not_null' AS expectation, 'c_custkey' AS "column",
+      |  CAST((SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS BIGINT) AS violations,
+      |  (SELECT count(*) FROM customer WHERE c_custkey IS NULL) = 0 AS passed,
+      |  n.n_rows FROM n
+      | UNION ALL
+      | SELECT 'not_null', 'c_mktsegment',
+      |  CAST((SELECT count(*) FROM customer WHERE c_mktsegment IS NULL) AS BIGINT),
+      |  (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL) = 0, n.n_rows FROM n
+      | UNION ALL
+      | SELECT 'between', 'c_acctbal',
+      |  CAST((SELECT count(*) FROM customer
+      |        WHERE c_acctbal IS NOT NULL AND (c_acctbal < -1000 OR c_acctbal > 9000)) AS BIGINT),
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_acctbal IS NOT NULL AND (c_acctbal < -1000 OR c_acctbal > 9000)) = 0,
+      |  n.n_rows FROM n
+      | UNION ALL
+      | SELECT 'matches_regex', 'c_name',
+      |  CAST((SELECT count(*) FROM customer
+      |        WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#\d+$')) AS BIGINT),
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#\d+$')) = 0,
+      |  n.n_rows FROM n
+      | UNION ALL
+      | SELECT 'in_set', 'c_mktsegment',
+      |  CAST((SELECT count(*) FROM customer WHERE c_mktsegment IS NOT NULL
+      |        AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) AS BIGINT),
+      |  (SELECT count(*) FROM customer WHERE c_mktsegment IS NOT NULL
+      |   AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) = 0,
+      |  n.n_rows FROM n
+      | UNION ALL
+      | SELECT 'column_exists', 'c_acctbal', CAST(0 AS BIGINT), TRUE, n.n_rows FROM n
+      | UNION ALL
+      | SELECT 'column_exists', 'c_loyalty_tier', CAST(1 AS BIGINT), FALSE, n.n_rows FROM n
+      | UNION ALL
+      | SELECT 'not_null', 'c_loyalty_tier', n.n_rows, FALSE, n.n_rows FROM n
+      |) x ORDER BY expectation, "column" """.stripMargin
+
+  // ==================================================== CSV ingest gates
+
+  /** CSV round-trip gates (r3 VERDICT #5: S1–S3 — the reference's PRIMARY
+    * ingest path, G0a:26,38,52-53 — never touched the driver gate because
+    * testdata is parquet-only). Each query materializes a table as
+    * delimited text into a fresh temp dir, re-ingests it through the
+    * reference-semantics readers (header, all-string schema, explicit
+    * downstream casts), and emits the typed rows; the oracle reads the
+    * PARQUET original, so any delimiter/quote/header/cast defect breaks
+    * the hash. The write is driver-side eager and dim-table-sized; the
+    * read-back is the operator under test.
+    */
+  private def csvRoundtrip(s: SparkSession, dir: String, table: String,
+                           delim: String, casts: Seq[(String, String)]): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_csv_$table").toString
+    Writers.csv(t(s, dir, table), tmp, delimiter = delim)
+    casts.foldLeft(Readers.csv(s, tmp, delimiter = delim)) {
+      case (df, (c, ty)) => df.withColumn(c, col(c).cast(ty))
+    }
+  }
+
+  /** S1: tab-separated (banks shape, G0a:26). */
+  val csvTsvRoundtrip: Q = (s, dir) =>
+    csvRoundtrip(s, dir, "nation", "\t",
+      Seq("n_nationkey" -> "int", "n_regionkey" -> "int"))
+      .orderBy(col("n_nationkey"))
+
+  val csvTsvRoundtripSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** S3: pipe-separated (employees shape, G0a:52-53) incl. a double column
+    * — Spark serializes doubles with the shortest round-trippable
+    * representation, so string→double re-casts are bit-exact.
+    */
+  val csvPipeRoundtrip: Q = (s, dir) =>
+    csvRoundtrip(s, dir, "supplier", "|",
+      Seq("s_suppkey" -> "bigint", "s_nationkey" -> "int",
+        "s_acctbal" -> "double"))
+      .orderBy(col("s_suppkey"))
+
+  val csvPipeRoundtripSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** S2: comma-separated with embedded delimiters and quote characters in
+    * a field — exercises the writer's quoting and the reader's unquoting
+    * (the oracle never sees the CSV, only the final values, so the gate
+    * checks the round-trip is lossless, not any particular escape style).
+    */
+  val csvQuotedRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_quoted").toString
+    val spiked = t(s, dir, "supplier").select(
+      col("s_suppkey"),
+      concat(col("s_name"), lit(", area "), col("s_nationkey"),
+        lit(" -- \"hq\"")).as("s_label"),
+      col("s_acctbal"))
+    Writers.csv(spiked, tmp, delimiter = ",")
+    Readers.csv(s, tmp, delimiter = ",")
+      .select(col("s_suppkey").cast("bigint").as("s_suppkey"),
+        col("s_label"), col("s_acctbal").cast("double").as("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val csvQuotedRoundtripSql: String =
+    """SELECT s_suppkey,
+      | s_name || ', area ' || CAST(s_nationkey AS VARCHAR) || ' -- "hq"' AS s_label,
+      | s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** Malformed-row quarantine (Readers.csvWithCorruptCapture): one row of
+    * the CSV copy is doctored so an int column fails to parse; PERMISSIVE
+    * mode must keep every good row AND capture exactly the bad one in the
+    * corrupt-record column instead of dropping or dying — the lineage
+    * contract for dirty input at 100 TB. The oracle derives the expected
+    * counts arithmetically from the parquet original.
+    */
+  val csvQuarantine: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_quar").toString
+    val doctored = t(s, dir, "nation").select(
+      col("n_nationkey").cast("string"),
+      col("n_name"),
+      when(col("n_nationkey") === 0, lit("not_an_int"))
+        .otherwise(col("n_regionkey").cast("string")).as("n_regionkey"))
+    Writers.csv(doctored, tmp, delimiter = ",")
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    Readers.csvWithCorruptCapture(s, tmp, schema, delimiter = ",")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_regionkey"))).as("good_region_sum"))
+  }
+
+  val csvQuarantineSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      | CAST(1 AS BIGINT) AS n_corrupt,
+      | CAST(sum(CASE WHEN n_nationkey <> 0 THEN n_regionkey END) AS BIGINT) AS good_region_sum
+      |FROM nation""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -2367,6 +2578,11 @@ object Queries {
     "q92_reservoir_sample" -> reservoirSample,
     "q93_bigram_topk" -> bigramTopK,
     "q94_simhash_clusters" -> simhashClusterQ,
+    "q99_dq_checkpoint" -> dqCheckpoint,
+    "q95_csv_tsv" -> csvTsvRoundtrip,
+    "q96_csv_pipe" -> csvPipeRoundtrip,
+    "q97_csv_quoted" -> csvQuotedRoundtrip,
+    "q98_csv_quarantine" -> csvQuarantine,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -2463,5 +2679,10 @@ object Queries {
     "q91_contamination" -> contaminationSql,
     "q92_reservoir_sample" -> reservoirSampleSql,
     "q93_bigram_topk" -> bigramTopKSql,
-    "q94_simhash_clusters" -> simhashClusterSql)
+    "q94_simhash_clusters" -> simhashClusterSql,
+    "q95_csv_tsv" -> csvTsvRoundtripSql,
+    "q96_csv_pipe" -> csvPipeRoundtripSql,
+    "q97_csv_quoted" -> csvQuotedRoundtripSql,
+    "q98_csv_quarantine" -> csvQuarantineSql,
+    "q99_dq_checkpoint" -> dqCheckpointSql)
 }

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Image-header decoding over opaque `binary` media columns — the real
+  * (non-stub) slice of the multimodal surface: container formats are public
+  * byte layouts, so width/height extraction needs no codec library.
+  *
+  *  - PNG: 8-byte signature then the IHDR chunk — width/height are the two
+  *    big-endian 32-bit words at offsets 16/20 (ISO/IEC 15948 §5.2, §11.2.2).
+  *  - JPEG: SOI marker then a segment walk to the first SOFn frame header
+  *    (C0–CF minus DHT C4 / JPG C8 / DAC CC), whose payload carries
+  *    precision(1) height(2) width(2) big-endian (ITU-T T.81 §B.2.2).
+  *    APP0/JFIF and any other leading segments are skipped via their
+  *    declared lengths; CRC/entropy data is never touched.
+  *
+  * The parse runs once per row in generated code and packs
+  * (format, width, height) into one long — `fmt(2 bits) | w(31) | h(31)` —
+  * decoded back into typed columns with plain bit-op expressions, so the
+  * whole decode stays inside whole-stage codegen with a single custom
+  * expression. Unrecognized/truncated payloads → NULL.
+  */
+object ImageExpressions {
+
+  /** 1 = PNG, 2 = JPEG (bits 63–62 of the packed long). */
+  private final val FmtPng = 1L
+  private final val FmtJpeg = 2L
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def pack(fmt: Long, w: Long, h: Long): Long =
+    (fmt << 62) | (w << 31) | h
+
+  /** Parse PNG/JPEG header dims; 0 when unrecognized (maps to NULL). */
+  def dimsPacked(b: Array[Byte]): Long = {
+    if (b.length >= 24 &&
+        b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) 0L
+      else pack(FmtPng, w, h)
+    } else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
+      var i = 2
+      while (i + 1 < b.length) {
+        if (b(i) != 0xff.toByte) return 0L
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xff) { i += 1 } // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else if (marker == 0xd9 || marker == 0xda) return 0L // EOI/SOS: no SOF seen
+        else if (marker >= 0xc0 && marker <= 0xcf &&
+                 marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 8 >= b.length) return 0L
+          val h = be16(b, i + 5)
+          val w = be16(b, i + 7)
+          return if (w <= 0 || h <= 0) 0L else pack(FmtJpeg, w, h)
+        } else {
+          if (i + 3 >= b.length) return 0L
+          val segLen = be16(b, i + 2)
+          if (segLen < 2) return 0L
+          i += 2 + segLen
+        }
+      }
+      0L
+    } else 0L
+  }
+
+  /** binary → packed (fmt|w|h) long; NULL when not a parseable PNG/JPEG. */
+  case class ImageDimsPacked(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val packed = ImageExpressions.dimsPacked(input.asInstanceOf[Array[Byte]])
+      if (packed == 0L) null else java.lang.Long.valueOf(packed)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val packed = ctx.freshName("packed")
+        val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |long $packed = $cls.dimsPacked($bin);
+           |if ($packed == 0L) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  private def packedCol(bin: Column): Column =
+    GraftColumnBridge.column(ImageDimsPacked(GraftColumnBridge.expression(bin)))
+
+  /** "png" / "jpeg" / NULL. */
+  def image_format(bin: Column): Column = {
+    val fmt = shiftrightunsigned(packedCol(bin), 62)
+    when(fmt === FmtPng, "png").when(fmt === FmtJpeg, "jpeg")
+  }
+
+  def image_width(bin: Column): Column =
+    shiftrightunsigned(packedCol(bin), 31).bitwiseAND(0x7fffffffL).cast("int")
+
+  def image_height(bin: Column): Column =
+    packedCol(bin).bitwiseAND(0x7fffffffL).cast("int")
+}

@@ -76,4 +76,18 @@ object Multimodal {
     media.select(col("media_id"), col("kind"),
       octet_length(col("payload")).as("byte_len"),
       xxhash64(col("payload")).as("content_hash"))
+
+  /** REAL container decode (not the stub): PNG IHDR / JPEG SOF width and
+    * height parsed from the binary payload in generated code
+    * ([[graft.functions.ImageExpressions]]) — one narrow codegen'd pass,
+    * payload bytes never shuffled; unrecognized payloads yield NULLs.
+    */
+  def imageMeta(media: DataFrame): DataFrame = {
+    import graft.functions.ImageExpressions._
+    media.select(col("media_id"), col("kind"),
+      octet_length(col("payload")).as("byte_len"),
+      image_format(col("payload")).as("fmt"),
+      image_width(col("payload")).as("width"),
+      image_height(col("payload")).as("height"))
+  }
 }
