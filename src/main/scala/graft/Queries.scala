@@ -1222,18 +1222,30 @@ object Queries {
   val dedupMinhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val sh = array_distinct(Dedup.wordShingles(col("text"), 3))
+    // localCheckpoint: the shingle table feeds the gram explode (twice,
+    // via the self-join) and both count joins — materialize the expensive
+    // shingle build once (cluster analog: write the shingle table)
     val base = docs.select(col("doc_id").as("id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
-    val exact = base.as("l").join(broadcast(base.as("r")),
-        col("l.id") < col("r.id") &&
-        size(col("l.sh")) * 10 >= size(col("r.sh")) * 7 &&
-        size(col("r.sh")) * 10 >= size(col("l.sh")) * 7)
+      .select(col("id"), col("sh"), size(col("sh")).as("n"))
+      .localCheckpoint(true)
+    // sparse similarity join, not an all-pairs product: explode shingles,
+    // join on the shingle, count shared shingles per pair, and recover
+    // |A∪B| = |A|+|B|-|A∩B| — pairs sharing zero shingles (the vast
+    // majority) never materialize, so the exact side is collision-driven
+    // rather than O(n²) on both engines
+    val g = base.select(col("id"), explode(col("sh")).as("gram"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = inter
+      .join(base.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(base.select(col("id").as("id2"), col("n").as("n2")), "id2")
       .withColumn("jaccard",
-        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          size(array_union(col("l.sh"), col("r.sh"))).cast("double"))
+        col("cnt").cast("double") / (col("n1") + col("n2") - col("cnt")))
       .filter(col("jaccard") >= 0.7)
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     val lsh = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7,
       useWordShingles = true)
@@ -1250,12 +1262,14 @@ object Queries {
       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tok)-2),
       |         i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) AS sh
       |       FROM toks WHERE len(tok) >= 3),
-      |p AS (SELECT l.doc_id AS id1, r.doc_id AS id2,
-      |        CAST(length(list_intersect(l.sh, r.sh)) AS DOUBLE) /
-      |        length(list_distinct(list_concat(l.sh, r.sh))) AS j
-      |      FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-      |        AND length(l.sh)*10 >= length(r.sh)*7
-      |        AND length(r.sh)*10 >= length(l.sh)*7)
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cnt
+      |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |p AS (SELECT i.id1, i.id2,
+      |        CAST(i.cnt AS DOUBLE) / (len(l.sh) + len(r.sh) - i.cnt) AS j
+      |      FROM inter i JOIN sh l ON i.id1 = l.doc_id
+      |                   JOIN sh r ON i.id2 = r.doc_id)
       |SELECT id1, id2, round(j, 6) AS jaccard, TRUE AS found_by_lsh
       |FROM p WHERE j >= 0.7 ORDER BY id1, id2""".stripMargin
 
@@ -1273,7 +1287,8 @@ object Queries {
   val dedupSimhash: Q = (s, dir) => {
     val withFp = t(s, dir, "documents")
       .select(col("doc_id").as("id"),
-        TextStats.md5Simhash(TextStats.tokens(lower(col("text")))).as("fp"))
+        graft.functions.VectorExpressions.md5_simhash60(
+          TextStats.tokens(lower(col("text")))).as("fp"))
       .filter(col("fp").isNotNull)
     Dedup.simhashPairs(withFp, maxHammingDistance = 8)
       .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
@@ -2286,7 +2301,8 @@ object Queries {
   val simhashClusterQ: Q = (s, dir) => {
     val withFp = t(s, dir, "documents")
       .select(col("doc_id").as("id"),
-        TextStats.md5Simhash(TextStats.tokens(lower(col("text")))).as("fp"))
+        graft.functions.VectorExpressions.md5_simhash60(
+          TextStats.tokens(lower(col("text")))).as("fp"))
       .filter(col("fp").isNotNull)
     Dedup.simhashClusters(withFp, maxHammingDistance = 8)
       .select(col("id").as("doc_id"), col("cluster_id"))

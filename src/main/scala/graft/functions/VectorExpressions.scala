@@ -201,6 +201,80 @@ object VectorExpressions {
     }
   }
 
+  /** 60-bit SimHash whose per-token hash is the TOP 15 HEX DIGITS OF MD5 —
+    * bit-identical to the SQL formulation
+    * `('0x'||substr(md5(t),1,15))::BIGINT` (15 nibbles = the big-endian
+    * first 8 digest bytes shifted right 4), so a DuckDB oracle can
+    * recompute every fingerprint. Native single-pass evaluation: one md5
+    * per token, 60 bit-votes, majority with ties→1 (`2·ones ≥ n`). The
+    * expression-composed twin ([[graft.ops.TextStats.md5Simhash]]) is the
+    * readable cross-engine REFERENCE but re-derives the token-hash array
+    * once per bit inside its lambda (~60× the md5 work — measured 74 s vs
+    * ~2 s for q22 at sf0.1); this is the production evaluator, equivalence
+    * asserted in Round4OpsSpec. NULL for empty arrays or NULL tokens.
+    */
+  case class Md5Simhash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Md5Simhash60.eval(input.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("fp")
+        val cls = Md5Simhash60.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |java.lang.Long $out = (java.lang.Long) $cls.eval($a);
+           |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out.longValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  object Md5Simhash60 {
+    private val digestTl =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
+    /** Top 60 bits of md5: big-endian first 8 bytes >>> 4. */
+    def md5Top60(bytes: Array[Byte]): Long = {
+      val d = digestTl.get()
+      d.reset()
+      val h = d.digest(bytes)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+      v >>> 4
+    }
+
+    def eval(arr: ArrayData): java.lang.Long = {
+      val n = arr.numElements()
+      if (n == 0) return null
+      val ones = new Array[Int](60)
+      var t = 0
+      while (t < n) {
+        if (arr.isNullAt(t)) return null
+        val h = md5Top60(arr.getUTF8String(t).getBytes)
+        var b = 0
+        while (b < 60) {
+          ones(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        t += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 60) {
+        if (2 * ones(b) >= n) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+  }
+
   /** Sign-random-projection bucket id (Charikar '02): bit p = sign of
     * <v, plane_p>. The hyperplane matrix is derived deterministically from
     * (seed, plane, dim) via SplitMix64 (Steele et al. '14, public domain)
@@ -406,6 +480,8 @@ object VectorExpressions {
       GraftColumnBridge.expression(b)))
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+  def md5_simhash60(tokens: Column): Column =
+    GraftColumnBridge.column(Md5Simhash60(GraftColumnBridge.expression(tokens)))
   def srp_bucket(vec: Column, numPlanes: Int, seed: Long = 0x5eedL): Column =
     GraftColumnBridge.column(SrpBucket(GraftColumnBridge.expression(vec),
       numPlanes, seed))

@@ -108,13 +108,19 @@ object TextStats {
   /** 60-bit SimHash (Charikar '02 majority-vote construction) whose
     * per-token hash is the top 15 hex digits of md5 — deliberately built
     * from ONLY cross-engine primitives (md5, hex→int, shift, mask), so a
-    * SQL oracle can recompute the fingerprint bit-for-bit. This is the
-    * gate twin of the native codegen
-    * [[graft.functions.VectorExpressions.simhash64]] (FNV-based, faster,
-    * not SQL-expressible): same construction, checkable hash. 60 bits
-    * (not 64) because 15 hex digits are the most that fit a signed long
+    * SQL oracle can recompute the fingerprint bit-for-bit. 60 bits (not
+    * 64) because 15 hex digits are the most that fit a signed long
     * without overflow on either engine. Ties in the per-bit vote go to 1
     * (`2·ones ≥ n`). Empty token lists → NULL (no content to hash).
+    *
+    * READABLE REFERENCE ONLY — the nested higher-order functions
+    * re-derive the token-hash array once per bit (lambda-interior
+    * expressions re-evaluate per element, ~60× the md5 work; measured
+    * 74 s vs ~2 s for q22 at sf0.1). Production queries use the
+    * single-pass native twin
+    * [[graft.functions.VectorExpressions.md5_simhash60]]; bit-equivalence
+    * between the two (and hence with the SQL oracle) is asserted in
+    * Round4OpsSpec.
     */
   def md5Simhash(tok: Column): Column = {
     val hs = transform(tok,

@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, SimSearch, TextStats, TopK}
+
+/** Scaling-curve bench over the dedup/ANN operator family (r3 VERDICT #8):
+  * run the PRODUCTION operators (not the gate queries, whose exact-twin
+  * oracles are deliberately quadratic verification harnesses) on two
+  * directories — normally sf0.1 and a ScaleData-augmented ~10× corpus —
+  * and report wall seconds + result counts per operator, one JSON line
+  * per directory. SCALE.md holds the analyzed table.
+  *
+  * Usage: runMain graft.tools.ScaleBench <dir1> [dir2 ...]
+  */
+object ScaleBench {
+  private type Op = (SparkSession, String) => Long
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val ops: Seq[(String, Op)] = Seq(
+    "exact_dedup" -> ((s, d) => Dedup.byFingerprint(docs(s, d)).count()),
+    "minhash_pairs" -> ((s, d) =>
+      Dedup.minhashNearDuplicates(docs(s, d), "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7,
+        useWordShingles = true).count()),
+    "blocked_jaccard" -> ((s, d) =>
+      Dedup.blockedJaccardPairs(docs(s, d), "text", "doc_id",
+        Seq("lang", "n_chars"), threshold = 0.5).count()),
+    "simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(docs(s, d), "text", "doc_id",
+        maxHammingDistance = 8).count()),
+    "simhash_clusters" -> ((s, d) =>
+      Dedup.simhashClusters(
+        docs(s, d).select(col("doc_id").as("id"),
+          graft.functions.VectorExpressions.simhash64(
+            TextStats.tokens(lower(col("text")))).as("fp"))
+          .filter(col("fp").isNotNull),
+        maxHammingDistance = 8).count()),
+    "threshold_search" -> ((s, d) => {
+      val e = emb(s, d)
+      SimSearch.thresholdSearch(
+        e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+        threshold = 0.35).count()
+    }),
+    "reservoir_topk" -> ((s, d) => {
+      graft.GraftExtensions.install(s)
+      TopK.perKey(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("hk")),
+        keyCols = Seq("lang"), orderCol = "hk", tiebreakCol = "doc_id",
+        k = 20, asc = true).count()
+    }),
+    "lsh_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      SimSearch.lshTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        k = 5, planes = 4, probeRadius = 1).count()
+    }),
+    "ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val corpus = e.filter(col("vec_id") >= 10)
+      val cents = SimSearch.sampledCentroids(corpus, k = 8)
+      SimSearch.ivfTopK(corpus, e.filter(col("vec_id") < 10), k = 5,
+        centroids = cents, nprobe = 2).count()
+    }))
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm-up
+    docs(spark, args.head).count()
+    args.foreach { dir =>
+      val nDocs = docs(spark, dir).count()
+      val cells = ops.map { case (name, op) =>
+        val t0 = System.nanoTime()
+        val n = op(spark, dir)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Dedup.releaseCaches()
+        f"""\"$name\":{\"sec\":$sec%.2f,\"rows\":$n}"""
+      }
+      println(s"""{"dir":"$dir","docs":$nDocs,${cells.mkString(",")}}""")
+    }
+    spark.stop()
+  }
+}

@@ -81,8 +81,8 @@ class OpsSpec extends SparkSpec {
     Dedup.minhashNearDuplicates(docs, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5).collect()
     Dedup.simhashNearDuplicates(docs, "text", "doc_id", 3).collect()
-    assert(Dedup.pinnedCacheCount == 3) // banded + candDocs + keyed
-    assert(Dedup.releaseCaches() == 3)
+    assert(Dedup.pinnedCacheCount == 4) // banded + candDocs + fpMat + keyed
+    assert(Dedup.releaseCaches() == 4)
     assert(Dedup.pinnedCacheCount == 0)
     // released intermediates recompute: the operator still works
     val again = Dedup.simhashNearDuplicates(docs, "text", "doc_id", 3).collect()

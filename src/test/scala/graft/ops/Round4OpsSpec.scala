@@ -45,25 +45,33 @@ class Round4OpsSpec extends SparkSpec {
   // ------------------------------------------------- md5 simhash
 
   test("md5Simhash: 60-bit range, deterministic, null on empty") {
-    val got = docs.limit(50)
-      .select(TextStats.md5Simhash(TextStats.tokens(lower($"text"))).as("fp"))
-      .as[Option[Long]].collect()
+    def fp60 = graft.functions.VectorExpressions.md5_simhash60(
+      TextStats.tokens(lower($"text")))
+    val got = docs.limit(50).select(fp60.as("fp")).as[Option[Long]].collect()
     assert(got.forall(_.forall(fp => fp >= 0L && fp < (1L << 60))))
-    val again = docs.limit(50)
-      .select(TextStats.md5Simhash(TextStats.tokens(lower($"text"))).as("fp"))
-      .as[Option[Long]].collect()
+    val again = docs.limit(50).select(fp60.as("fp")).as[Option[Long]].collect()
     assert(got.toSeq == again.toSeq)
     val empty = Seq("", "   ").toDF("text")
-      .select(TextStats.md5Simhash(TextStats.tokens(lower($"text"))).as("fp"))
-      .as[Option[Long]].collect()
+      .select(fp60.as("fp")).as[Option[Long]].collect()
     assert(empty.forall(_.isEmpty))
+  }
+
+  test("native md5_simhash60 is bit-identical to the composed reference") {
+    val native = graft.functions.VectorExpressions.md5_simhash60(
+      TextStats.tokens(lower($"text")))
+    val composed = TextStats.md5Simhash(TextStats.tokens(lower($"text")))
+    val diff = docs.limit(100)
+      .select(native.as("a"), composed.as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(diff == 0L)
   }
 
   test("md5Simhash: near-identical token streams land within small hamming") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = a + " ok" // one extra token
     val df = Seq(a, b).toDF("text")
-      .select(TextStats.md5Simhash(TextStats.tokens(lower($"text"))).as("fp"))
+      .select(graft.functions.VectorExpressions.md5_simhash60(
+        TextStats.tokens(lower($"text"))).as("fp"))
     val Array(fa, fb) = df.as[Long].collect()
     assert(java.lang.Long.bitCount(fa ^ fb) <= 12)
   }
@@ -72,7 +80,8 @@ class Round4OpsSpec extends SparkSpec {
 
   test("simhashPairs over md5 fingerprints equals brute-force hamming join") {
     val withFp = docs.select($"doc_id".as("id"),
-      TextStats.md5Simhash(TextStats.tokens(lower($"text"))).as("fp"))
+      graft.functions.VectorExpressions.md5_simhash60(
+        TextStats.tokens(lower($"text"))).as("fp"))
       .filter($"fp".isNotNull).cache()
     val bucketed = Dedup.simhashPairs(withFp, maxHammingDistance = 8)
       .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
@@ -85,7 +94,8 @@ class Round4OpsSpec extends SparkSpec {
 
   test("simhashClusters equals pair-list -> clusters() components") {
     val withFp = docs.select($"doc_id".as("id"),
-      TextStats.md5Simhash(TextStats.tokens(lower($"text"))).as("fp"))
+      graft.functions.VectorExpressions.md5_simhash60(
+        TextStats.tokens(lower($"text"))).as("fp"))
       .filter($"fp".isNotNull).cache()
     val pairs = Dedup.simhashPairs(withFp, maxHammingDistance = 8)
     val viaPairs = Dedup.clusters(pairs)
