@@ -58,6 +58,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "morton_interleave(a, b) - Z-order bit interleave of two 32-bit keys"),
       (args: Seq[Expression]) =>
         VectorExpressions.MortonInterleave(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("md5_simhash60"),
+      info("md5_simhash60",
+        "md5_simhash60(tokens) - 60-bit md5-based SimHash (SQL-recomputable)"),
+      (args: Seq[Expression]) => VectorExpressions.Md5Simhash60(args.head)))
+    e.injectFunction((FunctionIdentifier("image_dims_packed"),
+      info("image_dims_packed",
+        "image_dims_packed(bin) - PNG/JPEG dims as fmt(2b)|w(31b)|h(31b), NULL if unrecognized"),
+      (args: Seq[Expression]) =>
+        graft.functions.ImageExpressions.ImageDimsPacked(args.head)))
   }
 }
 
@@ -95,6 +104,11 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("morton_interleave",
       (args: Seq[Expression]) =>
         VectorExpressions.MortonInterleave(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_simhash60",
+      (args: Seq[Expression]) => VectorExpressions.Md5Simhash60(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_dims_packed",
+      (args: Seq[Expression]) =>
+        graft.functions.ImageExpressions.ImageDimsPacked(args.head), "scala_udf")
   }
 
   private def litInt(e: Expression, what: String): Long = e match {

@@ -2322,6 +2322,59 @@ object Queries {
       |FROM fps f LEFT JOIN cl ON f.doc_id = cl.doc_id
       |ORDER BY f.doc_id""".stripMargin
 
+  /** Boilerplate n-gram MINING (corpus-level complement of the q91 probe):
+    * char 13-grams whose document frequency crosses a threshold are
+    * template/boilerplate candidates — the discovery step before a strip
+    * rule like q90's exists. One explode pass; grams are per-doc distinct
+    * (charNgrams dedups), so the groupBy count IS document frequency;
+    * map-side partial agg absorbs the fan-out and TakeOrdered bounds the
+    * output. Linear in the corpus, shuffle keyed on the gram.
+    */
+  val boilerplateNgrams: Q = (s, dir) =>
+    t(s, dir, "documents").filter(length(col("text")) >= 13)
+      .select(explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+      .orderBy(col("df").desc, col("gram")).limit(20)
+
+  val boilerplateNgramsSql: String =
+    """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-12)) AS i
+      |             FROM documents WHERE length(text) >= 13),
+      |g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 13) AS gram FROM pos),
+      |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+      |SELECT gram, CAST(df AS BIGINT) AS df FROM df WHERE df >= 5
+      |ORDER BY df DESC, gram LIMIT 20""".stripMargin
+
+  /** Int8 scalar quantization round-trip for embeddings: per-vector
+    * min/max affine quantization to [0,255] and back, emitting the max
+    * absolute reconstruction error — the storage-shrink step (4× smaller
+    * vectors) before ANN at scale, with its error budget made visible.
+    * Per-row array math only (no shuffle); max over the error list is
+    * evaluation-order-free, so the oracle comparison is exact. Both
+    * engines round half-up on the non-negative quantization argument.
+    */
+  val embeddingQuantize: Q = (s, dir) => {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val mn = array_min(e)
+    val mx = array_max(e)
+    val err = transform(e, x =>
+      abs(mn + round((x - mn) * 255.0 / (mx - mn)) * (mx - mn) / 255.0 - x))
+    t(s, dir, "embeddings")
+      .filter(mx > mn)
+      .select(col("vec_id"), round(mn, 6).as("qmin"), round(mx, 6).as("qmax"),
+        round(array_max(err), 6).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embeddingQuantizeSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v)
+      |SELECT vec_id, round(mn, 6) AS qmin, round(mx, 6) AS qmax,
+      | round(list_max(list_transform(e,
+      |   x -> abs(mn + round((x-mn)*255/(mx-mn))*(mx-mn)/255 - x))), 6) AS max_abs_err
+      |FROM m WHERE mx > mn ORDER BY vec_id""".stripMargin
+
   /** DQ checkpoint surface on the gate (r3 VERDICT #9: Q2/Q4–Q6 were
     * spec-only): a suite DEFINITION goes through the JSON round-trip
     * (Q4, `suiteToJson`→`suiteFromJson` — the reference's
@@ -2595,6 +2648,8 @@ object Queries {
     "q93_bigram_topk" -> bigramTopK,
     "q94_simhash_clusters" -> simhashClusterQ,
     "q99_dq_checkpoint" -> dqCheckpoint,
+    "q100_boilerplate_ngrams" -> boilerplateNgrams,
+    "q101_embedding_quantize" -> embeddingQuantize,
     "q95_csv_tsv" -> csvTsvRoundtrip,
     "q96_csv_pipe" -> csvPipeRoundtrip,
     "q97_csv_quoted" -> csvQuotedRoundtrip,
@@ -2700,5 +2755,7 @@ object Queries {
     "q96_csv_pipe" -> csvPipeRoundtripSql,
     "q97_csv_quoted" -> csvQuotedRoundtripSql,
     "q98_csv_quarantine" -> csvQuarantineSql,
-    "q99_dq_checkpoint" -> dqCheckpointSql)
+    "q99_dq_checkpoint" -> dqCheckpointSql,
+    "q100_boilerplate_ngrams" -> boilerplateNgramsSql,
+    "q101_embedding_quantize" -> embeddingQuantizeSql)
 }
