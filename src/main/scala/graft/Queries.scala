@@ -2375,6 +2375,54 @@ object Queries {
       |   x -> abs(mn + round((x-mn)*255/(mx-mn))*(mx-mn)/255 - x))), 6) AS max_abs_err
       |FROM m WHERE mx > mn ORDER BY vec_id""".stripMargin
 
+  /** SRP-bucketed embedding near-dup on the gate (the one north-star op
+    * still spec-only after r3 — testdata has no near pairs, max cosine
+    * ~0.51). The query plants them: the first 50 vectors are re-ingested
+    * verbatim under shifted ids (the re-crawl shape), so the exact pair
+    * set at cosine ≥ 0.99 is precisely those 50 copies — and identical
+    * vectors land in the SAME SRP bucket by construction, so recall is
+    * PROVABLE, not empirical. The exact twin is planted-anchored (pairs
+    * with a planted right side: 50·(N+50) pairs, linear in the corpus),
+    * SQL-expressible; found_by_lsh=false would hash-mismatch the all-TRUE
+    * oracle. Perturbed-pair recall (the probabilistic case) stays in
+    * OpsSpec.
+    */
+  val embeddingNearDupLsh: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val all = emb.unionByName(planted)
+    val lsh = Dedup.embeddingNearDuplicates(all, "embedding", "vec_id",
+      planes = 12, threshold = 0.99)
+    val exact = all.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      .join(broadcast(planted.select(col("vec_id").as("id2"), col("embedding").as("e2"))),
+        col("id1") < col("id2"))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.cosine_similarity(col("e1"), col("e2")))
+      .filter(col("cosine").isNotNull && col("cosine") >= 0.99)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    exact.join(lsh.select(col("id1"), col("id2"), lit(true).as("found")),
+        Seq("id1", "id2"), "left")
+      .select(col("id1"), col("id2"), col("cosine"),
+        coalesce(col("found"), lit(false)).as("found_by_lsh"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val embeddingNearDupLshSql: String =
+    """WITH all_v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |  FROM embeddings WHERE vec_id < 50),
+      |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |        list_dot_product(a.e, b.e) /
+      |         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+      |      FROM all_v a JOIN all_v b
+      |        ON a.vec_id < b.vec_id AND b.vec_id >= 100000)
+      |SELECT id1, id2, round(c, 6) AS cosine, TRUE AS found_by_lsh
+      |FROM p WHERE c >= 0.99 ORDER BY id1, id2""".stripMargin
+
   /** DQ checkpoint surface on the gate (r3 VERDICT #9: Q2/Q4–Q6 were
     * spec-only): a suite DEFINITION goes through the JSON round-trip
     * (Q4, `suiteToJson`→`suiteFromJson` — the reference's
@@ -2650,6 +2698,7 @@ object Queries {
     "q99_dq_checkpoint" -> dqCheckpoint,
     "q100_boilerplate_ngrams" -> boilerplateNgrams,
     "q101_embedding_quantize" -> embeddingQuantize,
+    "q102_embedding_neardup_lsh" -> embeddingNearDupLsh,
     "q95_csv_tsv" -> csvTsvRoundtrip,
     "q96_csv_pipe" -> csvPipeRoundtrip,
     "q97_csv_quoted" -> csvQuotedRoundtrip,
@@ -2757,5 +2806,6 @@ object Queries {
     "q98_csv_quarantine" -> csvQuarantineSql,
     "q99_dq_checkpoint" -> dqCheckpointSql,
     "q100_boilerplate_ngrams" -> boilerplateNgramsSql,
-    "q101_embedding_quantize" -> embeddingQuantizeSql)
+    "q101_embedding_quantize" -> embeddingQuantizeSql,
+    "q102_embedding_neardup_lsh" -> embeddingNearDupLshSql)
 }
