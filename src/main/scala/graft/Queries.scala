@@ -2496,6 +2496,29 @@ object Queries {
       | SELECT 'not_null', 'c_loyalty_tier', n.n_rows, FALSE, n.n_rows FROM n
       |) x ORDER BY expectation, "column" """.stripMargin
 
+  /** Filesystem surface on the gate (S6/S7/S8 — parquet sink, part-file
+    * listing, recursive copy; the reference's layer-promotion file ops,
+    * E1:91-97, G0b:8): write a table as one part file, LIST it, COPY the
+    * directory, and read the COPY back — emitted rows must equal the
+    * parquet original (any sink/list/copy defect breaks the round-trip)
+    * and n_files must be exactly the coalesced 1.
+    */
+  val fsRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fs_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_fs_dst").toString + "/copy"
+    Writers.parquet(t(s, dir, "region").coalesce(1), tmp)
+    val nFiles = Writers.listParquetFiles(tmp,
+      s.sparkContext.hadoopConfiguration).size
+    Writers.copyRecursive(tmp, dst, s.sparkContext.hadoopConfiguration)
+    Readers.parquet(s, dst)
+      .withColumn("n_files", lit(nFiles))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val fsRoundtripSql: String =
+    """SELECT r_regionkey, r_name, CAST(1 AS INTEGER) AS n_files
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
   // ==================================================== CSV ingest gates
 
   /** CSV round-trip gates (r3 VERDICT #5: S1–S3 — the reference's PRIMARY
@@ -2699,6 +2722,7 @@ object Queries {
     "q100_boilerplate_ngrams" -> boilerplateNgrams,
     "q101_embedding_quantize" -> embeddingQuantize,
     "q102_embedding_neardup_lsh" -> embeddingNearDupLsh,
+    "q103_fs_roundtrip" -> fsRoundtrip,
     "q95_csv_tsv" -> csvTsvRoundtrip,
     "q96_csv_pipe" -> csvPipeRoundtrip,
     "q97_csv_quoted" -> csvQuotedRoundtrip,
@@ -2807,5 +2831,6 @@ object Queries {
     "q99_dq_checkpoint" -> dqCheckpointSql,
     "q100_boilerplate_ngrams" -> boilerplateNgramsSql,
     "q101_embedding_quantize" -> embeddingQuantizeSql,
-    "q102_embedding_neardup_lsh" -> embeddingNearDupLshSql)
+    "q102_embedding_neardup_lsh" -> embeddingNearDupLshSql,
+    "q103_fs_roundtrip" -> fsRoundtripSql)
 }
