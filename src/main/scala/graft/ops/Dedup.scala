@@ -22,7 +22,13 @@ object Dedup {
   private val pinnedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def pin(df: DataFrame): DataFrame = {
+  /** Cache a frame that feeds multiple consumers of one query (both sides
+    * of a self-join, or a build+probe pair) and register it for the
+    * caller's post-consumption [[releaseCaches]] sweep. Package-visible so
+    * catalog queries with the same shape (e.g. a gram table consumed by
+    * its own document-frequency join) share the one release lifecycle.
+    */
+  private[graft] def pin(df: DataFrame): DataFrame = {
     val cached = df.cache()
     pinnedCaches.add(cached)
     cached

@@ -98,6 +98,19 @@ object TextStats {
       .withColumn("shard_id", expr(s"(cum - n_tok) div ${budget}L"))
   }
 
+  /** Adjacent word bigrams ("a b") of a token array, index-sequence form:
+    * the lambda interior touches only `element_at` on the (cheap) array
+    * reference, never re-derives the array — see the HOF recompute note on
+    * [[md5Simhash]]. Callers should pass a MATERIALIZED token column (an
+    * attribute, not the tokenizer expression) so nothing expensive sits
+    * under the per-element evaluation. Empty for fewer than 2 tokens.
+    */
+  def wordBigrams(tok: Column): Column =
+    when(size(tok) >= 2,
+      transform(sequence(lit(1), size(tok) - 1),
+        i => concat(element_at(tok, i), lit(" "), element_at(tok, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** Normalized-content fingerprint: lowercase, collapse whitespace, trim,
     * md5. Identical content up to spacing/case hashes identically — the
     * exact-dedup key for `Dedup.byFingerprint`.

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextStats}
+
+/** q104–q106 corpus-signal queries: ground-truth checks for the repetition
+  * metrics, the equal-mix resampling policy, and the novelty identity —
+  * beyond the driver's DuckDB hash gate, these pin the SEMANTICS (what the
+  * numbers mean) with independently computed expectations.
+  */
+class CorpusSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("wordBigrams: adjacent pairs in order; empty under 2 tokens") {
+    val out = Seq(
+      (1L, Seq("a", "b", "b", "c")),
+      (2L, Seq("solo")),
+      (3L, Seq.empty[String]))
+      .toDF("id", "tok")
+      .select($"id", TextStats.wordBigrams($"tok").as("bg"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b", "b b", "b c"))
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
+  test("repetitionSignals matches a pure-Scala recompute on sampled docs") {
+    val got = Queries.repetitionSignals(spark, sfDir)
+      .filter($"doc_id" < 5)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 5)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect().toMap
+    texts.foreach { case (id, text) =>
+      val tok = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val bigrams = tok.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bigrams.groupBy(identity).view.mapValues(_.size)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (_, nTok, ttr, topF, dupF) = got(id)
+      assert(nTok == tok.size)
+      assert(ttr == r6(tok.distinct.size.toDouble / tok.size))
+      assert(topF == r6(counts.values.max.toDouble / bigrams.size))
+      assert(dupF == r6(
+        counts.values.filter(_ > 1).sum.toDouble / bigrams.size))
+    }
+  }
+
+  test("domainMix: rates in (0,1], smallest source keeps everything") {
+    val rows = Queries.domainMix(spark, sfDir)
+      .select($"source", $"n_docs", $"total_tok", $"rate", $"n_kept", $"kept_tok")
+      .as[(String, Long, Long, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, totalTok, rate, nKept, keptTok) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$src rate $rate")
+      assert(nKept <= nDocs && keptTok <= totalTok, s"$src kept more than it had")
+    }
+    val minTotal = rows.map(_._3).min
+    val smallest = rows.filter(_._3 == minTotal)
+    smallest.foreach { case (src, nDocs, totalTok, rate, nKept, keptTok) =>
+      assert(rate == 1.0, s"$src is the budget anchor but rate=$rate")
+      assert(nKept == nDocs && keptTok == totalTok,
+        s"$src at rate 1.0 must keep every doc (u < 1 always)")
+    }
+  }
+
+  test("ngramNovelty: sum of n_unique equals the global df=1 gram count") {
+    val out = Queries.ngramNovelty(spark, sfDir)
+      .select($"doc_id", $"n_bigrams", $"n_unique", $"novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    Dedup.releaseCaches()
+    out.foreach { case (id, nB, nU, nov) =>
+      assert(nU <= nB && nov >= 0.0 && nov <= 1.0, s"doc $id: $nU/$nB $nov")
+    }
+    // independent ground truth: count bigrams that appear in exactly one doc
+    val df1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", TextStats.tokens(lower($"text")).as("tok"))
+      .filter(size($"tok") >= 2)
+      .select($"doc_id",
+        explode(array_distinct(TextStats.wordBigrams($"tok"))).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("df"))
+      .filter($"df" === 1).count()
+    assert(out.map(_._3).sum == df1)
+  }
+}
