@@ -2693,19 +2693,23 @@ object Queries {
     * out of a first aggregation pass over the data itself. Per-source
     * totals are ~|sources| rows → broadcast back; membership is a pure
     * row-local predicate, so the corpus never shuffles: scan → broadcast
-    * join → final per-source agg of survivors-only partials.
+    * join → final per-source agg of survivors-only partials. The min
+    * target comes from a single-partition window over the POST-AGG totals
+    * (≤ |sources| rows), not a separate aggregate branch — a branch would
+    * re-run the corpus scan + tokenize a third time (the q91 lesson):
+    * exactly 2 scans of documents in the physical plan, never 3.
     */
   val domainMix: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents").select(
       col("doc_id"), col("source"),
       TextStats.tokenCount(col("text")).cast("long").as("n_tok"),
       (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long").cast("double") / lit(math.pow(2, 60))).as("u"))
     val totals = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("total_tok"))
-    val target = totals.agg(min(col("total_tok")).as("target_tok"))
-    val rated = totals.crossJoin(broadcast(target))
-      .withColumn("rate",
-        col("target_tok").cast("double") / col("total_tok").cast("double"))
+    val rated = totals.withColumn("rate",
+      min(col("total_tok")).over(Window.partitionBy(lit(1))).cast("double")
+        / col("total_tok").cast("double"))
     docs.join(broadcast(rated.select(col("source"), col("total_tok"), col("rate"))),
         Seq("source"))
       .groupBy(col("source"))
