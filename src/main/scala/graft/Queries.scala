@@ -2620,6 +2620,56 @@ object Queries {
       | CAST(sum(CASE WHEN n_nationkey <> 0 THEN n_regionkey END) AS BIGINT) AS good_region_sum
       |FROM nation""".stripMargin
 
+  /** Partitioned-layout round-trip with the PLAN INVARIANT on the gate:
+    * write documents hive-partitioned by `lang` (the silver-layer layout
+    * SCALE.md prescribes for a 100 TB corpus), read back with a lang
+    * filter, and emit `pruned` = whether the executed plan answered the
+    * filter via PartitionFilters (directory pruning — the scan must touch
+    * ONE partition, not the corpus). The oracle asserts TRUE, so a
+    * pruning regression is a hash mismatch, not a silent slowdown —
+    * PartitionDemo's evidence promoted to a driver-checked row.
+    */
+  val partitionedPruning: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_gate").toString
+    Writers.parquet(t(s, dir, "documents"), s"$tmp/docs",
+      partitionBy = Seq("lang"))
+    val rd = Readers.parquet(s, s"$tmp/docs").filter(col("lang") === "en")
+    val pruned = "PartitionFilters: \\[[^\\]]*= en[^\\]]*\\]".r
+      .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
+    rd.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("pruned", lit(pruned))
+      .orderBy(col("lang"))
+  }
+
+  val partitionedPruningSql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars, TRUE AS pruned
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** JSONL round-trip: write a table as JSON lines (the interchange format
+    * most crawl/training pipelines land first), re-ingest via the JSONL
+    * source with schema inference, and emit typed rows against the parquet
+    * original — any serialization, quoting, or numeric-fidelity defect
+    * breaks the hash. Doubles survive because Spark writes the shortest
+    * round-trippable representation. (At 100 TB inference costs an extra
+    * pass — production would pin the schema; the gate exercises the
+    * inference path deliberately.)
+    */
+  val jsonlRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Writers.jsonl(t(s, dir, "customer"), tmp)
+    Readers.jsonl(s, tmp)
+      .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal").cast("double").as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // ==================================== corpus quality / mixing signals
 
   /** Gopher-style per-document repetition signals (Rae et al. '21 §A1.1
@@ -2894,6 +2944,8 @@ object Queries {
     "q104_repetition_signals" -> repetitionSignals,
     "q105_domain_mix" -> domainMix,
     "q106_ngram_novelty" -> ngramNovelty,
+    "q107_partitioned_pruning" -> partitionedPruning,
+    "q108_jsonl_roundtrip" -> jsonlRoundtrip,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3002,5 +3054,7 @@ object Queries {
     "q103_fs_roundtrip" -> fsRoundtripSql,
     "q104_repetition_signals" -> repetitionSignalsSql,
     "q105_domain_mix" -> domainMixSql,
-    "q106_ngram_novelty" -> ngramNoveltySql)
+    "q106_ngram_novelty" -> ngramNoveltySql,
+    "q107_partitioned_pruning" -> partitionedPruningSql,
+    "q108_jsonl_roundtrip" -> jsonlRoundtripSql)
 }

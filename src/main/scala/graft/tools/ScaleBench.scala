@@ -66,7 +66,14 @@ object ScaleBench {
       val cents = SimSearch.sampledCentroids(corpus, k = 8)
       SimSearch.ivfTopK(corpus, e.filter(col("vec_id") < 10), k = 5,
         centroids = cents, nprobe = 2).count()
-    }))
+    }),
+    // corpus-quality signal queries (q104-q106): gram-explode aggregation
+    // paths whose scaling story (keyed shuffles, pinned gram reuse,
+    // broadcast rates) should hold at 10x like the dedup family's.
+    "repetition_signals" -> ((s, d) =>
+      graft.Queries.repetitionSignals(s, d).count()),
+    "domain_mix" -> ((s, d) => graft.Queries.domainMix(s, d).count()),
+    "ngram_novelty" -> ((s, d) => graft.Queries.ngramNovelty(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
