@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.{Readers, Writers}
-import graft.ops.{Dedup, Multimodal, SimSearch, TextStats, TopK}
+import graft.ops.{Dedup, Multimodal, SimSearch, Skew, TextStats, TopK}
 import graft.transform.{Canonicalize, Enrich, Harmonize, Normalize}
 import graft.quality.Expectations._
 import graft.streaming.EventStreams
@@ -2670,6 +2670,48 @@ object Queries {
     """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** ORC sink round-trip (the `Writers.orc` layer extension, previously
+    * spec-only): write a typed table as ORC, re-read it through Spark's
+    * ORC source, emit rows against the parquet original. ORC is fully
+    * type-preserving, so no casts — any encoder/decoder defect (including
+    * double fidelity) breaks the hash.
+    */
+  val orcRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Writers.orc(t(s, dir, "part"), tmp)
+    s.read.orc(tmp).orderBy(col("p_partkey"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Salted skew join on the gate: `Skew.saltedJoin` spreads a hot join
+    * key over `factor` tasks (big side salted from a row-identity column,
+    * dim side replicated) — the manual fix for the skew AQE can't split.
+    * The contract is EXACT equivalence to the plain join, so the oracle is
+    * simply the unsalted SQL join: any duplication/loss from the salt
+    * replication is a row-count or hash mismatch.
+    */
+  val saltedJoinQ: Q = (s, dir) => {
+    val joined = Skew.saltedJoin(
+      t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      keys = Seq("o_orderkey"), saltFrom = "l_partkey", factor = 4)
+    joined.groupBy(col("o_orderstatus"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val saltedJoinSql: String =
+    """SELECT o_orderstatus,
+      | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ==================================== corpus quality / mixing signals
 
   /** Gopher-style per-document repetition signals (Rae et al. '21 §A1.1
@@ -2946,6 +2988,8 @@ object Queries {
     "q106_ngram_novelty" -> ngramNovelty,
     "q107_partitioned_pruning" -> partitionedPruning,
     "q108_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q109_orc_roundtrip" -> orcRoundtrip,
+    "q110_salted_join" -> saltedJoinQ,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3056,5 +3100,7 @@ object Queries {
     "q105_domain_mix" -> domainMixSql,
     "q106_ngram_novelty" -> ngramNoveltySql,
     "q107_partitioned_pruning" -> partitionedPruningSql,
-    "q108_jsonl_roundtrip" -> jsonlRoundtripSql)
+    "q108_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q109_orc_roundtrip" -> orcRoundtripSql,
+    "q110_salted_join" -> saltedJoinSql)
 }
