@@ -2712,6 +2712,55 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Morton (Z-order) interleave on the gate: the native codegen
+    * expression (`functions.VectorExpressions.MortonInterleave`, the
+    * clustering key for two-dimensional row-group pruning — see
+    * `Writers.compact(sortCols)`) recomputed bit-for-bit by the oracle as
+    * a shift/mask sum. Inputs are bounded below 2^16 so the 16-term SQL
+    * expansion covers every set bit (the native path interleaves 32).
+    */
+  val mortonZorder: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        (col("p_partkey") % 1024).cast("int").as("pk_lo"))
+      .withColumn("z", graft.functions.VectorExpressions
+        .morton_interleave(col("p_size"), col("pk_lo")))
+      .orderBy(col("p_partkey"))
+
+  val mortonZorderSql: String =
+    """SELECT p_partkey, p_size, CAST(p_partkey % 1024 AS INTEGER) AS pk_lo,
+      | CAST(list_sum(list_transform(generate_series(0, 15),
+      |   i -> ((p_size >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+      |      + (((p_partkey % 1024) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1))))
+      |   AS BIGINT) AS z
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Small-file compaction on the gate (`Writers.compact` — the
+    * maintenance op that keeps scan task counts sane after micro-batch
+    * sinks accrete thousands of part files): deliberately write 8 small
+    * files, compact to the byte-target (here: one), and emit the rows
+    * plus before/after file counts — row fidelity AND the file-count
+    * collapse are both hash-checked.
+    */
+  val compactRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    Writers.parquet(t(s, dir, "supplier").repartition(8), tmp)
+    val conf = s.sparkContext.hadoopConfiguration
+    val before = Writers.listParquetFiles(tmp, conf).size
+    Writers.compact(s, tmp, targetBytesPerFile = 1L << 30)
+    val after = Writers.listParquetFiles(tmp, conf).size
+    Readers.parquet(s, tmp)
+      .withColumn("n_before", lit(before))
+      .withColumn("n_after", lit(after))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val compactRoundtripSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+      | CAST(8 AS INTEGER) AS n_before, CAST(1 AS INTEGER) AS n_after
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   // ==================================== corpus quality / mixing signals
 
   /** Gopher-style per-document repetition signals (Rae et al. '21 §A1.1
@@ -2990,6 +3039,8 @@ object Queries {
     "q108_jsonl_roundtrip" -> jsonlRoundtrip,
     "q109_orc_roundtrip" -> orcRoundtrip,
     "q110_salted_join" -> saltedJoinQ,
+    "q111_morton_zorder" -> mortonZorder,
+    "q112_compact" -> compactRoundtrip,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3102,5 +3153,7 @@ object Queries {
     "q107_partitioned_pruning" -> partitionedPruningSql,
     "q108_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q109_orc_roundtrip" -> orcRoundtripSql,
-    "q110_salted_join" -> saltedJoinSql)
+    "q110_salted_join" -> saltedJoinSql,
+    "q111_morton_zorder" -> mortonZorderSql,
+    "q112_compact" -> compactRoundtripSql)
 }
