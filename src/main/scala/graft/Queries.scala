@@ -2761,6 +2761,57 @@ object Queries {
       | CAST(8 AS INTEGER) AS n_before, CAST(1 AS INTEGER) AS n_after
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** Two-phase skew-tolerant aggregation on the gate (`Skew.saltedSumCount`
+    * — the manual partial/final split for composed metrics over a hot
+    * key): exact equivalence to the plain GROUP BY is the contract, so
+    * the plain SQL aggregate is the oracle. The value column is decimal-
+    * cast BEFORE the two-phase sum so the result is order-independent
+    * (double partial sums would re-associate differently per run).
+    */
+  val saltedAgg: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .withColumn("qty_dec", col("l_quantity").cast("decimal(18,4)"))
+    Skew.saltedSumCount(li, keys = Seq("l_returnflag"), valueCol = "qty_dec",
+      factor = 8, saltFrom = "l_partkey")
+      .select(col("l_returnflag"),
+        col("sum_qty_dec").cast("double").as("sum_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val saltedAggSql: String =
+    """SELECT l_returnflag,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Schema-evolution read on the gate (`Readers.parquetMergeSchema` — the
+    * contract for a layer directory whose late files gained a column):
+    * write the same table twice into one directory, the second copy with
+    * an extra column, and read the union back with mergeSchema — early
+    * rows must surface the evolved column as NULL, late rows with its
+    * value, and the merged schema must carry all columns. The oracle
+    * recomputes both generations from the original.
+    */
+  val mergeSchemaRead: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val nat = t(s, dir, "nation")
+    Writers.parquet(
+      nat.select(col("n_nationkey"), col("n_name"), lit(0).as("gen")), tmp)
+    nat.select((col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+        lit(1).as("gen"), col("n_regionkey").as("evolved_region"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tmp)
+    Readers.parquetMergeSchema(s, tmp)
+      .orderBy(col("n_nationkey"))
+  }
+
+  val mergeSchemaReadSql: String =
+    """SELECT n_nationkey, n_name, CAST(0 AS INTEGER) AS gen,
+      | CAST(NULL AS INTEGER) AS evolved_region
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey + 100, n_name, 1, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   // ==================================== corpus quality / mixing signals
 
   /** Gopher-style per-document repetition signals (Rae et al. '21 §A1.1
@@ -3041,6 +3092,8 @@ object Queries {
     "q110_salted_join" -> saltedJoinQ,
     "q111_morton_zorder" -> mortonZorder,
     "q112_compact" -> compactRoundtrip,
+    "q113_salted_agg" -> saltedAgg,
+    "q114_merge_schema" -> mergeSchemaRead,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3155,5 +3208,7 @@ object Queries {
     "q109_orc_roundtrip" -> orcRoundtripSql,
     "q110_salted_join" -> saltedJoinSql,
     "q111_morton_zorder" -> mortonZorderSql,
-    "q112_compact" -> compactRoundtripSql)
+    "q112_compact" -> compactRoundtripSql,
+    "q113_salted_agg" -> saltedAggSql,
+    "q114_merge_schema" -> mergeSchemaReadSql)
 }
