@@ -109,6 +109,9 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("image_dims_packed",
       (args: Seq[Expression]) =>
         graft.functions.ImageExpressions.ImageDimsPacked(args.head), "scala_udf")
+    // custom typed AGGREGATE (Aggregator via udaf) — a different
+    // registration path than expression injection
+    spark.udf.register("weighted_mean", graft.functions.Aggregators.weighted_mean)
   }
 
   private def litInt(e: Expression, what: String): Long = e match {

@@ -2812,6 +2812,44 @@ object Queries {
       |SELECT n_nationkey + 100, n_name, 1, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Custom typed AGGREGATE on the gate: token-weighted mean quality per
+    * source through [[graft.functions.Aggregators.WeightedMean]] — an
+    * `Aggregator` with an exact decimal buffer (partials associative +
+    * commutative, bit-identical under any partitioning), the engine's
+    * coverage of Spark's custom-aggregate surface alongside its custom
+    * scalar codegen expressions. The oracle recomputes the same ratio
+    * from decimal sums; the final double division and round are performed
+    * identically on both engines.
+    */
+  val weightedQuality: Q = (s, dir) => {
+    val scored = t(s, dir, "documents").select(col("source"),
+      TextStats.qualityScore(col("text")).as("q"),
+      TextStats.tokenCount(col("text")).cast("long").as("w"))
+    scored.groupBy(col("source"))
+      .agg(
+        round(graft.functions.Aggregators.weighted_mean(col("q"), col("w")), 6)
+          .as("weighted_quality"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val weightedQualitySql: String =
+    """WITH scored AS (SELECT source,
+      | round(
+      |   least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      | + (1.0 - least(CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+      |     / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+      | + least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |     / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3,
+      | 6) AS q,
+      | CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS w
+      |FROM documents)
+      |SELECT source,
+      | round(CAST(sum(CAST(q AS DECIMAL(18,6)) * w) AS DOUBLE)
+      |   / CAST(sum(w) AS DOUBLE), 6) AS weighted_quality,
+      | count(*) AS n_docs
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   // ==================================== corpus quality / mixing signals
 
   /** Gopher-style per-document repetition signals (Rae et al. '21 §A1.1
@@ -3094,6 +3132,7 @@ object Queries {
     "q112_compact" -> compactRoundtrip,
     "q113_salted_agg" -> saltedAgg,
     "q114_merge_schema" -> mergeSchemaRead,
+    "q115_weighted_quality" -> weightedQuality,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3210,5 +3249,6 @@ object Queries {
     "q111_morton_zorder" -> mortonZorderSql,
     "q112_compact" -> compactRoundtripSql,
     "q113_salted_agg" -> saltedAggSql,
-    "q114_merge_schema" -> mergeSchemaReadSql)
+    "q114_merge_schema" -> mergeSchemaReadSql,
+    "q115_weighted_quality" -> weightedQualitySql)
 }

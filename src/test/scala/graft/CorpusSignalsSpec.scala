@@ -66,6 +66,26 @@ class CorpusSignalsSpec extends SparkSpec {
     }
   }
 
+  test("WeightedMean aggregator: exact value, partition-invariant, SQL-reachable") {
+    val df = Seq(("a", 0.5, 10L), ("a", 0.25, 30L), ("b", 1.0, 5L))
+      .toDF("k", "x", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy($"k")
+        .agg(graft.functions.Aggregators.weighted_mean($"x", $"w").as("m"))
+        .orderBy($"k").as[(String, Double)].collect().toSeq
+    val expected = Seq("a" -> (0.5 * 10 + 0.25 * 30) / 40.0, "b" -> 1.0)
+    assert(run(df) == expected)
+    // decimal buffer => identical under any partitioning / merge order
+    assert(run(df.repartition(7)) == expected)
+    // SQL path through the session registration
+    GraftExtensions.install(spark)
+    df.createOrReplaceTempView("wm_in")
+    val viaSql = spark.sql(
+      "SELECT k, weighted_mean(x, w) AS m FROM wm_in GROUP BY k ORDER BY k")
+      .as[(String, Double)].collect().toSeq
+    assert(viaSql == expected)
+  }
+
   test("ngramNovelty: sum of n_unique equals the global df=1 gram count") {
     val out = Queries.ngramNovelty(spark, sfDir)
       .select($"doc_id", $"n_bigrams", $"n_unique", $"novelty")
