@@ -66,6 +66,21 @@ class CorpusSignalsSpec extends SparkSpec {
     }
   }
 
+  test("signal queries survive an empty corpus (no rows, no crash)") {
+    // at 100 TB empty inputs are routine (a partition filter that matches
+    // nothing, a new source with no docs yet) — every signal query must
+    // degrade to an empty result, not throw
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(0)
+      .write.parquet(s"$dir/documents.parquet")
+    Seq(Queries.repetitionSignals, Queries.domainMix, Queries.ngramNovelty,
+      Queries.weightedQuality)
+      .foreach { q =>
+        assert(q(spark, dir).count() == 0)
+        graft.ops.Dedup.releaseCaches()
+      }
+  }
+
   test("WeightedMean aggregator: exact value, partition-invariant, SQL-reachable") {
     val df = Seq(("a", 0.5, 10L), ("a", 0.25, 30L), ("b", 1.0, 5L))
       .toDF("k", "x", "w")
