@@ -81,6 +81,23 @@ class CorpusSignalsSpec extends SparkSpec {
       }
   }
 
+  test("signal queries tolerate NULL text (dropped or null-propagated, no crash)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
+      .withColumn("text",
+        when($"doc_id" % 3 === 0, lit(null: String)).otherwise($"text"))
+      .write.parquet(s"$dir/documents.parquet")
+    // null text -> null token array -> the size filter drops the doc on the
+    // gram paths; domain-mix keeps the doc (membership is id-hash-based)
+    // with a null token count that aggregates skip — same as the SQL twin
+    assert(Queries.repetitionSignals(spark, dir).count() > 0)
+    assert(Queries.ngramNovelty(spark, dir).count() > 0)
+    graft.ops.Dedup.releaseCaches()
+    val mix = Queries.domainMix(spark, dir)
+      .select($"n_docs", $"n_kept").as[(Long, Long)].collect()
+    assert(mix.nonEmpty && mix.forall { case (d, k) => k <= d })
+  }
+
   test("WeightedMean aggregator: exact value, partition-invariant, SQL-reachable") {
     val df = Seq(("a", 0.5, 10L), ("a", 0.25, 30L), ("b", 1.0, 5L))
       .toDF("k", "x", "w")
