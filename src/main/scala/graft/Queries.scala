@@ -2850,6 +2850,51 @@ object Queries {
       | count(*) AS n_docs
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** Length-bucketed batch packing with the padding-waste metric: docs go
+    * to power-of-two token-length buckets (floor(log2 n) computed
+    * INTEGER-exactly as len(bin(n))-1 — float log2 would risk off-by-one
+    * at exact powers), fixed-size batches of 32 are enumerated per bucket,
+    * and each batch reports `padding_waste` = max·count − sum, the tokens
+    * a pad-to-longest collator would burn — the efficiency signal bucketed
+    * batching exists to minimize. Like q88, the window parallelizes across
+    * buckets (log-many keys); at 100 TB the same op would batch within
+    * (bucket, partition) locally — the global enumeration here is the
+    * deterministic formulation the hash gate requires.
+    */
+  val lengthBatches: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("int"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr("CAST((rn - 1) div 32 AS BIGINT)"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("batch_size"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"),
+        (max(col("n_tok")) * count(lit(1)) - sum(col("n_tok"))).as("padding_waste"))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
+  val lengthBatchesSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_tok,
+      |    CAST(length(bin(n_tok)) - 1 AS INTEGER) AS bucket
+      |  FROM d WHERE n_tok > 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      |  FROM b)
+      |SELECT bucket, (rn - 1) // 32 AS batch_id,
+      | CAST(count(*) AS BIGINT) AS batch_size,
+      | CAST(max(n_tok) AS BIGINT) AS max_tok,
+      | CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      | CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padding_waste
+      |FROM r GROUP BY bucket, (rn - 1) // 32
+      |ORDER BY bucket, batch_id""".stripMargin
+
   // ==================================== corpus quality / mixing signals
 
   /** Gopher-style per-document repetition signals (Rae et al. '21 §A1.1
@@ -3133,6 +3178,7 @@ object Queries {
     "q113_salted_agg" -> saltedAgg,
     "q114_merge_schema" -> mergeSchemaRead,
     "q115_weighted_quality" -> weightedQuality,
+    "q116_length_batches" -> lengthBatches,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3250,5 +3296,6 @@ object Queries {
     "q112_compact" -> compactRoundtripSql,
     "q113_salted_agg" -> saltedAggSql,
     "q114_merge_schema" -> mergeSchemaReadSql,
-    "q115_weighted_quality" -> weightedQualitySql)
+    "q115_weighted_quality" -> weightedQualitySql,
+    "q116_length_batches" -> lengthBatchesSql)
 }
