@@ -118,6 +118,21 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(viaSql == expected)
   }
 
+  test("lengthBatches: size cap, non-negative waste, doc conservation") {
+    val rows = Queries.lengthBatches(spark, sfDir)
+      .select($"batch_size", $"max_tok", $"sum_tok", $"padding_waste")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sz, mx, sm, waste) =>
+      assert(sz >= 1 && sz <= 32)
+      assert(waste == mx * sz - sm && waste >= 0)
+    }
+    // every tokenized doc lands in exactly one batch
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(graft.ops.TextStats.tokenCount(lower($"text")) > 0).count()
+    assert(rows.map(_._1).sum == nDocs)
+  }
+
   test("ngramNovelty: sum of n_unique equals the global df=1 gram count") {
     val out = Queries.ngramNovelty(spark, sfDir)
       .select($"doc_id", $"n_bigrams", $"n_unique", $"novelty")
