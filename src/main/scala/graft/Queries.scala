@@ -2895,6 +2895,39 @@ object Queries {
       |FROM r GROUP BY bucket, (rn - 1) // 32
       |ORDER BY bucket, batch_id""".stripMargin
 
+  /** Incremental ingest dedup ([[graft.ops.Dedup.incrementalNew]]): a 10%
+    * "incoming batch" (doc_id ≡ 0 mod 10) screened against the other 90%
+    * "existing corpus" — per incoming doc, is its exact content new, and
+    * is it outside Hamming radius 8 of every corpus simhash? The oracle
+    * recomputes both flags with NOT EXISTS over the SQL-recomputable
+    * md5-simhash fingerprints (the pigeonhole chunk recall is exact, so
+    * the bucketed path must agree row-for-row). An exact duplicate is by
+    * construction also a near duplicate (radius 0), which the spec
+    * asserts as an implication invariant.
+    */
+  val incrementalDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalNew(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      incoming = docs.filter(col("doc_id") % 10 === 0))
+      .select(col("id").as("doc_id"), col("exact_new"), col("near_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH $md5SimhashCte,
+      |xf AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS xfp
+      |  FROM documents),
+      |j AS (SELECT f.doc_id, f.fp, x.xfp FROM fps f JOIN xf x USING (doc_id)),
+      |inc AS (SELECT * FROM j WHERE doc_id % 10 = 0),
+      |cor AS (SELECT * FROM j WHERE doc_id % 10 <> 0)
+      |SELECT i.doc_id,
+      | NOT EXISTS (SELECT 1 FROM cor c WHERE c.xfp = i.xfp) AS exact_new,
+      | NOT EXISTS (SELECT 1 FROM cor c
+      |             WHERE bit_count(xor(c.fp, i.fp)) <= 8) AS near_new
+      |FROM inc i ORDER BY i.doc_id""".stripMargin
+
   // ==================================== corpus quality / mixing signals
 
   /** Gopher-style per-document repetition signals (Rae et al. '21 §A1.1
@@ -3179,6 +3212,7 @@ object Queries {
     "q114_merge_schema" -> mergeSchemaRead,
     "q115_weighted_quality" -> weightedQuality,
     "q116_length_batches" -> lengthBatches,
+    "q117_incremental_dedup" -> incrementalDedup,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3297,5 +3331,6 @@ object Queries {
     "q113_salted_agg" -> saltedAggSql,
     "q114_merge_schema" -> mergeSchemaReadSql,
     "q115_weighted_quality" -> weightedQualitySql,
-    "q116_length_batches" -> lengthBatchesSql)
+    "q116_length_batches" -> lengthBatchesSql,
+    "q117_incremental_dedup" -> incrementalDedupSql)
 }

@@ -347,6 +347,50 @@ object Dedup {
     labels
   }
 
+  /** Ingest-time incremental dedup: flag each INCOMING doc as `exact_new`
+    * (normalized-content fingerprint unseen in the existing corpus) and
+    * `near_new` (no corpus simhash within `maxHammingDistance`) — the
+    * day-N+1 ingest path, where a fresh crawl batch is screened against
+    * the lake before admission. CROSS-table, not self-join: the corpus
+    * streams once through the same pigeonhole chunk projection as
+    * [[simhashPairs]] (recall within the radius is exact, not
+    * probabilistic), the joins are keyed on (chunk, value) and the
+    * fingerprint, and every output and aggregate is bounded by the
+    * INCOMING batch — nothing scales with corpus × corpus. Docs whose
+    * token stream is empty (NULL simhash) are excluded from both sides,
+    * mirroring [[simhashClusters]].
+    */
+  def incrementalNew(corpus: DataFrame, incoming: DataFrame,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     maxHammingDistance: Int = 8): DataFrame = {
+    require(maxHammingDistance >= 0 && maxHammingDistance < 32,
+      "maxHammingDistance in [0, 32)")
+    val chunks = maxHammingDistance + 1
+    def prep(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      TextStats.fingerprint(col(textCol)).as("xfp"),
+      VectorExpressions.md5_simhash60(
+        TextStats.tokens(lower(col(textCol)))).as("fp"))
+      .filter(col("fp").isNotNull)
+    val inc = pin(prep(incoming))
+    val cor = pin(prep(corpus))
+    def keyed(df: DataFrame): DataFrame = df.select(col("id"), col("fp"),
+      posexplode(array((0 until chunks).map(chunkVal(col("fp"), _, chunks)): _*))
+        .as(Seq("chunk", "ck")))
+    val exactSeen = cor.select(col("xfp")).distinct()
+      .withColumn("seen", lit(true))
+    val nearSeen = keyed(inc).as("l")
+      .join(keyed(cor).as("r"), col("l.chunk") === col("r.chunk") &&
+        col("l.ck") === col("r.ck") &&
+        bit_count(col("l.fp").bitwiseXOR(col("r.fp"))) <= maxHammingDistance)
+      .select(col("l.id")).distinct()
+      .withColumn("nseen", lit(true))
+    inc.join(exactSeen, Seq("xfp"), "left")
+      .join(nearSeen, Seq("id"), "left")
+      .select(col("id"),
+        (!coalesce(col("seen"), lit(false))).as("exact_new"),
+        (!coalesce(col("nseen"), lit(false))).as("near_new"))
+  }
+
   // ------------------------------------------------- cluster formation
 
   /** Connected components over a near-dup pair list: iterative min-label

@@ -133,6 +133,28 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(rows.map(_._1).sum == nDocs)
   }
 
+  test("incrementalNew: exact duplicate implies near duplicate; batch-bounded output") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // plant a verbatim copy of a corpus doc in the incoming batch so the
+    // exact path is exercised even though the testdata has no exact dups
+    val planted = docs.filter($"doc_id" === 1)
+      .select(lit(900001L).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
+    val incoming = docs.filter($"doc_id" % 10 === 0).unionByName(planted)
+    val out = graft.ops.Dedup.incrementalNew(
+      corpus = docs.filter($"doc_id" % 10 =!= 0), incoming = incoming)
+      .select($"id", $"exact_new", $"near_new")
+      .as[(Long, Boolean, Boolean)].collect()
+    graft.ops.Dedup.releaseCaches()
+    assert(out.length <= incoming.count())
+    // the planted copy must be flagged seen on BOTH paths
+    val p = out.find(_._1 == 900001L).get
+    assert(!p._2 && !p._3, s"planted verbatim copy flagged new: $p")
+    // exact dup => hamming 0 => near dup (implication, never violated)
+    out.foreach { case (id, exactNew, nearNew) =>
+      assert(exactNew || !nearNew, s"doc $id: exact dup but near_new=true")
+    }
+  }
+
   test("ngramNovelty: sum of n_unique equals the global df=1 gram count") {
     val out = Queries.ngramNovelty(spark, sfDir)
       .select($"doc_id", $"n_bigrams", $"n_unique", $"novelty")
