@@ -73,7 +73,13 @@ object ScaleBench {
     "repetition_signals" -> ((s, d) =>
       graft.Queries.repetitionSignals(s, d).count()),
     "domain_mix" -> ((s, d) => graft.Queries.domainMix(s, d).count()),
-    "ngram_novelty" -> ((s, d) => graft.Queries.ngramNovelty(s, d).count()))
+    "ngram_novelty" -> ((s, d) => graft.Queries.ngramNovelty(s, d).count()),
+    // cross-table ingest screen: output bounded by the incoming batch
+    "incremental_new" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.incrementalNew(dd.filter(col("doc_id") % 10 =!= 0),
+        dd.filter(col("doc_id") % 10 === 0)).count()
+    }))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
