@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.{Queries, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: passage-level exact dedup, temperature mixture
+  * weighting, stratified splits, RAG chunking, vocabulary stats, and
+  * histogram-exact winsorization — the invariants behind q118–q123.
+  */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // ------------------------------------------------- q118 passage dedup
+
+  test("passage dedup conserves the distinct-fingerprint count") {
+    val out = Queries.passageDedup(spark, sfDir)
+    val keptTotal = out.agg(sum($"n_kept")).as[Long].head()
+    // ground truth recomputed independently: one survivor per distinct
+    // 20-token passage string across the corpus
+    val distinctPassages = docs
+      .select($"doc_id", TextStats.tokens($"text").as("tok"))
+      .filter(size($"tok") > 0)
+      .select(posexplode(transform(
+        sequence(lit(0), expr("CAST((size(tok) + 19) div 20 AS INT)") - 1),
+        w => array_join(slice($"tok", w * 20 + 1, lit(20)), " "))))
+      .select($"col").distinct().count()
+    assert(keptTotal == distinctPassages)
+    val bad = out.filter($"n_kept" > $"n_passages" || $"n_kept" < 0).count()
+    assert(bad == 0)
+  }
+
+  test("passage dedup: a verbatim duplicate document keeps nothing") {
+    val a = Seq((1L, Seq.fill(3)("alpha beta gamma delta epsilon zeta eta " +
+      "theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+      .mkString(" ")))
+    val dup = (a :+ (2L, a.head._2)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pd").toString
+    dup.write.parquet(s"$tmp/documents.parquet")
+    val out = Queries.passageDedup(spark, tmp).collect()
+    // doc 1 keeps exactly one passage (its 3 windows are identical); doc 2
+    // (a byte-copy) keeps zero and therefore vanishes from the output
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    assert(out.head.getAs[Long]("n_kept") == 1L)
+    assert(out.head.getAs[Long]("n_passages") == 3L)
+  }
+
+  // ------------------------------------------------- q119 temperature mix
+
+  test("temperature mix: shares sum to 1 and upsampling is monotone") {
+    val rows = Queries.temperatureMix(spark, sfDir)
+      .select($"p_data", $"p_sample", $"repeat_factor")
+      .as[(Double, Double, Double)].collect()
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    // α < 1 flattens the distribution: smaller p_data ⇒ larger repeat factor
+    val sorted = rows.sortBy(_._1)
+    val factors = sorted.map(_._3)
+    assert(factors.zip(factors.tail).forall { case (a, b) => a >= b },
+      s"repeat factors not monotone non-increasing in p: ${factors.toSeq}")
+    // the largest source is downsampled (<1), the smallest upsampled (>1)
+    assert(factors.head > 1.0 && factors.last < 1.0)
+  }
+
+  // ------------------------------------------------- q120 stratified split
+
+  test("stratified split partitions the corpus with stable membership") {
+    val out = Queries.stratifiedSplit(spark, sfDir)
+    assert(out.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    val splits = out.select($"split").distinct().as[String].collect().toSet
+    assert(splits == Set("train", "val", "test"))
+    // ~90% of docs land in train overall (md5-uniform, so ±5% slack at sf0.001)
+    val byName = out.groupBy($"split").agg(sum($"n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val frac = byName("train").toDouble / docs.count()
+    assert(frac > 0.85 && frac < 0.95, s"train fraction $frac")
+  }
+
+  // ------------------------------------------------- q121 rag chunks
+
+  test("rag chunks tile every document: stride 48, full coverage, ragged tail") {
+    val out = Queries.ragChunks(spark, sfDir)
+    // starts follow chunk_id * 48 + 1 exactly
+    assert(out.filter($"start_tok" =!= $"chunk_id" * 48 + 1).count() == 0)
+    assert(out.filter($"len_tok" < 1 || $"len_tok" > 64).count() == 0)
+    // the last chunk of each doc ends at the doc's token count
+    val lens = docs.select($"doc_id",
+      size(TextStats.tokens($"text")).cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+    val lastEnd = out.groupBy($"doc_id")
+      .agg(max($"start_tok" + $"len_tok" - 1).as("end_tok"),
+        count(lit(1)).as("n_chunks"))
+    val joined = lastEnd.join(lens, "doc_id")
+    assert(joined.filter($"end_tok" =!= $"n_tok").count() == 0)
+    // chunk count matches the closed form
+    val wrong = joined.filter($"n_chunks" =!=
+      when($"n_tok" <= 64, lit(1L))
+        .otherwise(expr("CAST((n_tok - 17) div 48 AS BIGINT) + 1"))).count()
+    assert(wrong == 0)
+  }
+
+  // ------------------------------------------------- q122 vocab growth
+
+  test("vocab growth: vocabulary bounds and hapax containment") {
+    val rows = Queries.vocabGrowth(spark, sfDir)
+      .select($"total_tok", $"vocab", $"hapax", $"ttr", $"top_share")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tot, vocab, hapax, ttr, top) =>
+      assert(vocab <= tot && hapax <= vocab)
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(top > 0.0 && top <= 1.0)
+    }
+  }
+
+  // ------------------------------------------------- q123 winsorize
+
+  test("winsorize: bounds are order statistics and clip counts respect ranks") {
+    val rows = Queries.winsorizeQuality(spark, sfDir)
+      .select($"n_docs", $"p05", $"p95", $"mean_q", $"mean_q_wins",
+        $"n_clipped_lo", $"n_clipped_hi")
+      .as[(Long, Double, Double, Double, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, lo, hi, _, mw, nLo, nHi) =>
+      assert(lo <= hi)
+      assert(mw >= lo - 1e-9 && mw <= hi + 1e-9)
+      // strictly-below-p05 rows number fewer than rank ceil(0.05 n); same
+      // above p95 by symmetry of the rank definition
+      assert(nLo < (n * 5 + 99) / 100, s"n_clipped_lo=$nLo n=$n")
+      assert(nHi <= n - (n * 95 + 99) / 100, s"n_clipped_hi=$nHi n=$n")
+    }
+  }
+
+  test("winsorize: clipping at exact p0/p100 is the identity") {
+    // degenerate check on a single-lang frame: with every value inside
+    // [lo, hi], the winsorized mean equals the raw mean
+    val out = Queries.winsorizeQuality(spark, sfDir)
+    val same = out.filter($"n_clipped_lo" === 0 && $"n_clipped_hi" === 0)
+      .filter($"mean_q" =!= $"mean_q_wins").count()
+    assert(same == 0)
+  }
+}
