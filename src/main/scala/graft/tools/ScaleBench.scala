@@ -74,6 +74,17 @@ object ScaleBench {
       graft.Queries.repetitionSignals(s, d).count()),
     "domain_mix" -> ((s, d) => graft.Queries.domainMix(s, d).count()),
     "ngram_novelty" -> ((s, d) => graft.Queries.ngramNovelty(s, d).count()),
+    // round-5 corpus-surgery family (q118-q123): passage dedup's
+    // first-occurrence hash agg, single-scan mixture/split layouts,
+    // row-local chunk enumeration, vocab aggregation, and histogram-exact
+    // winsorization — all designed to shuffle fingerprints/aggregates,
+    // never corpus rows.
+    "passage_dedup" -> ((s, d) => graft.Queries.passageDedup(s, d).count()),
+    "temperature_mix" -> ((s, d) => graft.Queries.temperatureMix(s, d).count()),
+    "stratified_split" -> ((s, d) => graft.Queries.stratifiedSplit(s, d).count()),
+    "rag_chunks" -> ((s, d) => graft.Queries.ragChunks(s, d).count()),
+    "vocab_growth" -> ((s, d) => graft.Queries.vocabGrowth(s, d).count()),
+    "winsorize_quality" -> ((s, d) => graft.Queries.winsorizeQuality(s, d).count()),
     // cross-table ingest screen: output bounded by the incoming batch
     "incremental_new" -> ((s, d) => {
       val dd = docs(s, d)
