@@ -67,6 +67,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "image_dims_packed(bin) - PNG/JPEG dims as fmt(2b)|w(31b)|h(31b), NULL if unrecognized"),
       (args: Seq[Expression]) =>
         graft.functions.ImageExpressions.ImageDimsPacked(args.head)))
+    e.injectFunction((FunctionIdentifier("audio_meta_packed"),
+      info("audio_meta_packed",
+        "audio_meta_packed(bin) - WAV meta as dataBytes(33b)|rate(20b)|bits(6b)|ch(4b), NULL if unrecognized"),
+      (args: Seq[Expression]) =>
+        graft.functions.AudioExpressions.AudioMetaPacked(args.head)))
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(key, expectedItems) - bloom filter (binary) over xxhash64(key)"),
+      (args: Seq[Expression]) => GraftExtensions.bloomAggFromArgs(args)))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, key) - containment probe; false = definitely absent"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))))
   }
 }
 
@@ -109,6 +125,17 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("image_dims_packed",
       (args: Seq[Expression]) =>
         graft.functions.ImageExpressions.ImageDimsPacked(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_meta_packed",
+      (args: Seq[Expression]) =>
+        graft.functions.AudioExpressions.AudioMetaPacked(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_agg",
+      (args: Seq[Expression]) => bloomAggFromArgs(args), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1)))),
+      "scala_udf")
     // custom typed AGGREGATE (Aggregator via udaf) — a different
     // registration path than expression injection
     spark.udf.register("weighted_mean", graft.functions.Aggregators.weighted_mean)
@@ -120,6 +147,11 @@ object GraftExtensions {
     case other =>
       throw new IllegalArgumentException(s"$what must be a literal, got $other")
   }
+
+  private[graft] def bloomAggFromArgs(args: Seq[Expression]): Expression =
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)),
+      litInt(args(1), "bloom_agg expectedItems"))
 
   private[graft] def srpFromArgs(args: Seq[Expression]): Expression =
     VectorExpressions.SrpBucket(args.head,

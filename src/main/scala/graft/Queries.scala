@@ -3398,6 +3398,96 @@ object Queries {
       |FROM scored s JOIN b USING (lang)
       |GROUP BY s.lang ORDER BY s.lang""".stripMargin
 
+  /** Bloom-pruned exact semi join ([[graft.ops.BloomJoin]]): lineitems of
+    * urgent finished orders, with the fact side prefiltered by a bloom
+    * filter over the qualifying order keys before the exact semi join.
+    * Bloom FPs are removed by the semi join and FNs are impossible, so
+    * the result is row-identical to the plain semi join — which is the
+    * oracle (WHERE EXISTS). At 100 TB the `might_contain` predicate runs
+    * scan-side and cuts the fact shuffle to rows that can possibly match;
+    * the filter itself is a few MB broadcast regardless of corpus size.
+    */
+  val bloomSemiJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val hot = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+    graft.ops.BloomJoin.semiJoin(li, hot, "l_orderkey", "o_orderkey",
+        expectedItems = 1 << 20)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bloomSemiJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'
+      |    AND o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Audio-header decode over binary media columns (the WAV sibling of
+    * q30's PNG/JPEG gate; [[graft.functions.AudioExpressions]]): fixture
+    * RIFF/WAVE payloads are synthesized per row — odd doc_ids get a LIST
+    * chunk BEFORE "fmt " so the decoder must walk chunks, not read fixed
+    * offsets; doc_id%3==2 rows carry raw text bytes and must decode to
+    * NULLs. The oracle recomputes the planted rate/channels/width/size
+    * arithmetically, so the gate proves the little-endian encode→parse
+    * round-trip including the integer-exact duration derivation.
+    */
+  val audioMeta: Q = (s, dir) => {
+    import graft.functions.AudioExpressions._
+    def le32(c: Column) = {
+      val h = lpad(hex(c), 8, "0")
+      unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2)))
+    }
+    def le16(c: Column) = {
+      val h = lpad(hex(c), 4, "0")
+      unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+    }
+    val rate = (lit(8000L) + (col("doc_id") % 4) * 8000L)
+    val ch = (lit(1L) + col("doc_id") % 2)
+    val bits = lit(16L)
+    val dataBytes = (col("n_chars") * 4L)
+    val fmtChunk = concat(lit("fmt ").cast("binary"), le32(lit(16L)),
+      le16(lit(1L)), le16(ch), le32(rate), le32(rate * ch * 2L),
+      le16(ch * 2L), le16(bits))
+    val listChunk = concat(lit("LIST").cast("binary"), le32(lit(4L)),
+      lit("INFO").cast("binary"))
+    val dataChunk = concat(lit("data").cast("binary"), le32(dataBytes))
+    val wav = concat(lit("RIFF").cast("binary"), le32(dataBytes + 36L),
+      lit("WAVE").cast("binary"),
+      when(col("doc_id") % 2 === 1, listChunk)
+        .otherwise(lit(Array.emptyByteArray)),
+      fmtChunk, dataChunk)
+    val payload = when(col("doc_id") % 3 === 2, col("text").cast("binary"))
+      .otherwise(wav)
+    t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), payload.as("payload"))
+      .select(col("media_id"),
+        audio_format(col("payload")).as("fmt"),
+        audio_sample_rate(col("payload")).as("sample_rate"),
+        audio_channels(col("payload")).as("channels"),
+        audio_bits(col("payload")).as("bits"),
+        audio_data_bytes(col("payload")).as("data_bytes"),
+        audio_duration_ms(col("payload")).as("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  val audioMetaSql: String =
+    """SELECT doc_id AS media_id,
+      | CASE WHEN doc_id % 3 <> 2 THEN 'wav' END AS fmt,
+      | CAST(CASE WHEN doc_id % 3 <> 2 THEN 8000 + (doc_id % 4) * 8000 END AS INTEGER) AS sample_rate,
+      | CAST(CASE WHEN doc_id % 3 <> 2 THEN 1 + doc_id % 2 END AS INTEGER) AS channels,
+      | CAST(CASE WHEN doc_id % 3 <> 2 THEN 16 END AS INTEGER) AS bits,
+      | CASE WHEN doc_id % 3 <> 2 THEN n_chars * 4 END AS data_bytes,
+      | CASE WHEN doc_id % 3 <> 2 THEN (n_chars * 4 * 8000)
+      |   // ((8000 + (doc_id % 4) * 8000) * (1 + doc_id % 2) * 16) END AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -3523,6 +3613,8 @@ object Queries {
     "q121_rag_chunks" -> ragChunks,
     "q122_vocab_growth" -> vocabGrowth,
     "q123_winsorize_quality" -> winsorizeQuality,
+    "q124_bloom_semi_join" -> bloomSemiJoin,
+    "q125_audio_meta" -> audioMeta,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3648,5 +3740,7 @@ object Queries {
     "q120_stratified_split" -> stratifiedSplitSql,
     "q121_rag_chunks" -> ragChunksSql,
     "q122_vocab_growth" -> vocabGrowthSql,
-    "q123_winsorize_quality" -> winsorizeQualitySql)
+    "q123_winsorize_quality" -> winsorizeQualitySql,
+    "q124_bloom_semi_join" -> bloomSemiJoinSql,
+    "q125_audio_meta" -> audioMetaSql)
 }

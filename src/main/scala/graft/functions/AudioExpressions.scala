@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WAV/RIFF header decoding over opaque `binary` media columns — the audio
+  * sibling of [[ImageExpressions]]: the RIFF container is a public byte
+  * layout (Microsoft/IBM WAVE spec, RIFF 1991), so rate/channels/width
+  * extraction needs no codec library.
+  *
+  * Layout: "RIFF" + u32le riffSize + "WAVE", then a chunk walk —
+  * id(4) + u32le size + payload (padded to even length) — for the
+  * "fmt " chunk (audioFormat u16le, channels u16le, sampleRate u32le,
+  * byteRate u32le, blockAlign u16le, bitsPerSample u16le) and the "data"
+  * chunk, whose DECLARED size is read from the chunk header (the payload
+  * itself is never touched — header sniffing must work on a first-bytes
+  * prefix of a 100 MB file).
+  *
+  * The parse runs once per row in generated code and packs
+  * (dataBytes, rate, bits, channels) into one long —
+  * `dataBytes(33 bits) | rate(20) | bits(6) | channels(4)` — decoded back
+  * with plain bit-op expressions, so the whole decode stays inside
+  * whole-stage codegen with a single custom expression. Unrecognized /
+  * truncated / out-of-range payloads → NULL.
+  */
+object AudioExpressions {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
+  /** Parse a WAV header; 0 when unrecognized (maps to NULL). */
+  def metaPacked(b: Array[Byte]): Long = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return 0L
+    var i = 12
+    var rate = 0L; var channels = 0; var bits = 0; var haveFmt = false
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return 0L
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+        haveFmt = true
+      } else if (tag(b, i, "data")) {
+        // declared size only; payload may be absent from the prefix
+        if (!haveFmt) return 0L
+        if (rate <= 0 || rate >= (1L << 20) || channels <= 0 || channels >= 16 ||
+            bits <= 0 || bits >= 64 || size >= (1L << 33)) return 0L
+        return (size << 30) | (rate << 10) | (bits.toLong << 4) | channels.toLong
+      }
+      // chunk payloads are padded to even length
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    0L
+  }
+
+  /** binary → packed (dataBytes|rate|bits|channels) long; NULL otherwise. */
+  case class AudioMetaPacked(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val packed = AudioExpressions.metaPacked(input.asInstanceOf[Array[Byte]])
+      if (packed == 0L) null else java.lang.Long.valueOf(packed)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val packed = ctx.freshName("packed")
+        val cls = AudioExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |long $packed = $cls.metaPacked($bin);
+           |if ($packed == 0L) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  private def packedCol(bin: Column): Column =
+    GraftColumnBridge.column(AudioMetaPacked(GraftColumnBridge.expression(bin)))
+
+  def audio_format(bin: Column): Column =
+    when(packedCol(bin).isNotNull, "wav")
+
+  def audio_sample_rate(bin: Column): Column =
+    shiftrightunsigned(packedCol(bin), 10).bitwiseAND((1L << 20) - 1).cast("int")
+
+  def audio_channels(bin: Column): Column =
+    packedCol(bin).bitwiseAND(0xfL).cast("int")
+
+  def audio_bits(bin: Column): Column =
+    shiftrightunsigned(packedCol(bin), 4).bitwiseAND(0x3fL).cast("int")
+
+  def audio_data_bytes(bin: Column): Column =
+    shiftrightunsigned(packedCol(bin), 30)
+
+  /** Declared-payload duration in ms: bytes·8000 div (rate·channels·bits),
+    * exact integer arithmetic (Catalyst `IntegralDivide`, same semantics
+    * as SQL `div` / DuckDB `//` — Column `/` would be double division,
+    * whose float rounding can cross an integer boundary).
+    */
+  def audio_duration_ms(bin: Column): Column = {
+    val p = packedCol(bin)
+    val rate = shiftrightunsigned(p, 10).bitwiseAND((1L << 20) - 1)
+    val ch = p.bitwiseAND(0xfL)
+    val bits = shiftrightunsigned(p, 4).bitwiseAND(0x3fL)
+    val bytes = shiftrightunsigned(p, 30)
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftColumnBridge.expression(bytes * 8000L),
+        GraftColumnBridge.expression(rate * ch * bits)))
+  }
+}
