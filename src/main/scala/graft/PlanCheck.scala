@@ -13,7 +13,9 @@ object PlanCheck {
       else Seq("q01_gold_flagship", "q11_filter_pushdown", "q21_dedup_minhash",
         "q24_simsearch_brute", "q13_window_topk", "q92_reservoir_sample",
         "q91_contamination", "q22_dedup_simhash", "q104_repetition_signals",
-        "q105_domain_mix", "q106_ngram_novelty", "q110_salted_join")
+        "q105_domain_mix", "q106_ngram_novelty", "q110_salted_join",
+        "q118_passage_dedup", "q123_winsorize_quality", "q124_bloom_semi_join",
+        "q126_token_surprisal")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -3488,6 +3488,50 @@ object Queries {
       |   // ((8000 + (doc_id % 4) * 8000) * (1 + doc_id % 2) * 16) END AS duration_ms
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Unigram surprisal scoring (the perplexity-proxy LM filter of
+    * Wenzek et al. '20 CCNet §4.3, unigram variant): train a unigram LM on
+    * the corpus itself (token frequencies), score each document by its
+    * mean −ln p(token). High surprisal = unusual token mix (noise, rare
+    * boilerplate); low = prototypical text — the standard cheap ranking
+    * before an expensive LM pass. Scale shape: the token table is pinned
+    * once and feeds BOTH the frequency aggregation and the scoring join
+    * (the q91/q106 lesson); the model side is (vocab)-sized, joined on the
+    * token key — never broadcast (vocab can reach 10^8 at 100 TB) and
+    * never a corpus sort. Cross-engine determinism: per-token −ln p is
+    * rounded to 8 decimals and decimal-summed, so association order
+    * cannot move the mean.
+    */
+  val tokenSurprisal: Q = (s, dir) => {
+    val toks = Dedup.pin(
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("tok")))
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freqs.agg(sum(col("c")).as("total"))
+    val scored = freqs.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(-log(col("c").cast("double") / col("total").cast("double")), 8)
+          .cast("decimal(18,8)").as("s"))
+    toks.join(scored, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round((sum(col("s")).cast("double") / count(lit(1))), 6).as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenSurprisalSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |            FROM documents),
+      |f AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+      |t AS (SELECT sum(c) AS total FROM f),
+      |sc AS (SELECT tok,
+      |         CAST(round(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)), 8)
+      |           AS DECIMAL(18,8)) AS s
+      |       FROM f, t)
+      |SELECT doc_id, count(*) AS n_tok,
+      | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
+      |FROM tk JOIN sc USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -3615,6 +3659,7 @@ object Queries {
     "q123_winsorize_quality" -> winsorizeQuality,
     "q124_bloom_semi_join" -> bloomSemiJoin,
     "q125_audio_meta" -> audioMeta,
+    "q126_token_surprisal" -> tokenSurprisal,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3742,5 +3787,6 @@ object Queries {
     "q122_vocab_growth" -> vocabGrowthSql,
     "q123_winsorize_quality" -> winsorizeQualitySql,
     "q124_bloom_semi_join" -> bloomSemiJoinSql,
-    "q125_audio_meta" -> audioMetaSql)
+    "q125_audio_meta" -> audioMetaSql,
+    "q126_token_surprisal" -> tokenSurprisalSql)
 }

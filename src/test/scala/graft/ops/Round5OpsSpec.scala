@@ -134,6 +134,22 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- q126 surprisal
+
+  test("surprisal: positive, bounded by ln(corpus), token-conserving") {
+    val toks = docs.select(explode(TextStats.tokens(lower($"text"))).as("t"))
+    val total = toks.count()
+    val out = Queries.tokenSurprisal(spark, sfDir)
+    assert(out.agg(sum($"n_tok")).as[Long].head() == total)
+    val maxS = math.log(total.toDouble) + 1e-6 // hapax bound: −ln(1/total)
+    val bad = out.filter($"avg_surprisal" <= 0.0 || $"avg_surprisal" > maxS).count()
+    assert(bad == 0)
+    // a doc of only hapax tokens would hit the bound; the corpus mean must
+    // sit strictly inside (sanity that the model isn't degenerate)
+    val mean = out.agg(avg($"avg_surprisal")).as[Double].head()
+    assert(mean > 0.0 && mean < maxS)
+  }
+
   test("winsorize: clipping at exact p0/p100 is the identity") {
     // degenerate check on a single-lang frame: with every value inside
     // [lo, hi], the winsorized mean equals the raw mean
