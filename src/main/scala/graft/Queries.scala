@@ -3532,6 +3532,111 @@ object Queries {
       |FROM tk JOIN sc USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus snapshot diff — the ingest-ops primitive behind incremental
+    * re-training decisions ("what changed since the last crawl?"): two
+    * deterministic synthetic snapshots of the documents table (old = ids
+    * not ≡0 mod 7; new = ids not ≡0 mod 5, with ids ≡0 mod 11 textually
+    * revised) are full-outer-joined on doc_id and every doc classified
+    * added / removed / changed / unchanged by content fingerprint.
+    * One shuffle keyed on doc_id; the 16-byte fingerprints travel, never
+    * the text (the exact-dedup shuffle discipline).
+    */
+  val snapshotDiff: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("lang").as("lang_a"),
+        TextStats.fingerprint(col("text")).as("ofp"))
+    val nw = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang").as("lang_b"),
+        TextStats.fingerprint(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("nfp"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
+        when(col("ofp").isNull, "added")
+          .when(col("nfp").isNull, "removed")
+          .when(col("ofp") =!= col("nfp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("status"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old AS (SELECT doc_id, lang,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ofp
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |nw AS (SELECT doc_id, lang,
+      |    md5(trim(regexp_replace(lower(
+      |      CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END),
+      |      '\s+', ' ', 'g'))) AS nfp
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT coalesce(old.lang, nw.lang) AS lang,
+      | CASE WHEN ofp IS NULL THEN 'added'
+      |      WHEN nfp IS NULL THEN 'removed'
+      |      WHEN ofp <> nfp THEN 'changed'
+      |      ELSE 'unchanged' END AS status,
+      | count(*) AS n_docs
+      |FROM old FULL OUTER JOIN nw USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Blocked fuzzy nearest-neighbor match (entity-resolution shape): for
+    * each part, the closest DIFFERENTLY-NAMED part by Levenshtein ≤ 4,
+    * candidates restricted to the same blocking key (the name's final
+    * word). Two scale disciplines compose: (1) blocking keeps the edit
+    * distance off the full cross product; (2) the pairwise work runs over
+    * DISTINCT names only — real catalogs repeat names heavily (here 20k
+    * parts share ~120 names), and distinct-entity cardinality grows
+    * sublinearly, so the quadratic stage is corpus-size-independent while
+    * every corpus-sized step is a broadcast join. (A first cut joined raw
+    * rows: 66M levenshtein evals at sf0.1, ~2 min — the distinct-first
+    * formulation is ~10^4× fewer.) The arg-min packs (dist ‖ name) into a
+    * lexicographic min (the q28 argmax trick), deterministic on ties; the
+    * reported nn_id is the min part id bearing the matched name.
+    */
+  val fuzzyBlockedMatch: Q = (s, dir) => {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("nm"))
+    val names = Dedup.pin(
+      p.select(col("nm")).distinct()
+        .withColumn("blk", element_at(split(col("nm"), " "), -1)))
+    val reps = p.groupBy(col("nm")).agg(min(col("id")).as("rep_id"))
+    val nn = names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.nm") =!= col("b.nm"))
+      .select(col("a.nm").as("nm"), col("b.nm").as("cand_nm"),
+        levenshtein(col("a.nm"), col("b.nm")).as("d"))
+      .filter(col("d") <= 4)
+      .groupBy(col("nm"))
+      .agg(min(concat(lpad(col("d").cast("string"), 3, "0"), col("cand_nm")))
+        .as("pk"))
+      .select(col("nm"),
+        substring(col("pk"), 1, 3).cast("int").as("nn_dist"),
+        col("pk").substr(lit(4), length(col("pk")) - 3).as("nn_nm"))
+      .join(reps.select(col("nm").as("nn_nm"), col("rep_id").as("nn_id")),
+        Seq("nn_nm"))
+    p.join(broadcast(nn.select(col("nm"), col("nn_dist"), col("nn_id"))),
+        Seq("nm"))
+      .select(col("id").as("p_partkey"), col("nn_dist"), col("nn_id"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val fuzzyBlockedMatchSql: String =
+    """WITH p AS (SELECT p_partkey AS id, lower(p_name) AS nm FROM part),
+      |names AS (SELECT DISTINCT nm, string_split(nm, ' ')[-1] AS blk FROM p),
+      |reps AS (SELECT nm, min(id) AS rep_id FROM p GROUP BY nm),
+      |c AS (SELECT a.nm AS nm, b.nm AS cand_nm, levenshtein(a.nm, b.nm) AS d
+      |      FROM names a JOIN names b ON a.blk = b.blk AND a.nm <> b.nm
+      |      WHERE levenshtein(a.nm, b.nm) <= 4),
+      |m AS (SELECT nm, min(lpad(CAST(d AS VARCHAR), 3, '0') || cand_nm) AS pk
+      |      FROM c GROUP BY nm),
+      |nn AS (SELECT m.nm,
+      |         CAST(substr(pk, 1, 3) AS INTEGER) AS nn_dist,
+      |         r.rep_id AS nn_id
+      |       FROM m JOIN reps r ON r.nm = substr(m.pk, 4))
+      |SELECT p.id AS p_partkey, nn_dist, nn_id
+      |FROM p JOIN nn USING (nm)
+      |ORDER BY p_partkey""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -3660,6 +3765,8 @@ object Queries {
     "q124_bloom_semi_join" -> bloomSemiJoin,
     "q125_audio_meta" -> audioMeta,
     "q126_token_surprisal" -> tokenSurprisal,
+    "q127_snapshot_diff" -> snapshotDiff,
+    "q128_fuzzy_match" -> fuzzyBlockedMatch,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3788,5 +3895,7 @@ object Queries {
     "q123_winsorize_quality" -> winsorizeQualitySql,
     "q124_bloom_semi_join" -> bloomSemiJoinSql,
     "q125_audio_meta" -> audioMetaSql,
-    "q126_token_surprisal" -> tokenSurprisalSql)
+    "q126_token_surprisal" -> tokenSurprisalSql,
+    "q127_snapshot_diff" -> snapshotDiffSql,
+    "q128_fuzzy_match" -> fuzzyBlockedMatchSql)
 }

@@ -150,6 +150,40 @@ class Round5OpsSpec extends SparkSpec {
     assert(mean > 0.0 && mean < maxS)
   }
 
+  // ------------------------------------------------- q127 snapshot diff
+
+  test("snapshot diff statuses partition the union of snapshots") {
+    val out = Queries.snapshotDiff(spark, sfDir)
+      .groupBy($"status").agg(sum($"n_docs").as("n")).as[(String, Long)]
+      .collect().toMap
+    assert(out.getOrElse("added", 0L) ==
+      docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 5 =!= 0).count())
+    assert(out.getOrElse("removed", 0L) ==
+      docs.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 5 === 0).count())
+    // changed = revised ids present in both snapshots
+    assert(out.getOrElse("changed", 0L) ==
+      docs.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 5 =!= 0 &&
+        $"doc_id" % 11 === 0).count())
+    // the four statuses partition the union of the two snapshots
+    assert(out.values.sum ==
+      docs.filter($"doc_id" % 7 =!= 0 || $"doc_id" % 5 =!= 0).count())
+  }
+
+  // ------------------------------------------------- q128 fuzzy match
+
+  test("fuzzy match: every part with a same-block distinct name gets its NN") {
+    val out = Queries.fuzzyBlockedMatch(spark, sfDir)
+    val rows = out.select($"p_partkey", $"nn_dist", $"nn_id")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    // names differ, so no distance-0 self matches; threshold respected
+    assert(rows.forall { case (_, d, _) => d >= 1 && d <= 4 })
+    // NN is symmetric in candidacy: the matched id must itself be a part
+    val ids = spark.read.parquet(s"$sfDir/part.parquet")
+      .select($"p_partkey").as[Long].collect().toSet
+    assert(rows.forall { case (id, _, nn) => ids.contains(nn) && nn != id })
+  }
+
   test("winsorize: clipping at exact p0/p100 is the identity") {
     // degenerate check on a single-lang frame: with every value inside
     // [lo, hi], the winsorized mean equals the raw mean
