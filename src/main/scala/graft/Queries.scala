@@ -3637,6 +3637,18 @@ object Queries {
       |FROM p JOIN nn USING (nm)
       |ORDER BY p_partkey""".stripMargin
 
+  /** Distributed BPE vocabulary induction ([[graft.ops.Bpe]]): the first 6
+    * merge rounds over the lowercased corpus, emitted as the merge table
+    * (round, pair, frequency). The DuckDB oracle is the unrolled 6-stage
+    * CTE chain generated by `Bpe.mergesOracleSql` — each stage recomputes
+    * its own argmax, so the gate proves pair counting, the deterministic
+    * tie rule, and the left-to-right merge application all round-trip.
+    */
+  val bpeMerges: Q = (s, dir) =>
+    graft.ops.Bpe.merges(t(s, dir, "documents"), "text", rounds = 6)
+
+  val bpeMergesSql: String = graft.ops.Bpe.mergesOracleSql(6)
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -3767,6 +3779,7 @@ object Queries {
     "q126_token_surprisal" -> tokenSurprisal,
     "q127_snapshot_diff" -> snapshotDiff,
     "q128_fuzzy_match" -> fuzzyBlockedMatch,
+    "q129_bpe_merges" -> bpeMerges,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3897,5 +3910,6 @@ object Queries {
     "q125_audio_meta" -> audioMetaSql,
     "q126_token_surprisal" -> tokenSurprisalSql,
     "q127_snapshot_diff" -> snapshotDiffSql,
-    "q128_fuzzy_match" -> fuzzyBlockedMatchSql)
+    "q128_fuzzy_match" -> fuzzyBlockedMatchSql,
+    "q129_bpe_merges" -> bpeMergesSql)
 }

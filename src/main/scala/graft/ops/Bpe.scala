@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary induction (Sennrich et al. '16 "Neural
+  * Machine Translation of Rare Words with Subword Units", §3.2) — the
+  * tokenizer-training step of an LLM data pipeline, expressed as a fixed
+  * number of fully declarative merge rounds.
+  *
+  * Scale shape: all per-round work runs on the WORD VOCABULARY (word,
+  * freq) — sublinear in the corpus (the q128 distinct-first discipline;
+  * the corpus is scanned exactly once to build it). Each round is
+  * pair-count aggregation → global argmax as a ONE-ROW frame
+  * (packed-string max, ties to the lexicographically largest pair) →
+  * broadcast cross join → non-regex `replace` of the winning pair. No
+  * driver-side loop state: the rounds chain inside one logical plan, so
+  * the whole merge table is a single job, and the per-round shuffle is
+  * (distinct pairs)-sized.
+  *
+  * Symbol sequences are space-joined characters padded with sentinel
+  * spaces (" c o l d "); `replace(seq, " a b ", " ab ")` is leftmost
+  * non-overlapping on every engine, which is exactly BPE's left-to-right
+  * merge order. End-of-word markers are omitted (a documented
+  * simplification: merges never cross word boundaries regardless, because
+  * sequences are per-word).
+  */
+object Bpe {
+
+  /** The merge table for `rounds` BPE rounds over whitespace-tokenized,
+    * lowercased `textCol`: one row per round — (merge_round, pair,
+    * pair_freq), where pair_freq is the pair's corpus frequency (weighted
+    * by word frequency) at the time it was merged.
+    */
+  def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val vocab = docs
+      .select(explode(TextStats.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        concat_ws(" ", regexp_extract_all(col("w"), lit("."), lit(0))),
+        lit(" ")).as("seq"), col("freq"))
+
+    var cur = vocab
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val best = bestPair(cur).select(lit(r).as("merge_round"),
+        col("pair"), col("pair_freq"))
+      out = Some(out.fold(best)(_.unionAll(best)))
+      cur = applyMerge(cur, best.select(col("pair")))
+    }
+    out.get.orderBy(col("merge_round"))
+  }
+
+  /** Global most-frequent adjacent symbol pair as a ONE-ROW frame:
+    * (pair, pair_freq). Deterministic tie-break — max frequency, then the
+    * lexicographically largest pair — via a zero-padded packed-string max.
+    */
+  private def bestPair(cur: DataFrame): DataFrame = {
+    val counted = cur
+      .select(col("freq"), TextStats.tokens(col("seq")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("freq"), explode(TextStats.wordBigrams(col("tk"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pf"))
+    counted
+      .agg(max(concat(lpad(col("pf").cast("string"), 12, "0"), col("pair")))
+        .as("pk"))
+      .select(
+        col("pk").substr(lit(13), length(col("pk")) - 12).as("pair"),
+        substring(col("pk"), 1, 12).cast("long").as("pair_freq"))
+  }
+
+  /** Merge the (broadcast, one-row) winning pair into every sequence. */
+  private def applyMerge(cur: DataFrame, pair: DataFrame): DataFrame =
+    cur.crossJoin(broadcast(pair))
+      .select(call_function("replace", col("seq"),
+        concat(lit(" "), col("pair"), lit(" ")),
+        concat(lit(" "),
+          call_function("replace", col("pair"), lit(" "), lit("")),
+          lit(" "))).as("seq"),
+        col("freq"))
+
+  /** The unrolled DuckDB twin of [[merges]] (the driver-gate oracle is a
+    * static SQL string, so the rounds are generated as chained CTEs that
+    * each recompute their own argmax — nothing Spark-derived is embedded).
+    */
+  def mergesOracleSql(rounds: Int): String = {
+    val head =
+      """WITH wv AS (SELECT tok AS w, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |        FROM documents) GROUP BY tok),
+        |s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+        |         || ' ' AS seq, freq FROM wv)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS pair, freq
+         |  FROM (SELECT regexp_extract_all(seq, '\\S+') AS tk, freq
+         |        FROM s${r - 1}) WHERE len(tk) >= 2),
+         |a$r AS (SELECT max(lpad(CAST(pf AS VARCHAR), 12, '0') || pair) AS pk
+         |  FROM (SELECT pair, CAST(sum(freq) AS BIGINT) AS pf
+         |        FROM p$r GROUP BY pair)),
+         |b$r AS (SELECT $r AS merge_round, substr(pk, 13) AS pair,
+         |    CAST(substr(pk, 1, 12) AS BIGINT) AS pair_freq FROM a$r),
+         |s$r AS (SELECT replace(seq, ' ' || pair || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
+         |  FROM s${r - 1}, b$r)""".stripMargin
+    }
+    val union = (1 to rounds).map(r => s"SELECT * FROM b$r")
+      .mkString(" UNION ALL ")
+    (head +: stages).mkString(",\n") +
+      s"\nSELECT merge_round, pair, pair_freq FROM ($union) ORDER BY merge_round"
+  }
+}

@@ -184,6 +184,27 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows.forall { case (id, _, nn) => ids.contains(nn) && nn != id })
   }
 
+  // ------------------------------------------------- q129 BPE
+
+  test("BPE merges: monotone frequencies, distinct pairs, prefix-stable") {
+    val m6 = Queries.bpeMerges(spark, sfDir)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(m6.size == 6)
+    assert(m6.map(_._1) == (1 to 6))
+    // merging pair P of count f can only create pairs of count <= f and
+    // only shrink others, so the chosen max is non-increasing per round
+    val freqs = m6.map(_._3)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      s"merge freqs not monotone: $freqs")
+    assert(m6.map(_._2).distinct.size == 6, "a pair merged twice")
+    assert(m6.forall(_._3 > 0))
+    // fewer rounds yield a prefix of the same table (the chain is causal)
+    val m3 = Bpe.merges(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", rounds = 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(m3 == m6.take(3))
+  }
+
   test("winsorize: clipping at exact p0/p100 is the identity") {
     // degenerate check on a single-lang frame: with every value inside
     // [lo, hi], the winsorized mean equals the raw mean
