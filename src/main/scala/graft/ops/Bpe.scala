@@ -34,12 +34,16 @@ object Bpe {
     */
   def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val vocab = docs
+    // pinned: every round's pair aggregation replays the plan from here —
+    // without the pin the corpus scan + tokenize would re-run once per
+    // round (measured 5.8 s → ~2 s at sf0.1). Cluster analog: write the
+    // vocabulary table once, iterate over it.
+    val vocab = Dedup.pin(docs
       .select(explode(TextStats.tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(concat(lit(" "),
         concat_ws(" ", regexp_extract_all(col("w"), lit("."), lit(0))),
-        lit(" ")).as("seq"), col("freq"))
+        lit(" ")).as("seq"), col("freq")))
 
     var cur = vocab
     var out: Option[DataFrame] = None
@@ -47,7 +51,13 @@ object Bpe {
       val best = bestPair(cur).select(lit(r).as("merge_round"),
         col("pair"), col("pair_freq"))
       out = Some(out.fold(best)(_.unionAll(best)))
-      cur = applyMerge(cur, best.select(col("pair")))
+      // lineage truncation per round (the Dedup.clusters superstep
+      // pattern): without it, round r's broadcast replays rounds 1..r-1,
+      // whose broadcasts replay THEIR predecessors — the pair aggregation
+      // count grows 2^rounds (measured ~10 s for 6 rounds at sf0.1 vs
+      // ~1.5 s truncated). The checkpointed frame is vocabulary-sized;
+      // the cluster analog is writing the merged vocab per round.
+      cur = applyMerge(cur, best.select(col("pair"))).localCheckpoint(true)
     }
     out.get.orderBy(col("merge_round"))
   }

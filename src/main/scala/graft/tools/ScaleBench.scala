@@ -85,6 +85,12 @@ object ScaleBench {
     "rag_chunks" -> ((s, d) => graft.Queries.ragChunks(s, d).count()),
     "vocab_growth" -> ((s, d) => graft.Queries.vocabGrowth(s, d).count()),
     "winsorize_quality" -> ((s, d) => graft.Queries.winsorizeQuality(s, d).count()),
+    // round-5b: vocab-sized iteration (BPE), model-scored corpus
+    // (surprisal), and cross-snapshot diff — docs-table ops only (the
+    // augmented corpus carries documents + embeddings)
+    "bpe_merges" -> ((s, d) => graft.Queries.bpeMerges(s, d).count()),
+    "token_surprisal" -> ((s, d) => graft.Queries.tokenSurprisal(s, d).count()),
+    "snapshot_diff" -> ((s, d) => graft.Queries.snapshotDiff(s, d).count()),
     // cross-table ingest screen: output bounded by the incoming batch
     "incremental_new" -> ((s, d) => {
       val dd = docs(s, d)
