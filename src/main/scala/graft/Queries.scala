@@ -3649,6 +3649,58 @@ object Queries {
 
   val bpeMergesSql: String = graft.ops.Bpe.mergesOracleSql(6)
 
+  /** Per-language Zipf slope: least-squares slope of ln(freq) vs ln(rank)
+    * over the token frequency ranking — the corpus-health statistic whose
+    * drift flags template/boilerplate contamination (natural language sits
+    * near −1). The ranking window runs over the per-lang VOCABULARY
+    * (sublinear in the corpus — the q128/q129 discipline), not corpus
+    * rows. Determinism: x/y are 8-dec-rounded logs summed as DECIMALs
+    * (exact, association-free); the closed-form slope is then a fixed
+    * sequence of double ops on identical operands, rounded to 6.
+    */
+  val zipfSlope: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = t(s, dir, "documents")
+      .select(col("lang"), explode(TextStats.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+    val ranked = freqs.withColumn("rk",
+      row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("f").desc, col("tok"))))
+    val xy = ranked.select(col("lang"),
+      round(log(col("rk").cast("double")), 8).cast("decimal(18,8)").as("x"),
+      round(log(col("f").cast("double")), 8).cast("decimal(18,8)").as("y"))
+    xy.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(col("lang"), col("n").cast("long").as("n_vocab"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
+  val zipfSlopeSql: String =
+    """WITH tk AS (SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |            FROM documents),
+      |f AS (SELECT lang, tok, count(*) AS f FROM tk GROUP BY lang, tok),
+      |r AS (SELECT lang, f,
+      |        row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS rk
+      |      FROM f),
+      |xy AS (SELECT lang,
+      |         CAST(round(ln(CAST(rk AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+      |         CAST(round(ln(CAST(f AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+      |       FROM r),
+      |a AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+      |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |        CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |        CAST(sum(x * y) AS DOUBLE) AS sxy
+      |      FROM xy GROUP BY lang)
+      |SELECT lang, CAST(n AS BIGINT) AS n_vocab,
+      | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+      |FROM a ORDER BY lang""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -3780,6 +3832,7 @@ object Queries {
     "q127_snapshot_diff" -> snapshotDiff,
     "q128_fuzzy_match" -> fuzzyBlockedMatch,
     "q129_bpe_merges" -> bpeMerges,
+    "q130_zipf_slope" -> zipfSlope,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3911,5 +3964,6 @@ object Queries {
     "q126_token_surprisal" -> tokenSurprisalSql,
     "q127_snapshot_diff" -> snapshotDiffSql,
     "q128_fuzzy_match" -> fuzzyBlockedMatchSql,
-    "q129_bpe_merges" -> bpeMergesSql)
+    "q129_bpe_merges" -> bpeMergesSql,
+    "q130_zipf_slope" -> zipfSlopeSql)
 }

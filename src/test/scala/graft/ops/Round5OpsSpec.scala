@@ -205,6 +205,18 @@ class Round5OpsSpec extends SparkSpec {
     assert(m3 == m6.take(3))
   }
 
+  // ------------------------------------------------- q130 Zipf
+
+  test("zipf slope: negative (frequency decreases in rank) per lang") {
+    val rows = Queries.zipfSlope(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nVocab, slope) =>
+      assert(nVocab > 1, s"$lang vocab too small")
+      assert(slope < 0.0, s"$lang slope $slope should be negative")
+    }
+  }
+
   test("winsorize: clipping at exact p0/p100 is the identity") {
     // degenerate check on a single-lang frame: with every value inside
     // [lo, hi], the winsorized mean equals the raw mean
