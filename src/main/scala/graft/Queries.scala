@@ -3701,6 +3701,39 @@ object Queries {
       | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
       |FROM a ORDER BY lang""".stripMargin
 
+  /** JSONL malformed-line quarantine (`Readers.jsonlWithCorruptCapture` —
+    * the JSON sibling of q98's CSV gate): one line of the JSONL copy is
+    * doctored into invalid JSON; PERMISSIVE mode must keep every good
+    * line AND capture exactly the broken one in the corrupt-record
+    * column. The oracle derives the expected counts arithmetically from
+    * the parquet original.
+    */
+  val jsonlQuarantine: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_quar").toString
+    t(s, dir, "nation").select(
+        when(col("n_nationkey") === 0, lit("{broken"))
+          .otherwise(to_json(struct(col("n_nationkey"), col("n_name"),
+            col("n_regionkey")))).as("value"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    Readers.jsonlWithCorruptCapture(s, tmp, schema)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_regionkey")))
+          .as("good_region_sum"))
+  }
+
+  val jsonlQuarantineSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      | CAST(1 AS BIGINT) AS n_corrupt,
+      | CAST(sum(CASE WHEN n_nationkey <> 0 THEN n_regionkey END) AS BIGINT) AS good_region_sum
+      |FROM nation""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -3833,6 +3866,7 @@ object Queries {
     "q128_fuzzy_match" -> fuzzyBlockedMatch,
     "q129_bpe_merges" -> bpeMerges,
     "q130_zipf_slope" -> zipfSlope,
+    "q131_jsonl_quarantine" -> jsonlQuarantine,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -3965,5 +3999,6 @@ object Queries {
     "q127_snapshot_diff" -> snapshotDiffSql,
     "q128_fuzzy_match" -> fuzzyBlockedMatchSql,
     "q129_bpe_merges" -> bpeMergesSql,
-    "q130_zipf_slope" -> zipfSlopeSql)
+    "q130_zipf_slope" -> zipfSlopeSql,
+    "q131_jsonl_quarantine" -> jsonlQuarantineSql)
 }

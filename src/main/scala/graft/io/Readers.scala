@@ -63,6 +63,22 @@ object Readers {
       .csv(path)
   }
 
+  /** JSONL ingest with malformed-line quarantine — the JSON sibling of
+    * [[csvWithCorruptCapture]]: PERMISSIVE mode keeps every parseable
+    * line, captures broken ones verbatim in the corrupt-record column.
+    * Same explicit-schema and cache-before-splitting caveats apply.
+    */
+  def jsonlWithCorruptCapture(spark: SparkSession, path: String,
+                              schema: StructType,
+                              corruptCol: String = "_corrupt_record"): DataFrame = {
+    val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(full)
+      .json(path)
+  }
+
   /** Parquet directory scan with schema merging across part files —
     * the read-side half of schema evolution (new columns appear as nulls
     * on old files). Costs a footer pass per file; use only on layers
