@@ -3734,6 +3734,57 @@ object Queries {
       | CAST(sum(CASE WHEN n_nationkey <> 0 THEN n_regionkey END) AS BIGINT) AS good_region_sum
       |FROM nation""".stripMargin
 
+  /** Winnowing fingerprint overlap (Schleimer et al. '03 "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS detector):
+    * positional char-20-gram hashes, sampled by taking the minimum of
+    * each 8-hash sliding window, then pairwise overlap counting on the
+    * sampled set. Versus q91/q100's every-gram indexes, winnowing keeps
+    * the partial-overlap guarantee (any shared run ≥ k+w−1 chars shares
+    * a fingerprint) at ~2/(w+1) the index size — the sampling is the
+    * scale story. Both the hash array and the exploded fingerprint table
+    * are pinned: the sliding-window minima reference the hash array from
+    * inside a HOF lambda, and without the cache boundary CollapseProject
+    * inlines the whole gram-hash construction into the lambda — O(n²·k)
+    * per document (the round-4 lambda-recompute trap). The window min is
+    * array_min(slice) — O(n·w) per doc, fine here; a custom monotonic-
+    * deque expression would make it O(n) if profiles ever demand it.
+    */
+  val winnowOverlap: Q = (s, dir) => {
+    val K = 20; val W = 8
+    val withH = Dedup.pin(
+      t(s, dir, "documents").filter(length(col("text")) >= K + W - 1)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), length(col("text")) - (K - 1)),
+            i => conv(substring(md5(col("text").substr(i, lit(K)).cast("binary")),
+              1, 15), 16, 10).cast("long")).as("h")))
+    val fps = Dedup.pin(withH
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("h")) - (W - 1)),
+            j => array_min(slice(col("h"), j, lit(W)))))).as("fp")))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val winnowOverlapSql: String =
+    """WITH g AS (SELECT doc_id,
+      |    list_transform(generate_series(1, length(text) - 19),
+      |      i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 20)), 1, 15))::BIGINT) AS h
+      |  FROM documents WHERE length(text) >= 27),
+      |m AS (SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(h) - 7),
+      |      j -> list_min(h[j : j + 7]))) AS fps
+      |  FROM g),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+      |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -3867,6 +3918,7 @@ object Queries {
     "q129_bpe_merges" -> bpeMerges,
     "q130_zipf_slope" -> zipfSlope,
     "q131_jsonl_quarantine" -> jsonlQuarantine,
+    "q132_winnow_overlap" -> winnowOverlap,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4000,5 +4052,6 @@ object Queries {
     "q128_fuzzy_match" -> fuzzyBlockedMatchSql,
     "q129_bpe_merges" -> bpeMergesSql,
     "q130_zipf_slope" -> zipfSlopeSql,
-    "q131_jsonl_quarantine" -> jsonlQuarantineSql)
+    "q131_jsonl_quarantine" -> jsonlQuarantineSql,
+    "q132_winnow_overlap" -> winnowOverlapSql)
 }

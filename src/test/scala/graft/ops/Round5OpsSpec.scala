@@ -217,6 +217,50 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- q132 winnowing
+
+  test("winnowing guarantee: a planted shared run >= k+w-1 chars is detected") {
+    // two otherwise-different docs share one 40-char run (> 20+8-1=27):
+    // winnowing MUST select at least one fingerprint inside the run for
+    // both docs (the paper's detection guarantee), so the pair surfaces
+    val shared = "the quick brown fox jumps over lazy dogs"  // 40 chars
+    val a = (1L, s"completely unrelated preamble text here $shared and a tail")
+    val b = (2L, s"$shared with some other trailing content entirely different")
+    val c = (3L, "no overlap with anything else in this tiny corpus at all ok")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_win").toString
+    Seq(a, b, c).toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val pairs = Queries.winnowOverlap(spark, tmp)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted overlap missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "no-overlap doc must not pair")
+  }
+
+  test("winnowing samples ~2/(w+1) of the gram index") {
+    val K = 20; val W = 8
+    val g = docs.filter(length($"text") >= K + W - 1)
+      .select($"doc_id", (length($"text") - (K - 1)).cast("long").as("n_grams"))
+    val totalGrams = g.agg(sum($"n_grams")).as[Long].head()
+    // recompute the sampled-set size via the query's own machinery: count
+    // distinct fingerprints per doc through the public query at this dir
+    // is awkward; instead assert the density bound on a direct rebuild
+    val fps = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(length($"text") >= K + W - 1)
+      .select($"doc_id",
+        transform(sequence(lit(1), length($"text") - (K - 1)),
+          i => conv(substring(md5($"text".substr(i, lit(K)).cast("binary")),
+            1, 15), 16, 10).cast("long")).as("h"))
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"h") - (W - 1)),
+          j => array_min(slice($"h", j, lit(W)))))).as("fp"))
+      .count()
+    val density = fps.toDouble / totalGrams
+    // expected 2/(w+1) ≈ 0.22 for random hashes; distinct-collapse pulls
+    // it lower on repetitive text — assert well under 1 and over 1/w²
+    assert(density < 0.5, s"sampling not sparse: $density")
+    assert(density > 1.0 / (W * W), s"suspiciously sparse: $density")
+  }
+
   test("winsorize: clipping at exact p0/p100 is the identity") {
     // degenerate check on a single-lang frame: with every value inside
     // [lo, hi], the winsorized mean equals the raw mean
