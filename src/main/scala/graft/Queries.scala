@@ -3785,6 +3785,115 @@ object Queries {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** End-to-end curation FUNNEL — the whole training-data pipeline as one
+    * query: exact dedup → benchmark decontamination → quality floor →
+    * length band → stratified split, reported as survivor counts + token
+    * mass per stage. Shape: every per-doc decision is computed as a FLAG
+    * in one wide frame (one fingerprint window, one gram-overlap
+    * aggregation joined back, row-local quality/length/split), the frame
+    * is pinned, and the funnel is conditional aggregation — the corpus is
+    * never passed once per stage (stage k = flags 1..k, monotone by
+    * construction). This is the composition proof for the operator
+    * catalog: q20's dedup, q91's contamination, q26's quality, q116's
+    * lengths, and q120's split in a single DAG.
+    */
+  val curationFunnel: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") < 20).filter(length(col("text")) >= 13)
+      .select(explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
+      .distinct().withColumn("hit", lit(1))
+    // contaminated = heavy overlap (≥ 30% of the doc's distinct grams in
+    // the benchmark set) — the any-single-gram rule is degenerate on a
+    // shared-vocabulary corpus (q91 measures 477/500 docs with ≥ 1 hit,
+    // median ratio 0.13), so the funnel uses the ratio-threshold variant
+    val contam = docs.filter(length(col("text")) >= 13)
+      .select(col("doc_id"), explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("hit")).cast("double") / count(lit(1))).as("ratio"))
+      .filter(col("ratio") >= 0.3).withColumn("contam", lit(true))
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(2, 60)))
+    val flags = Dedup.pin(docs
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .withColumn("keeper", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(contam.select(col("doc_id"), col("contam")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tok"),
+        col("keeper"),
+        (col("keeper") && col("doc_id") >= 20 &&
+          !coalesce(col("contam"), lit(false))).as("clean"),
+        TextStats.qualityScore(col("text")).as("q"),
+        when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test").as("split"))
+      .withColumn("good", col("clean") && col("q") >= 0.45)
+      .withColumn("fit", col("good") && col("n_tok").between(10, 5000)))
+    def stage(name: String, cond: Column) =
+      flags.filter(cond).agg(
+        lit(name).as("stage"),
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+    stage("1_raw", lit(true))
+      .unionAll(stage("2_dedup", col("keeper")))
+      .unionAll(stage("3_decontam", col("clean")))
+      .unionAll(stage("4_quality", col("good")))
+      .unionAll(stage("5_length", col("fit")))
+      .unionAll(stage("6_train", col("fit") && col("split") === "train"))
+      .unionAll(stage("7_val", col("fit") && col("split") === "val"))
+      .unionAll(stage("8_test", col("fit") && col("split") === "test"))
+      .orderBy(col("stage"))
+  }
+
+  val curationFunnelSql: String =
+    """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-12)) AS i
+      |  FROM documents WHERE length(text) >= 13),
+      |g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 13) AS gram FROM pos),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+      |ct AS (SELECT doc_id FROM (
+      |    SELECT g.doc_id,
+      |      CAST(count(b.gram) AS DOUBLE) / count(*) AS ratio
+      |    FROM g LEFT JOIN b ON g.gram = b.gram GROUP BY g.doc_id)
+      |  WHERE ratio >= 0.3),
+      |fl AS (SELECT d.doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    d.doc_id = min(d.doc_id) OVER (PARTITION BY
+      |      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keeper,
+      |    round(
+      |      least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      |    + (1.0 - least(CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+      |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+      |    + least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |        / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3,
+      |    6) AS q,
+      |    (ct.doc_id IS NOT NULL) AS contam,
+      |    CASE WHEN u < 0.90 THEN 'train' WHEN u < 0.95 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |          / CAST(pow(2, 60) AS DOUBLE) AS u FROM documents) d
+      |  LEFT JOIN ct ON ct.doc_id = d.doc_id),
+      |f2 AS (SELECT *, (keeper AND doc_id >= 20 AND NOT contam) AS clean FROM fl),
+      |f3 AS (SELECT *, (clean AND q >= 0.45) AS good FROM f2),
+      |f4 AS (SELECT *, (good AND n_tok BETWEEN 10 AND 5000) AS fit FROM f3)
+      |SELECT stage, n_docs, n_tokens FROM (
+      |  SELECT '1_raw' AS stage, count(*) AS n_docs,
+      |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM f4
+      |  UNION ALL SELECT '2_dedup', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+      |    FROM f4 WHERE keeper
+      |  UNION ALL SELECT '3_decontam', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+      |    FROM f4 WHERE clean
+      |  UNION ALL SELECT '4_quality', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+      |    FROM f4 WHERE good
+      |  UNION ALL SELECT '5_length', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+      |    FROM f4 WHERE fit
+      |  UNION ALL SELECT '6_train', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+      |    FROM f4 WHERE fit AND split = 'train'
+      |  UNION ALL SELECT '7_val', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+      |    FROM f4 WHERE fit AND split = 'val'
+      |  UNION ALL SELECT '8_test', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+      |    FROM f4 WHERE fit AND split = 'test'
+      |) ORDER BY stage""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -3919,6 +4028,7 @@ object Queries {
     "q130_zipf_slope" -> zipfSlope,
     "q131_jsonl_quarantine" -> jsonlQuarantine,
     "q132_winnow_overlap" -> winnowOverlap,
+    "q133_curation_funnel" -> curationFunnel,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4053,5 +4163,6 @@ object Queries {
     "q129_bpe_merges" -> bpeMergesSql,
     "q130_zipf_slope" -> zipfSlopeSql,
     "q131_jsonl_quarantine" -> jsonlQuarantineSql,
-    "q132_winnow_overlap" -> winnowOverlapSql)
+    "q132_winnow_overlap" -> winnowOverlapSql,
+    "q133_curation_funnel" -> curationFunnelSql)
 }

@@ -261,6 +261,22 @@ class Round5OpsSpec extends SparkSpec {
     assert(density > 1.0 / (W * W), s"suspiciously sparse: $density")
   }
 
+  // ------------------------------------------------- q133 funnel
+
+  test("curation funnel: monotone stages, splits partition the survivors") {
+    val byStage = Queries.curationFunnel(spark, sfDir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val funnel = Seq("1_raw", "2_dedup", "3_decontam", "4_quality", "5_length")
+      .map(byStage(_))
+    funnel.zip(funnel.tail).foreach { case ((na, ta), (nb, tb)) =>
+      assert(na >= nb && ta >= tb, s"funnel not monotone: $funnel")
+    }
+    val (n5, t5) = byStage("5_length")
+    val splits = Seq("6_train", "7_val", "8_test").map(byStage(_))
+    assert(splits.map(_._1).sum == n5 && splits.map(_._2).sum == t5,
+      "splits must partition the final survivors")
+  }
+
   test("winsorize: clipping at exact p0/p100 is the identity") {
     // degenerate check on a single-lang frame: with every value inside
     // [lo, hi], the winsorized mean equals the raw mean
