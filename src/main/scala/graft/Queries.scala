@@ -3894,6 +3894,30 @@ object Queries {
       |    FROM f4 WHERE fit AND split = 'test'
       |) ORDER BY stage""".stripMargin
 
+  /** BPE encoding with the learned merges ([[graft.ops.Bpe.encodeSymbols]]
+    * — the apply side of q129): per-source token/char/symbol totals and
+    * the symbols-per-char compression the 6-merge vocabulary achieves.
+    * Merges apply per DISTINCT word (sublinear); the corpus is scored by
+    * one keyed join per token occurrence.
+    */
+  val bpeEncode: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val enc = graft.ops.Bpe.encodeSymbols(docs, "text", rounds = 6)
+    docs.select(col("source"),
+        explode(TextStats.tokens(lower(col("text")))).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).cast("bigint").as("n_chars"),
+        sum(col("n_sym")).as("n_symbols"))
+      .select(col("source"), col("n_tokens"), col("n_chars"), col("n_symbols"),
+        round(col("n_symbols").cast("double") / col("n_chars"), 6)
+          .as("sym_per_char"))
+      .orderBy(col("source"))
+  }
+
+  val bpeEncodeSql: String = graft.ops.Bpe.encodeOracleSql(6)
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4029,6 +4053,7 @@ object Queries {
     "q131_jsonl_quarantine" -> jsonlQuarantine,
     "q132_winnow_overlap" -> winnowOverlap,
     "q133_curation_funnel" -> curationFunnel,
+    "q134_bpe_encode" -> bpeEncode,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4164,5 +4189,6 @@ object Queries {
     "q130_zipf_slope" -> zipfSlopeSql,
     "q131_jsonl_quarantine" -> jsonlQuarantineSql,
     "q132_winnow_overlap" -> winnowOverlapSql,
-    "q133_curation_funnel" -> curationFunnelSql)
+    "q133_curation_funnel" -> curationFunnelSql,
+    "q134_bpe_encode" -> bpeEncodeSql)
 }

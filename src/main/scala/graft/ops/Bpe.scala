@@ -80,15 +80,39 @@ object Bpe {
         substring(col("pk"), 1, 12).cast("long").as("pair_freq"))
   }
 
-  /** Merge the (broadcast, one-row) winning pair into every sequence. */
+  /** Merge the (broadcast, one-row) winning pair into every sequence,
+    * preserving all other columns.
+    */
   private def applyMerge(cur: DataFrame, pair: DataFrame): DataFrame =
     cur.crossJoin(broadcast(pair))
-      .select(call_function("replace", col("seq"),
+      .withColumn("seq", call_function("replace", col("seq"),
         concat(lit(" "), col("pair"), lit(" ")),
         concat(lit(" "),
           call_function("replace", col("pair"), lit(" "), lit("")),
-          lit(" "))).as("seq"),
-        col("freq"))
+          lit(" "))))
+      .drop("pair")
+
+  /** ENCODE with the learned merges: per distinct word, the symbol count
+    * after applying `rounds` BPE merges — the apply side of [[merges]].
+    * The merge table is derived from the same corpus and pinned (6 tiny
+    * rows); application is per-DISTINCT-word (sublinear), so scoring a
+    * corpus is one keyed join per occurrence, never a per-document
+    * re-merge. Returns (w, n_sym).
+    */
+  def encodeSymbols(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val mergeTable = Dedup.pin(merges(docs, textCol, rounds))
+    var cur = Dedup.pin(docs
+      .select(explode(TextStats.tokens(lower(col(textCol)))).as("w"))
+      .distinct()
+      .select(col("w"), concat(lit(" "),
+        concat_ws(" ", regexp_extract_all(col("w"), lit("."), lit(0))),
+        lit(" ")).as("seq")))
+    for (r <- 1 to rounds)
+      cur = applyMerge(cur,
+        mergeTable.filter(col("merge_round") === r).select(col("pair")))
+    cur.select(col("w"),
+      size(TextStats.tokens(col("seq"))).cast("long").as("n_sym"))
+  }
 
   /** The unrolled DuckDB twin of [[merges]] (the driver-gate oracle is a
     * static SQL string, so the rounds are generated as chained CTEs that
@@ -119,5 +143,44 @@ object Bpe {
       .mkString(" UNION ALL ")
     (head +: stages).mkString(",\n") +
       s"\nSELECT merge_round, pair, pair_freq FROM ($union) ORDER BY merge_round"
+  }
+
+  /** The unrolled DuckDB twin of [[encodeSymbols]] + per-source scoring:
+    * the same stage chain but carrying the word through every merge, then
+    * joining the encoded vocab back to the token stream.
+    */
+  def encodeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH wv AS (SELECT tok AS w, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |        FROM documents) GROUP BY tok),
+        |s0 AS (SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+        |         || ' ' AS seq, freq FROM wv)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS pair, freq
+         |  FROM (SELECT regexp_extract_all(seq, '\\S+') AS tk, freq
+         |        FROM s${r - 1}) WHERE len(tk) >= 2),
+         |a$r AS (SELECT max(lpad(CAST(pf AS VARCHAR), 12, '0') || pair) AS pk
+         |  FROM (SELECT pair, CAST(sum(freq) AS BIGINT) AS pf
+         |        FROM p$r GROUP BY pair)),
+         |b$r AS (SELECT substr(pk, 13) AS pair FROM a$r),
+         |s$r AS (SELECT w, replace(seq, ' ' || pair || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
+         |  FROM s${r - 1}, b$r)""".stripMargin
+    }
+    val tail =
+      s"""enc AS (SELECT w,
+         |    CAST(len(regexp_extract_all(seq, '\\S+')) AS BIGINT) AS n_sym
+         |  FROM s$rounds),
+         |tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+         |       FROM documents)
+         |SELECT source, count(*) AS n_tokens,
+         | CAST(sum(length(w)) AS BIGINT) AS n_chars,
+         | CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+         | round(sum(n_sym) / CAST(sum(length(w)) AS DOUBLE), 6) AS sym_per_char
+         |FROM tk JOIN enc USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin
+    ((head +: stages) :+ tail).mkString(",\n")
   }
 }

@@ -26,6 +26,22 @@ class IoSpec extends SparkSpec {
     assert(csv.orderBy("id").select("s").as[String].collect().toSeq == Seq("a", "b"))
   }
 
+  test("parquet compression codec matrix round-trips losslessly") {
+    // codec choice is a storage-management knob at 100 TB (zstd for cold
+    // layers, snappy for hot); values must be codec-invariant and the
+    // part files must carry the codec marker in their names
+    val want = df.orderBy("id").collect().toSeq
+    Seq("snappy", "gzip", "zstd").foreach { codec =>
+      val dir = s"$root/codec_$codec"
+      df.write.option("compression", codec).parquet(dir)
+      assert(Readers.parquet(spark, dir).orderBy("id").collect().toSeq == want,
+        s"$codec round-trip lost data")
+      val parts = Writers.listParquetFiles(dir)
+      assert(parts.nonEmpty && parts.forall(_.contains(codec)),
+        s"$codec marker missing from part names: $parts")
+    }
+  }
+
   test("FS helpers: listParquetFiles + copyRecursive") {
     Writers.parquet(df, s"$root/src")
     val parts = Writers.listParquetFiles(s"$root/src")

@@ -277,6 +277,21 @@ class Round5OpsSpec extends SparkSpec {
       "splits must partition the final survivors")
   }
 
+  // ------------------------------------------------- q134 BPE encode
+
+  test("BPE encode: compression is bounded and monotone in merge rounds") {
+    val enc6 = Bpe.encodeSymbols(docs, "text", rounds = 6)
+      .agg(sum($"n_sym")).as[Long].head()
+    val enc3 = Bpe.encodeSymbols(docs, "text", rounds = 3)
+      .agg(sum($"n_sym")).as[Long].head()
+    val chars = docs
+      .select(explode(TextStats.tokens(lower($"text"))).as("w")).distinct()
+      .agg(sum(length($"w"))).as[Long].head()
+    // each merge round can only shrink vocab symbol mass, never grow it
+    assert(enc6 <= enc3 && enc3 <= chars, s"$enc6 <= $enc3 <= $chars")
+    assert(enc6 < chars, "6 merges should compress this corpus")
+  }
+
   test("winsorize: clipping at exact p0/p100 is the identity") {
     // degenerate check on a single-lang frame: with every value inside
     // [lo, hi], the winsorized mean equals the raw mean
