@@ -3918,6 +3918,42 @@ object Queries {
 
   val bpeEncodeSql: String = graft.ops.Bpe.encodeOracleSql(6)
 
+  /** SCD TYPE-2 history build — the companion to q60's SCD1 merge: per
+    * user, collapse consecutive repeats of `event_type` and emit validity
+    * intervals [valid_from, valid_to) with an open (NULL) end for the
+    * current state — the standard change-capture layout for dimension
+    * history. Two window passes over the SAME (user_id; ts, event_id)
+    * spec (lag to find change points, lead over the survivors for the
+    * interval end) → one hash exchange, sort reused; per-user windows
+    * parallelize across the key space at any scale.
+    */
+  val scd2History: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |c AS (SELECT *, lag(event_type) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+      |o AS (SELECT user_id, event_id, event_type, ts AS valid_from,
+      |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |          AS valid_to
+      |      FROM ch)
+      |SELECT user_id, event_id, event_type, valid_from, valid_to,
+      | valid_to IS NULL AS is_current
+      |FROM o ORDER BY user_id, valid_from, event_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4054,6 +4090,7 @@ object Queries {
     "q132_winnow_overlap" -> winnowOverlap,
     "q133_curation_funnel" -> curationFunnel,
     "q134_bpe_encode" -> bpeEncode,
+    "q135_scd2_history" -> scd2History,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4190,5 +4227,6 @@ object Queries {
     "q131_jsonl_quarantine" -> jsonlQuarantineSql,
     "q132_winnow_overlap" -> winnowOverlapSql,
     "q133_curation_funnel" -> curationFunnelSql,
-    "q134_bpe_encode" -> bpeEncodeSql)
+    "q134_bpe_encode" -> bpeEncodeSql,
+    "q135_scd2_history" -> scd2HistorySql)
 }

@@ -292,6 +292,28 @@ class Round5OpsSpec extends SparkSpec {
     assert(enc6 < chars, "6 merges should compress this corpus")
   }
 
+  // ------------------------------------------------- q135 SCD2
+
+  test("SCD2: intervals chain, one open row per user, no consecutive repeats") {
+    val rows = Queries.scd2History(spark, sfDir)
+      .select($"user_id", $"event_type", $"valid_from", $"valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+      .groupBy(_._1)
+    rows.foreach { case (u, hist0) =>
+      val hist = hist0.sortBy(_._3.getTime)
+      // exactly one open interval, and it is the last
+      assert(hist.count(_._4.isEmpty) == 1, s"user $u open rows != 1")
+      assert(hist.last._4.isEmpty, s"user $u open row not last")
+      // closed intervals chain: valid_to == next valid_from
+      hist.zip(hist.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"user $u gap: ${a._4} -> ${b._3}")
+        assert(a._2 != b._2, s"user $u consecutive repeat ${a._2}")
+      }
+    }
+  }
+
   test("winsorize: clipping at exact p0/p100 is the identity") {
     // degenerate check on a single-lang frame: with every value inside
     // [lo, hi], the winsorized mean equals the raw mean
