@@ -89,8 +89,11 @@ object ScaleBench {
     // (surprisal), and cross-snapshot diff — docs-table ops only (the
     // augmented corpus carries documents + embeddings)
     "bpe_merges" -> ((s, d) => graft.Queries.bpeMerges(s, d).count()),
+    "bpe_encode" -> ((s, d) => graft.Queries.bpeEncode(s, d).count()),
     "token_surprisal" -> ((s, d) => graft.Queries.tokenSurprisal(s, d).count()),
     "snapshot_diff" -> ((s, d) => graft.Queries.snapshotDiff(s, d).count()),
+    "winnow_overlap" -> ((s, d) => graft.Queries.winnowOverlap(s, d).count()),
+    "curation_funnel" -> ((s, d) => graft.Queries.curationFunnel(s, d).count()),
     // cross-table ingest screen: output bounded by the incoming batch
     "incremental_new" -> ((s, d) => {
       val dd = docs(s, d)
