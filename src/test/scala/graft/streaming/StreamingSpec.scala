@@ -41,6 +41,41 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(("click", 2L)))
   }
 
+  test("CorpusStreams.screeningSink: cross-batch exact and near dups rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_screen").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = CorpusStreams.screeningSink(docs, s"$root/corpus",
+      s"$root/audit", s"$root/ck")
+    try {
+      val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+      val tB = "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+      input.addData((1L, tA), (2L, tB), (3L, tA)) // 3 = within-batch dup of 1
+      q.processAllAvailable()
+      input.addData(
+        (4L, tA),                 // exact dup of corpus doc 1
+        (5L, tB + " twenty"),     // near dup of corpus doc 2 (small edit)
+        (6L, "completely different content about ships and sealing wax " +
+          "and cabbages and kings and why the sea is boiling hot"))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$root/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(corpus == Set(1L, 2L, 6L), s"admitted: $corpus")
+      val audit = spark.read.parquet(s"$root/audit")
+        .select("id", "exact_new", "near_new")
+        .as[(Long, Boolean, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // doc 4: exact dup (and near, by implication); doc 5: exact-new but
+      // near-seen; doc 6: fully new
+      assert(audit(4L) == ((false, false)))
+      assert(audit(5L) == ((true, false)))
+      assert(audit(6L) == ((true, true)))
+    } finally q.stop()
+  }
+
   test("dedupedStream drops within-watermark duplicates, keeps distinct keys") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
