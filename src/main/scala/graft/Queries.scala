@@ -3954,6 +3954,61 @@ object Queries {
       | valid_to IS NULL AS is_current
       |FROM o ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** Deletion propagation ("right to be forgotten"): a customer key set
+    * (c_custkey ≡ 0 mod 97) cascades through customer → orders →
+    * lineitem, and the query reports kept/deleted row counts per table —
+    * the audit artifact a data-subject erasure run must produce. Each
+    * table is one anti/semi join against the (small, broadcast) key set
+    * or its order-key projection; nothing shuffles the fact tables.
+    */
+  val forgetKeys: Q = (s, dir) => {
+    val keys = t(s, dir, "customer").filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"))
+    val orders = t(s, dir, "orders")
+    val doomedOrders = orders.join(broadcast(keys),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    def report(name: String, total: DataFrame, doomed: DataFrame) = {
+      val d = doomed.agg(count(lit(1)).as("n_deleted"))
+      total.agg(count(lit(1)).as("n_total")).crossJoin(d)
+        .select(lit(name).as("table_name"),
+          (col("n_total") - col("n_deleted")).as("n_kept"), col("n_deleted"))
+    }
+    val cust = t(s, dir, "customer")
+    val li = t(s, dir, "lineitem")
+    report("1_customer", cust,
+        cust.join(broadcast(keys), Seq("c_custkey"), "left_semi"))
+      .unionAll(report("2_orders", orders,
+        orders.join(broadcast(keys),
+          col("o_custkey") === col("c_custkey"), "left_semi")))
+      .unionAll(report("3_lineitem", li,
+        li.join(broadcast(doomedOrders),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")))
+      .orderBy(col("table_name"))
+  }
+
+  val forgetKeysSql: String =
+    """WITH k AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |doomed_o AS (SELECT o_orderkey FROM orders
+      |             WHERE o_custkey IN (SELECT c_custkey FROM k))
+      |SELECT '1_customer' AS table_name,
+      | CAST((SELECT count(*) FROM customer) -
+      |   (SELECT count(*) FROM k) AS BIGINT) AS n_kept,
+      | CAST((SELECT count(*) FROM k) AS BIGINT) AS n_deleted
+      |UNION ALL
+      |SELECT '2_orders',
+      | CAST((SELECT count(*) FROM orders) -
+      |   (SELECT count(*) FROM doomed_o) AS BIGINT),
+      | CAST((SELECT count(*) FROM doomed_o) AS BIGINT)
+      |UNION ALL
+      |SELECT '3_lineitem',
+      | CAST((SELECT count(*) FROM lineitem) -
+      |   (SELECT count(*) FROM lineitem
+      |    WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o)) AS BIGINT),
+      | CAST((SELECT count(*) FROM lineitem
+      |    WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o)) AS BIGINT)
+      |ORDER BY table_name""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4091,6 +4146,7 @@ object Queries {
     "q133_curation_funnel" -> curationFunnel,
     "q134_bpe_encode" -> bpeEncode,
     "q135_scd2_history" -> scd2History,
+    "q136_forget_keys" -> forgetKeys,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4228,5 +4284,6 @@ object Queries {
     "q132_winnow_overlap" -> winnowOverlapSql,
     "q133_curation_funnel" -> curationFunnelSql,
     "q134_bpe_encode" -> bpeEncodeSql,
-    "q135_scd2_history" -> scd2HistorySql)
+    "q135_scd2_history" -> scd2HistorySql,
+    "q136_forget_keys" -> forgetKeysSql)
 }

@@ -314,6 +314,28 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- q136 forget keys
+
+  test("deletion propagation: cascade conserves rows and respects FKs") {
+    val rows = Queries.forgetKeys(spark, sfDir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // kept + deleted = table total, per table
+    assert(rows("1_customer")._1 + rows("1_customer")._2 == cust.count())
+    assert(rows("2_orders")._1 + rows("2_orders")._2 == orders.count())
+    assert(rows("3_lineitem")._1 + rows("3_lineitem")._2 == li.count())
+    // the cascade deletes at least one row per level on this keyset
+    assert(rows("1_customer")._2 > 0)
+    // orders of deleted customers are deleted; lineitems of deleted orders
+    // are deleted (FK direction: no orphaned children survive)
+    val keys = cust.filter($"c_custkey" % 97 === 0).select($"c_custkey")
+    val expOrders = orders.join(keys,
+      orders("o_custkey") === keys("c_custkey"), "left_semi").count()
+    assert(rows("2_orders")._2 == expOrders)
+  }
+
   test("winsorize: clipping at exact p0/p100 is the identity") {
     // degenerate check on a single-lang frame: with every value inside
     // [lo, hi], the winsorized mean equals the raw mean
