@@ -1213,11 +1213,10 @@ object Queries {
     * with the true Jaccard), so `exact LEFT JOIN lsh` with a found flag is
     * a complete gate: a missed pair surfaces as found_by_lsh=false and
     * hash-mismatches the all-TRUE oracle; a spurious pair is impossible.
-    * The quadratic exact side is the oracle HARNESS (bounded to gate SFs;
-    * recall measurement is inherently pairwise) — the operator under test
-    * is the production path. A size-ratio prefilter (J ≥ t ⟹ distinct-
-    * shingle counts within factor t of each other) prunes the cross
-    * product on both engines without affecting exactness.
+    * The exact side is the oracle HARNESS (bounded to gate SFs; recall
+    * measurement is inherently pairwise) — the operator under test is the
+    * production path. The exact side is collision-driven, not O(n²): the
+    * gram self-join only materializes pairs that share a shingle.
     */
   val dedupMinhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
