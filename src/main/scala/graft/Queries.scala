@@ -4008,6 +4008,147 @@ object Queries {
       |    WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o)) AS BIGINT)
       |ORDER BY table_name""".stripMargin
 
+  /** Referential-integrity audit across the star schema: orphaned foreign
+    * keys per relationship (lineitem→orders/part/supplier, orders→
+    * customer) plus null-key counts — the relational layer of the DQ
+    * story (column expectations are q08/q99; this is the cross-table
+    * contract). Each relationship is one broadcast/keyed anti join; a
+    * healthy warehouse emits zeros, and the gate pins that invariant so
+    * ingest regressions become hash mismatches.
+    */
+  val integrityAudit: Q = (s, dir) => {
+    def audit(name: String, fact: DataFrame, fk: String,
+              dim: DataFrame, pk: String) =
+      fact.agg(lit(name).as("relationship"),
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(col(fk).isNull.cast("long")), lit(0L)).as("n_null_fk"))
+        .crossJoin(
+          fact.filter(col(fk).isNotNull)
+            .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans")))
+    val li = t(s, dir, "lineitem")
+    audit("1_lineitem_orders", li, "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+      .unionAll(audit("2_lineitem_part", li, "l_partkey",
+        t(s, dir, "part"), "p_partkey"))
+      .unionAll(audit("3_lineitem_supplier", li, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .unionAll(audit("4_orders_customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .select(col("relationship"), col("n_rows"), col("n_null_fk"),
+        col("n_orphans"))
+      .orderBy(col("relationship"))
+  }
+
+  val integrityAuditSql: String =
+    """SELECT '1_lineitem_orders' AS relationship,
+      | CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+      | CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT) AS n_null_fk,
+      | CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans
+      |UNION ALL SELECT '2_lineitem_part',
+      | (SELECT count(*) FROM lineitem),
+      | (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+      | (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+      |   AND l_partkey NOT IN (SELECT p_partkey FROM part))
+      |UNION ALL SELECT '3_lineitem_supplier',
+      | (SELECT count(*) FROM lineitem),
+      | (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+      | (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+      |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+      |UNION ALL SELECT '4_orders_customer',
+      | (SELECT count(*) FROM orders),
+      | (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+      | (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+      |   AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |ORDER BY relationship""".stripMargin
+
+  /** Behavioral conversion funnel over the event stream: per user, the
+    * ordered progression first-view → first-click-after-view →
+    * first-purchase-after-click, reported as stage populations and
+    * conversion rates. One groupBy(user) pass computes the three
+    * conditional first-timestamps (min with a when-guard is order-free —
+    * no window, no sort); the funnel is then a single-row aggregate.
+    */
+  val conversionFunnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click_any"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy_any"))
+      .select(col("user_id"), col("t_view"),
+        when(col("t_click_any") > col("t_view"), col("t_click_any")).as("t_click"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy_all")),
+        Seq("user_id"), "left")
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        coalesce(sum(col("t_view").isNotNull.cast("long")), lit(0L)).as("n_view"),
+        coalesce(sum(col("t_click").isNotNull.cast("long")), lit(0L)).as("n_view_click"),
+        coalesce(sum((col("t_buy_all") > col("t_click")).cast("long")), lit(0L))
+          .as("n_full_funnel"))
+      .select(col("n_users"), col("n_view"), col("n_view_click"),
+        col("n_full_funnel"),
+        round(col("n_view_click").cast("double") / col("n_view"), 6)
+          .as("view_to_click"),
+        round(col("n_full_funnel").cast("double") / col("n_view_click"), 6)
+          .as("click_to_buy"))
+  }
+
+  val conversionFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |pu AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_all
+      |  FROM e GROUP BY user_id),
+      |f AS (SELECT user_id, t_view,
+      |    CASE WHEN t_click_any > t_view THEN t_click_any END AS t_click,
+      |    t_buy_all
+      |  FROM pu)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      | CAST(coalesce(sum(CASE WHEN t_view IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_view,
+      | CAST(coalesce(sum(CASE WHEN t_click IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_view_click,
+      | CAST(coalesce(sum(CASE WHEN t_buy_all > t_click THEN 1 END), 0) AS BIGINT) AS n_full_funnel,
+      | round(coalesce(sum(CASE WHEN t_click IS NOT NULL THEN 1 END), 0)
+      |   / CAST(coalesce(sum(CASE WHEN t_view IS NOT NULL THEN 1 END), 0) AS DOUBLE), 6) AS view_to_click,
+      | round(coalesce(sum(CASE WHEN t_buy_all > t_click THEN 1 END), 0)
+      |   / CAST(coalesce(sum(CASE WHEN t_click IS NOT NULL THEN 1 END), 0) AS DOUBLE), 6) AS click_to_buy
+      |FROM f""".stripMargin
+
+  /** Weekly cohort retention: users grouped by the ISO week of their first
+    * event; for each (cohort_week, week_offset) the count of cohort users
+    * active in that offset week. Two keyed aggregations (first-event per
+    * user, then distinct user per cell) — the cohort matrix never needs a
+    * window or a sort, and both shuffles key on user/cohort.
+    */
+  val cohortRetention: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val firstWk = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.join(firstWk, Seq("user_id"))
+      .select(col("user_id"), col("cohort_wk"),
+        datediff(col("wk"), col("cohort_wk")).cast("int").as("day_off"))
+      .select(col("user_id"), col("cohort_wk"),
+        (col("day_off") / 7).cast("int").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      |  FROM events),
+      |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+      |j AS (SELECT DISTINCT e.user_id, cohort_wk,
+      |    CAST(date_diff('day', cohort_wk, wk) // 7 AS INTEGER) AS week_offset
+      |  FROM e JOIN fw USING (user_id))
+      |SELECT cohort_wk, week_offset,
+      | CAST(count(*) AS BIGINT) AS n_active_users
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4146,6 +4287,9 @@ object Queries {
     "q134_bpe_encode" -> bpeEncode,
     "q135_scd2_history" -> scd2History,
     "q136_forget_keys" -> forgetKeys,
+    "q137_integrity_audit" -> integrityAudit,
+    "q138_conversion_funnel" -> conversionFunnel,
+    "q139_cohort_retention" -> cohortRetention,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4284,5 +4428,8 @@ object Queries {
     "q133_curation_funnel" -> curationFunnelSql,
     "q134_bpe_encode" -> bpeEncodeSql,
     "q135_scd2_history" -> scd2HistorySql,
-    "q136_forget_keys" -> forgetKeysSql)
+    "q136_forget_keys" -> forgetKeysSql,
+    "q137_integrity_audit" -> integrityAuditSql,
+    "q138_conversion_funnel" -> conversionFunnelSql,
+    "q139_cohort_retention" -> cohortRetentionSql)
 }
