@@ -23,10 +23,11 @@ object Bench {
       graft.ops.Dedup.releaseCaches()
       name -> sec
     }
-    // 3-decimal values keep the single JSON line short enough to survive
+    // 2-decimal values keep the single JSON line short enough to survive
     // log-tail capture downstream (full-precision doubles pushed the
-    // 117-query line past the capture window in round 4)
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // 117-query line past the capture window in round 4; at 139 queries
+    // the 3-dec line was within ~300 bytes of the budget)
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

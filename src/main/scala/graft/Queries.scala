@@ -4149,6 +4149,89 @@ object Queries {
       | CAST(count(*) AS BIGINT) AS n_active_users
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Market-basket co-occurrence: the top part pairs ordered together,
+    * with support counts — the a-priori first pass. Pairs are generated
+    * WITHIN each order only (self-join keyed on the order key; basket
+    * sizes are bounded, so per-order pair fan-out is a constant, never
+    * corpus-quadratic), then one count aggregation; the top slice goes
+    * through TakeOrdered. Dedup on (order, pair) first so multi-line
+    * orders of the same part don't inflate support.
+    */
+  val marketBasket: Q = (s, dir) => {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    items.as("a").join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  val marketBasketSql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+      |           FROM lineitem)
+      |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS support
+      |FROM i a JOIN i b ON a.okey = b.okey AND a.pk < b.pk
+      |GROUP BY 1, 2
+      |ORDER BY support DESC, part_a, part_b
+      |LIMIT 25""".stripMargin
+
+  /** Hourly event-rate anomaly detection: per event type, hours whose
+    * volume deviates from the trailing-24-hour mean by more than 3
+    * trailing standard deviations. The expensive step is the hourly
+    * aggregation (map-side partials over the raw stream); the window
+    * arithmetic runs over the tiny (hours × types) frame, with the
+    * trailing moments as exact integer sums (sum, sum of squares) so the
+    * z-score is a fixed double derivation on both engines.
+    */
+  val hourlyAnomalies: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("m", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("m") >= 12)
+      .withColumn("mean", col("s1").cast("double") / col("m"))
+      .withColumn("var0",
+        col("s2").cast("double") / col("m") - col("mean") * col("mean"))
+      .filter(col("var0") > 0)
+      .withColumn("z", (col("n") - col("mean")) / sqrt(col("var0")))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("hour"), col("event_type"), col("n"),
+        round(col("mean"), 6).as("trailing_mean"),
+        round(col("z"), 6).as("z_score"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val hourlyAnomaliesSql: String =
+    """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT *,
+      |    count(n) OVER w AS m,
+      |    sum(n) OVER w AS s1,
+      |    sum(n * n) OVER w AS s2
+      |  FROM h
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT hour, event_type, n,
+      |    CAST(s1 AS DOUBLE) / m AS mean,
+      |    CAST(s2 AS DOUBLE) / m
+      |      - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m) AS var0
+      |  FROM t WHERE m >= 12)
+      |SELECT hour, event_type, n,
+      | round(mean, 6) AS trailing_mean,
+      | round((n - mean) / sqrt(var0), 6) AS z_score
+      |FROM z WHERE var0 > 0 AND abs((n - mean) / sqrt(var0)) >= 3.0
+      |ORDER BY hour, event_type""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4290,6 +4373,8 @@ object Queries {
     "q137_integrity_audit" -> integrityAudit,
     "q138_conversion_funnel" -> conversionFunnel,
     "q139_cohort_retention" -> cohortRetention,
+    "q140_market_basket" -> marketBasket,
+    "q141_hourly_anomalies" -> hourlyAnomalies,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4431,5 +4516,7 @@ object Queries {
     "q136_forget_keys" -> forgetKeysSql,
     "q137_integrity_audit" -> integrityAuditSql,
     "q138_conversion_funnel" -> conversionFunnelSql,
-    "q139_cohort_retention" -> cohortRetentionSql)
+    "q139_cohort_retention" -> cohortRetentionSql,
+    "q140_market_basket" -> marketBasketSql,
+    "q141_hourly_anomalies" -> hourlyAnomaliesSql)
 }
