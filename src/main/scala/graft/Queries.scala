@@ -4242,6 +4242,67 @@ object Queries {
       |FROM z WHERE var0 > 0 AND abs((n - mean) / sqrt(var0)) >= 3.0
       |ORDER BY hour, event_type""".stripMargin
 
+  /** Embedding drift monitor: per label, the L2 distance between the
+    * centroid of "snapshot A" (even vec_ids) and "snapshot B" (odd) —
+    * the drift statistic an embedding pipeline alarms on when a model or
+    * corpus shifts. Determinism chain: per-dim means use exact decimal
+    * sums (q68 machinery); the rounded means cross back into
+    * DECIMAL(18,6) via strings (exact — shortest-repr of a round-6
+    * double is its 6-dec literal); the 64-dim squared-diff sum is decimal
+    * (association-free); only the final sqrt is a double op. The heavy
+    * aggregation is per (label, half, dim) with map-side partials; the
+    * drift math runs on a labels×dims frame.
+    */
+  val embeddingDrift: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(round(sum(col("val").cast("string").cast("decimal(18,9)"))
+        .cast("double") / count(lit(1)), 6).as("c"))
+    val diffs = cents.groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(col("half") === 0, col("c"))).cast("string")
+          .cast("decimal(18,6)").as("c0"),
+        sum(when(col("half") === 1, col("c"))).cast("string")
+          .cast("decimal(18,6)").as("c1"))
+      .select(col("label"), ((col("c0") - col("c1")) * (col("c0") - col("c1")))
+        .as("d2"))
+    val ns = emb.groupBy(col("label"))
+      .agg(coalesce(sum((col("vec_id") % 2 === 0).cast("long")), lit(0L)).as("n_a"),
+        coalesce(sum((col("vec_id") % 2 === 1).cast("long")), lit(0L)).as("n_b"))
+    ns.join(
+        diffs.groupBy(col("label"))
+          .agg(round(sqrt(sum(col("d2")).cast("double")), 6).as("drift_l2")),
+        Seq("label"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingDriftSql: String =
+    """WITH h AS (SELECT label, vec_id % 2 AS half, d.dim AS dim,
+      |    CAST(CAST(embedding[d.dim] AS VARCHAR) AS DECIMAL(18,9)) AS v
+      |  FROM embeddings CROSS JOIN
+      |    (SELECT unnest(generate_series(1, 64)) AS dim) d),
+      |c AS (SELECT label, half, dim,
+      |        round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+      |      FROM h GROUP BY 1, 2, 3),
+      |w AS (SELECT label, dim,
+      |        CAST(CAST(sum(CASE WHEN half = 0 THEN c END) AS VARCHAR)
+      |          AS DECIMAL(18,6)) AS c0,
+      |        CAST(CAST(sum(CASE WHEN half = 1 THEN c END) AS VARCHAR)
+      |          AS DECIMAL(18,6)) AS c1
+      |      FROM c GROUP BY 1, 2),
+      |dd AS (SELECT label, sum((c0 - c1) * (c0 - c1)) AS d2 FROM w GROUP BY 1),
+      |ns AS (SELECT label,
+      |        CAST(coalesce(sum(CASE WHEN vec_id % 2 = 0 THEN 1 END), 0) AS BIGINT) AS n_a,
+      |        CAST(coalesce(sum(CASE WHEN vec_id % 2 = 1 THEN 1 END), 0) AS BIGINT) AS n_b
+      |      FROM embeddings GROUP BY 1)
+      |SELECT ns.label, n_a, n_b,
+      | round(sqrt(CAST(d2 AS DOUBLE)), 6) AS drift_l2
+      |FROM ns JOIN dd ON ns.label = dd.label
+      |ORDER BY ns.label""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4385,6 +4446,7 @@ object Queries {
     "q139_cohort_retention" -> cohortRetention,
     "q140_market_basket" -> marketBasket,
     "q141_hourly_anomalies" -> hourlyAnomalies,
+    "q142_embedding_drift" -> embeddingDrift,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4528,5 +4590,6 @@ object Queries {
     "q138_conversion_funnel" -> conversionFunnelSql,
     "q139_cohort_retention" -> cohortRetentionSql,
     "q140_market_basket" -> marketBasketSql,
-    "q141_hourly_anomalies" -> hourlyAnomaliesSql)
+    "q141_hourly_anomalies" -> hourlyAnomaliesSql,
+    "q142_embedding_drift" -> embeddingDriftSql)
 }
