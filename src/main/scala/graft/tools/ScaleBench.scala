@@ -94,6 +94,13 @@ object ScaleBench {
     "snapshot_diff" -> ((s, d) => graft.Queries.snapshotDiff(s, d).count()),
     "winnow_overlap" -> ((s, d) => graft.Queries.winnowOverlap(s, d).count()),
     "curation_funnel" -> ((s, d) => graft.Queries.curationFunnel(s, d).count()),
+    // behavioral/events family (per-user windows, keyed aggregations):
+    // key cardinality grows 10× in the augmented corpus while per-user
+    // stream shapes stay fixed — the partitioned-window stress
+    "scd2_history" -> ((s, d) => graft.Queries.scd2History(s, d).count()),
+    "conversion_funnel" -> ((s, d) => graft.Queries.conversionFunnel(s, d).count()),
+    "cohort_retention" -> ((s, d) => graft.Queries.cohortRetention(s, d).count()),
+    "hourly_anomalies" -> ((s, d) => graft.Queries.hourlyAnomalies(s, d).count()),
     // cross-table ingest screen: output bounded by the incoming batch
     "incremental_new" -> ((s, d) => {
       val dd = docs(s, d)

@@ -57,7 +57,25 @@ object ScaleData {
     bigEmb.repartition(16).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
-    println(s"""{"docs":${bigDocs.count()},"vecs":${bigEmb.count()},"out":"$out"}""")
+    // events ×copies: user population replicated with offset ids (each
+    // copy keeps its users' event streams intact, so per-user windowed
+    // ops see the same stream shapes at 10× the key cardinality — the
+    // right stress for SCD2/funnel/cohort/anomaly scaling); raw nanos ts
+    // kept as a plain long column (Tables.events handles both encodings)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val maxEvent = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val bigEv = ev
+      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("k"))
+      .select(
+        (col("event_id") + col("k") * maxEvent).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    bigEv.repartition(16).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"""{"docs":${bigDocs.count()},"vecs":${bigEmb.count()},"events":${bigEv.count()},"out":"$out"}""")
     spark.stop()
   }
 }
