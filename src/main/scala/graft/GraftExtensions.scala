@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "image_dims_packed(bin) - PNG/JPEG dims as fmt(2b)|w(31b)|h(31b), NULL if unrecognized"),
       (args: Seq[Expression]) =>
         graft.functions.ImageExpressions.ImageDimsPacked(args.head)))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - Schleimer '03 winnowing fingerprint array"),
+      (args: Seq[Expression]) =>
+        graft.functions.WinnowFingerprints(args.head,
+          GraftExtensions.litInt(args(1), "winnow k").toInt,
+          GraftExtensions.litInt(args(2), "winnow w").toInt)))
     e.injectFunction((FunctionIdentifier("audio_meta_packed"),
       info("audio_meta_packed",
         "audio_meta_packed(bin) - WAV meta as dataBytes(33b)|rate(20b)|bits(6b)|ch(4b), NULL if unrecognized"),
@@ -125,6 +132,11 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("image_dims_packed",
       (args: Seq[Expression]) =>
         graft.functions.ImageExpressions.ImageDimsPacked(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      (args: Seq[Expression]) =>
+        graft.functions.WinnowFingerprints(args.head,
+          litInt(args(1), "winnow k").toInt,
+          litInt(args(2), "winnow w").toInt), "scala_udf")
     reg.createOrReplaceTempFunction("audio_meta_packed",
       (args: Seq[Expression]) =>
         graft.functions.AudioExpressions.AudioMetaPacked(args.head), "scala_udf")

@@ -498,4 +498,28 @@ object Dedup {
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  // ------------------------------------------------- winnowing overlap
+
+  /** Partial-content overlap pairs via native winnowing fingerprints
+    * ([[graft.functions.WinnowFingerprints]] — fused rolling hash +
+    * monotonic deque, O(bytes) per doc): docs sharing ≥ `minShared`
+    * selected fingerprints. The PRODUCTION twin of q132's md5 formulation
+    * (the q22 FNV-vs-md5 pattern: fast native hash in production, the
+    * SQL-recomputable hash on the driver gate); both inherit the
+    * winnowing guarantee — any shared run of ≥ k+w−1 bytes surfaces.
+    * The fingerprint table is pinned once and feeds both self-join sides.
+    */
+  def winnowOverlapPairs(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", k: Int = 20, w: Int = 8,
+                         minShared: Int = 2): DataFrame = {
+    val fps = pin(docs.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.WinnowFingerprints
+        .winnow_fingerprints(col(textCol), k, w))).as("fp")))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

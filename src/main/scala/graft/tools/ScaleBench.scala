@@ -93,6 +93,8 @@ object ScaleBench {
     "token_surprisal" -> ((s, d) => graft.Queries.tokenSurprisal(s, d).count()),
     "snapshot_diff" -> ((s, d) => graft.Queries.snapshotDiff(s, d).count()),
     "winnow_overlap" -> ((s, d) => graft.Queries.winnowOverlap(s, d).count()),
+    "winnow_fast" -> ((s, d) =>
+      Dedup.winnowOverlapPairs(docs(s, d)).count()),
     "curation_funnel" -> ((s, d) => graft.Queries.curationFunnel(s, d).count()),
     // behavioral/events family (per-user windows, keyed aggregations):
     // key cardinality grows 10× in the augmented corpus while per-user
