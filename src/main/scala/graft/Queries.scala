@@ -2630,9 +2630,12 @@ object Queries {
     */
   val partitionedPruning: Q = (s, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_gate").toString
-    Writers.parquet(t(s, dir, "documents"), s"$tmp/docs",
-      partitionBy = Seq("lang"))
-    val rd = Readers.parquet(s, s"$tmp/docs").filter(col("lang") === "en")
+    val docs = t(s, dir, "documents")
+    Writers.parquet(docs, s"$tmp/docs", partitionBy = Seq("lang"))
+    // schema-specified read-back: an empty source writes no part files,
+    // and inference on a fileless dir throws (EmptyInputSpec)
+    val rd = Readers.parquetWithSchema(s, s"$tmp/docs", docs.schema)
+      .filter(col("lang") === "en")
     val pruned = "PartitionFilters: \\[[^\\]]*= en[^\\]]*\\]".r
       .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
     rd.groupBy(col("lang"))
@@ -2658,8 +2661,9 @@ object Queries {
     */
   val jsonlRoundtrip: Q = (s, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
-    Writers.jsonl(t(s, dir, "customer"), tmp)
-    Readers.jsonl(s, tmp)
+    val cust = t(s, dir, "customer")
+    Writers.jsonl(cust, tmp)
+    Readers.jsonlOrEmpty(s, tmp, cust.schema)
       .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_name"),
         col("c_mktsegment"), col("c_acctbal").cast("double").as("c_acctbal"))
       .orderBy(col("c_custkey"))
@@ -4088,9 +4092,13 @@ object Queries {
           .as("n_full_funnel"))
       .select(col("n_users"), col("n_view"), col("n_view_click"),
         col("n_full_funnel"),
-        round(col("n_view_click").cast("double") / col("n_view"), 6)
+        // guards: an empty (or view-free) stream must report NULL rates,
+        // not an ANSI divide-by-zero (EmptyInputSpec)
+        when(col("n_view") > 0,
+          round(col("n_view_click").cast("double") / col("n_view"), 6))
           .as("view_to_click"),
-        round(col("n_full_funnel").cast("double") / col("n_view_click"), 6)
+        when(col("n_view_click") > 0,
+          round(col("n_full_funnel").cast("double") / col("n_view_click"), 6))
           .as("click_to_buy"))
   }
 

@@ -41,6 +41,29 @@ object Readers {
   def jsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** JSONL read with inference, falling back to `schemaIfEmpty` when the
+    * directory holds no data files (inference on an empty dir yields a
+    * zero-column frame; a partition of a lake being empty is routine).
+    */
+  def jsonlOrEmpty(spark: SparkSession, path: String,
+                   schemaIfEmpty: StructType): DataFrame = {
+    val df = spark.read.json(path)
+    if (df.columns.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaIfEmpty)
+    else df
+  }
+
+  /** Parquet read with an explicit schema — required to read BACK a layer
+    * that may have been written from an empty frame (no part files ⇒
+    * nothing to infer from; partitioned writes of empty frames emit only
+    * _SUCCESS). On populated dirs behaves like [[parquet]], including
+    * partition discovery.
+    */
+  def parquetWithSchema(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
   /** CSV ingest that CAPTURES malformed rows instead of dropping or dying:
     * PERMISSIVE mode with a corrupt-record column, so a quarantine branch
     * can write bad rows aside while good rows continue — at 100 TB some

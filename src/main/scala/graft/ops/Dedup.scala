@@ -311,7 +311,10 @@ object Dedup {
     var labels = fpMat.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      // coalesce: sum over an EMPTY vertex set is NULL — an empty graph
+      // must converge immediately, not NPE in the fixpoint compare
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var step = 0
     var done = false
@@ -426,7 +429,10 @@ object Dedup {
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      // coalesce: sum over an EMPTY vertex set is NULL — an empty graph
+      // must converge immediately, not NPE in the fixpoint compare
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var step = 0
     var done = false

@@ -125,7 +125,13 @@ object SimSearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroids: Array[(Long, Array[Float])], nprobe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(centroids.nonEmpty && nprobe >= 1)
+    require(nprobe >= 1)
+    if (centroids.isEmpty) {
+      // empty corpus sample ⇒ empty codebook ⇒ no candidates, not a crash
+      return queries.select(col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("score"))
+        .filter(lit(false))
+    }
     val cellIds = centroids.map(_._1)
     val cents = centroids.map(_._2)
 
@@ -180,7 +186,7 @@ object SimSearch {
                       idCol: String = "vec_id", vecCol: String = "embedding")
       : Array[(Long, Array[Float])] = {
     var cents = sampledCentroids(corpus, k, idCol, vecCol)
-    for (_ <- 1 to iterations) {
+    for (_ <- 1 to iterations if cents.nonEmpty) {
       val cellIds = cents.map(_._1)
       val cvs = cents.map(_._2)
       val stats = corpus
