@@ -4311,6 +4311,51 @@ object Queries {
       |FROM ns JOIN dd ON ns.label = dd.label
       |ORDER BY ns.label""".stripMargin
 
+  /** Co-purchase PageRank ([[graft.ops.Graph.pageRank]]): part importance
+    * over the ordered-together graph (symmetric by construction, so no
+    * dangling mass), 5 damped iterations from the uniform start, in
+    * FIXED-POINT integer mass units — three floating formulations each
+    * diverged from DuckDB by 1 ulp (see Graph scaladoc); integer
+    * arithmetic is the reproducible form. The oracle is a generated
+    * 5-stage unrolled CTE chain (the q129 BPE pattern — aggregation is
+    * not allowed in a recursive CTE term) of the same exact BIGINT ops.
+    */
+  val copurchaseRank: Q = (s, dir) => {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.ops.Graph.pageRank(edges, iterations = 5)
+      .select(col("pk").as("p_partkey"), col("r").as("rank_units"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val copurchaseRankSql: String = {
+    val head =
+      """WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+        |           FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |      FROM i a JOIN i b ON a.okey = b.okey AND a.pk <> b.pk),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |p0 AS (SELECT src AS pk, CAST(1000000000000 // n AS BIGINT) AS r
+        |       FROM d, nn)""".stripMargin
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS (SELECT e.dst,
+         |    CAST(sum(p.r // d.deg) AS BIGINT) AS s
+         |  FROM e JOIN p${k - 1} p ON e.src = p.pk JOIN d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |p$k AS (SELECT dst AS pk,
+         |    CAST((15 * 1000000000000) // (100 * n)
+         |      + (85 * s) // 100 AS BIGINT) AS r
+         |  FROM c$k, nn)""".stripMargin
+    }
+    ((head +: iters).mkString(",\n")) +
+      "\nSELECT pk AS p_partkey, r AS rank_units FROM p5 ORDER BY pk"
+  }
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4455,6 +4500,7 @@ object Queries {
     "q140_market_basket" -> marketBasket,
     "q141_hourly_anomalies" -> hourlyAnomalies,
     "q142_embedding_drift" -> embeddingDrift,
+    "q143_copurchase_rank" -> copurchaseRank,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4599,5 +4645,6 @@ object Queries {
     "q139_cohort_retention" -> cohortRetentionSql,
     "q140_market_basket" -> marketBasketSql,
     "q141_hourly_anomalies" -> hourlyAnomaliesSql,
-    "q142_embedding_drift" -> embeddingDriftSql)
+    "q142_embedding_drift" -> embeddingDriftSql,
+    "q143_copurchase_rank" -> copurchaseRankSql)
 }

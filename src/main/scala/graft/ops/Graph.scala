@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on edge frames — the numeric companion to
+  * [[Dedup.clusters]]' label propagation (Page et al. '99 PageRank).
+  *
+  * Scale shape per iteration: one join of the edge list with the rank
+  * vector (keyed on src), one aggregation keyed on dst — both linear in
+  * edges with map-side partials; the rank vector is node-sized. Lineage
+  * is truncated per superstep (localCheckpoint — the q129/Dedup.clusters
+  * lesson: lazy chaining replays prior rounds through every reference).
+  *
+  * FIXED-POINT arithmetic, by measurement not taste: three floating
+  * formulations of this loop each diverged from DuckDB by 1 ulp —
+  * double→decimal-grid rounding disagrees near ties (Spark rounds the
+  * decimal string, DuckDB float-multiplies), re-rounding a rounded value
+  * sits exactly on ties, and DECIMAL(38,28)→double conversion is not
+  * correctly rounded identically on both engines. Iterated floating
+  * point is NOT cross-engine-reproducible; integer arithmetic is. Ranks
+  * are integer "mass units" (10^12 total), contributions are integer
+  * divisions, the damping update is integer multiply/divide — every step
+  * exact on any engine. Floor losses leak a little mass (≤ 1 unit per
+  * node per step, ~n·iters/10^12 of total — irrelevant at this unit
+  * scale) and are part of the defined semantics, not a hidden error.
+  */
+object Graph {
+
+  /** Unit of total rank mass: ranks sum to ~this (minus floor leaks). */
+  val UnitMass: Long = 1000000000000L // 10^12
+
+  /** Fixed-point PageRank over a directed edge frame (columns `src`,
+    * `dst`; simple graph expected — dedupe multi-edges upstream).
+    * Returns (pk, r) in mass units after `iterations` rounds from the
+    * uniform start; dangling mass is not redistributed (symmetrize
+    * upstream — co-occurrence graphs are symmetric by construction).
+    * Damping is the rational `dampNum/dampDen` (default 85/100).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
+    require(dampNum > 0 && dampNum < dampDen, "damping in (0, 1)")
+    val e = Dedup.pin(edges.select(col("src"), col("dst")).distinct())
+    val degs = Dedup.pin(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val n = degs.agg(count(lit(1)).as("nn"))
+    var ranks = degs.crossJoin(broadcast(n))
+      .selectExpr("src AS pk", s"CAST(${UnitMass}L div nn AS BIGINT) AS r")
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.select(col("pk").as("src"), col("r")), Seq("src"))
+        .join(degs, Seq("src"))
+        .selectExpr("dst", "CAST(r div deg AS BIGINT) AS c")
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = contrib.crossJoin(broadcast(n))
+        .selectExpr("dst AS pk",
+          s"CAST((${dampDen - dampNum}L * ${UnitMass}L) div (${dampDen}L * nn)" +
+            s" + (${dampNum}L * s) div ${dampDen}L AS BIGINT) AS r")
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}
