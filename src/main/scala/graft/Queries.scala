@@ -4356,6 +4356,33 @@ object Queries {
       "\nSELECT pk AS p_partkey, r AS rank_units FROM p5 ORDER BY pk"
   }
 
+  /** Compressed-CSV ingest round-trip: write region as gzip CSV (crawl
+    * dumps and public datasets ship as .csv.gz; Spark's text sources
+    * decompress by extension) and read it back through the standard CSV
+    * reader — the gate proves the compressed path end-to-end, with the
+    * codec visible in the part-file names. Note gzip is NOT splittable:
+    * one task per file on read, so at 100 TB the layout rule is many
+    * medium .csv.gz files (or zstd/bzip2 where splittable codecs are
+    * available), never one giant archive.
+    */
+  val csvGzipRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_gz").toString
+    t(s, dir, "region").write
+      .option("header", "true").option("compression", "gzip")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).csv(tmp)
+    val gzParts = new java.io.File(tmp).listFiles()
+      .count(_.getName.endsWith(".csv.gz"))
+    Readers.csv(s, tmp)
+      .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+        col("r_name"))
+      .withColumn("gz_parts_nonzero", lit(gzParts > 0))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val csvGzipRoundtripSql: String =
+    """SELECT r_regionkey, r_name, TRUE AS gz_parts_nonzero
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4501,6 +4528,7 @@ object Queries {
     "q141_hourly_anomalies" -> hourlyAnomalies,
     "q142_embedding_drift" -> embeddingDrift,
     "q143_copurchase_rank" -> copurchaseRank,
+    "q144_csv_gzip" -> csvGzipRoundtrip,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4646,5 +4674,6 @@ object Queries {
     "q140_market_basket" -> marketBasketSql,
     "q141_hourly_anomalies" -> hourlyAnomaliesSql,
     "q142_embedding_drift" -> embeddingDriftSql,
-    "q143_copurchase_rank" -> copurchaseRankSql)
+    "q143_copurchase_rank" -> copurchaseRankSql,
+    "q144_csv_gzip" -> csvGzipRoundtripSql)
 }

@@ -16,7 +16,7 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("catalog is non-trivial and names are well-formed") {
-    assert(SparkEntry.queries.size >= 143)
+    assert(SparkEntry.queries.size >= 144)
     // zero rows-only gates is a round-4 invariant: EVERY query has an oracle
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
     assert(SparkEntry.queries.keys.forall(_.matches("q\\d+_[a-z0-9_]+")))
