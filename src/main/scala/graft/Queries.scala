@@ -3788,6 +3788,55 @@ object Queries {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** CLUSTER-NATIVE winnowing dedup — the scale path that retires q132's
+    * pair materialization ([[graft.ops.Dedup.winnowClusters]]): the pair
+    * list is quadratic in duplicate-cluster size (127× output at 10× docs,
+    * SCALE.md round-5), so instead each fingerprint bucket emits STAR
+    * edges to its minimum doc id (linear, component-preserving) and the
+    * min-label fixpoint of q65 turns them into clusters. Semantics: docs
+    * sharing any ≥ k+w−1-char run cluster transitively; one output row
+    * per clustered doc. Same md5 hash as q132 so the DuckDB oracle can
+    * recompute the identical fingerprints (production twin uses the
+    * native [[graft.functions.WinnowFingerprints]] hash — the q22/q94
+    * FNV-vs-md5 gate pattern); the oracle's closure is a recursive CTE
+    * over the identical star-edge set.
+    */
+  val winnowClustersQ: Q = (s, dir) => {
+    val K = 20; val W = 8
+    val withH = Dedup.pin(
+      t(s, dir, "documents").filter(length(col("text")) >= K + W - 1)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), length(col("text")) - (K - 1)),
+            i => conv(substring(md5(col("text").substr(i, lit(K)).cast("binary")),
+              1, 15), 16, 10).cast("long")).as("h")))
+    val fps = withH.select(col("doc_id").as("id"),
+      explode(array_distinct(
+        transform(sequence(lit(1), size(col("h")) - (W - 1)),
+          j => array_min(slice(col("h"), j, lit(W)))))).as("fp"))
+    Dedup.clusters(Dedup.starEdges(fps))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowClustersSql: String =
+    """WITH RECURSIVE g AS (SELECT doc_id,
+      |    list_transform(generate_series(1, length(text) - 19),
+      |      i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 20)), 1, 15))::BIGINT) AS h
+      |  FROM documents WHERE length(text) >= 27),
+      |m AS (SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(h) - 7),
+      |      j -> list_min(h[j : j + 7]))) AS fps
+      |  FROM g),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+      |hub AS (SELECT fp, min(doc_id) AS hub FROM e GROUP BY fp HAVING count(*) >= 2),
+      |edges AS (SELECT DISTINCT e.doc_id AS a, h.hub AS b
+      |  FROM e JOIN hub h USING (fp) WHERE e.doc_id <> h.hub),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach AS (SELECT a, b FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
+      |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** End-to-end curation FUNNEL — the whole training-data pipeline as one
     * query: exact dedup → benchmark decontamination → quality floor →
     * length band → stratified split, reported as survivor counts + token
@@ -4529,6 +4578,7 @@ object Queries {
     "q142_embedding_drift" -> embeddingDrift,
     "q143_copurchase_rank" -> copurchaseRank,
     "q144_csv_gzip" -> csvGzipRoundtrip,
+    "q145_winnow_clusters" -> winnowClustersQ,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4675,5 +4725,6 @@ object Queries {
     "q141_hourly_anomalies" -> hourlyAnomaliesSql,
     "q142_embedding_drift" -> embeddingDriftSql,
     "q143_copurchase_rank" -> copurchaseRankSql,
-    "q144_csv_gzip" -> csvGzipRoundtripSql)
+    "q144_csv_gzip" -> csvGzipRoundtripSql,
+    "q145_winnow_clusters" -> winnowClustersSql)
 }

@@ -528,4 +528,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Star edges: connect every member of a bucket to the bucket's MINIMUM
+    * id. Linear in bucket size where a pairwise self-join is quadratic,
+    * and connected components are preserved exactly — any two members of
+    * a bucket reach each other through the hub. Input: (id, bucketCol)
+    * rows, unique per (id, bucket). Output: (id1, id2) edges, id1 ≠ id2.
+    */
+  def starEdges(memberships: DataFrame, idCol: String = "id",
+                bucketCol: String = "fp"): DataFrame = {
+    // size-≥2 filter prunes singleton buckets before the join (they can
+    // produce no edges); the aggregate also carries the hub, so one
+    // shuffle on the bucket key does both
+    val hubs = memberships.groupBy(col(bucketCol))
+      .agg(min(col(idCol)).as("hub"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .drop("n_members")
+    memberships.join(hubs, Seq(bucketCol))
+      .filter(col(idCol) =!= col("hub"))
+      .select(col(idCol).as("id1"), col("hub").as("id2"))
+      .distinct()
+  }
+
+  /** Cluster-native winnowing dedup (Schleimer '03 fingerprints →
+    * [[starEdges]] → [[clusters]]): the scale path that replaces
+    * [[winnowOverlapPairs]]'s pair materialization. The pair list is
+    * quadratic in duplicate-cluster size — a boilerplate run that puts m
+    * documents into one fingerprint bucket emits m(m−1)/2 pairs (measured
+    * 127× output at 10× docs, SCALE.md round-5) — while the star edges
+    * are linear in bucket size and yield the SAME connected components.
+    * Semantics: documents sharing ≥ 1 selected fingerprint (i.e. any
+    * shared byte run of length ≥ k+w−1) land in one cluster,
+    * transitively; cluster_id = min doc id in the component. Output is
+    * one row per document that shares a fingerprint with at least one
+    * other document — bounded by the corpus, never by pair counts.
+    */
+  def winnowClusters(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", k: Int = 20, w: Int = 8,
+                     maxSupersteps: Int = 20): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.WinnowFingerprints
+        .winnow_fingerprints(col(textCol), k, w))).as("fp"))
+    clusters(starEdges(fps), maxSupersteps = maxSupersteps)
+  }
 }

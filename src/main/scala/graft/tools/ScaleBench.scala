@@ -95,6 +95,10 @@ object ScaleBench {
     "winnow_overlap" -> ((s, d) => graft.Queries.winnowOverlap(s, d).count()),
     "winnow_fast" -> ((s, d) =>
       Dedup.winnowOverlapPairs(docs(s, d)).count()),
+    // round-6: cluster-native winnow — output is per-doc labels (linear),
+    // vs winnow_fast's pair list (quadratic in duplicate-cluster size)
+    "winnow_clusters" -> ((s, d) =>
+      Dedup.winnowClusters(docs(s, d)).count()),
     "curation_funnel" -> ((s, d) => graft.Queries.curationFunnel(s, d).count()),
     // behavioral/events family (per-user windows, keyed aggregations):
     // key cardinality grows 10× in the augmented corpus while per-user
