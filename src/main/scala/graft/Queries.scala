@@ -3128,7 +3128,12 @@ object Queries {
         .select(col("doc_id"), col("n_passages"), col("pos"),
           col("col").as("passage"),
           md5(col("col").cast("binary")).as("pfp"),
-          (col("doc_id") * 100000L + col("pos")).as("okey")))
+          // global (doc_id, pos) order as a fixed-width zero-padded string
+          // — collision-free at any document length, where a numeric
+          // doc_id*K+pos encoding silently collides once a doc exceeds K
+          // passages (non-negative ids assumed, as everywhere in the gate)
+          concat(lpad(col("doc_id").cast("string"), 19, "0"),
+            lpad(col("pos").cast("string"), 12, "0")).as("okey")))
     val firsts = passages.groupBy(col("pfp")).agg(min(col("okey")).as("first_okey"))
     passages.join(firsts, Seq("pfp"))
       .filter(col("okey") === col("first_okey"))
@@ -3151,7 +3156,9 @@ object Queries {
       |        unnest(list_transform(generate_series(1, (n + 19) // 20),
       |          w -> array_to_string(tok[(w-1)*20+1 : (w-1)*20+20], ' '))) AS passage
       |      FROM t2),
-      |f AS (SELECT *, md5(passage) AS pfp, doc_id * 100000 + pos AS okey FROM p),
+      |f AS (SELECT *, md5(passage) AS pfp,
+      |        lpad(CAST(doc_id AS VARCHAR), 19, '0') ||
+      |        lpad(CAST(pos AS VARCHAR), 12, '0') AS okey FROM p),
       |fk AS (SELECT pfp, min(okey) AS first_okey FROM f GROUP BY pfp),
       |k AS (SELECT f.* FROM f JOIN fk USING (pfp) WHERE okey = first_okey)
       |SELECT doc_id, CAST(max(n_passages) AS BIGINT) AS n_passages,

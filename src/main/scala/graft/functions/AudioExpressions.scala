@@ -60,8 +60,13 @@ object AudioExpressions {
             bits <= 0 || bits >= 64 || size >= (1L << 33)) return 0L
         return (size << 30) | (rate << 10) | (bits.toLong << 4) | channels.toLong
       }
-      // chunk payloads are padded to even length
-      i += 8 + size.toInt + (size.toInt & 1)
+      // chunk payloads are padded to even length; the advance must stay
+      // in Long arithmetic — a malformed u32 size near 2^32 truncated to
+      // Int would step backwards (ArrayIndexOutOfBounds) or not at all
+      // (infinite loop) instead of ending the walk
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > b.length) return 0L
+      i = next.toInt
     }
     0L
   }

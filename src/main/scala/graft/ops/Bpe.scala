@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions._
   *
   * Symbol sequences are space-joined characters padded with sentinel
   * spaces (" c o l d "); `replace(seq, " a b ", " ab ")` is leftmost
-  * non-overlapping on every engine, which is exactly BPE's left-to-right
-  * merge order. End-of-word markers are omitted (a documented
+  * non-overlapping on every engine, matching BPE's left-to-right merge
+  * order with ONE documented deviation: consecutive occurrences of the
+  * winning pair share the sentinel space (" a b a b " — the first match
+  * consumes the space the second needs), so runs of the same pair merge
+  * only at alternating positions in that round, where reference Sennrich
+  * BPE merges every occurrence. The deviation affects merge counts only
+  * on words with immediately repeated pairs; it is applied identically in
+  * [[mergesOracleSql]] / [[encodeSymbols]], so both engines agree. (A
+  * fixpoint re-replace per round would restore exact Sennrich semantics
+  * at the cost of a data-dependent loop; not worth it for a frequency
+  * statistic.) End-of-word markers are omitted (a documented
   * simplification: merges never cross word boundaries regardless, because
   * sequences are per-word).
   */

@@ -31,6 +31,16 @@ object CorpusStreams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        screenBatch(batch.toDF(), batchId, corpusDir, auditDir)
+      }
+      .start()
+
+  /** One micro-batch of the screen, IDEMPOTENT under foreachBatch's
+    * at-least-once redelivery — public so the retry contract is directly
+    * testable outside a streaming query.
+    */
+  def screenBatch(batch: DataFrame, batchId: Long,
+                  corpusDir: String, auditDir: String): Unit = {
         val s = batch.sparkSession
         // within-batch exact dedup first: keep the min doc_id per content
         val fresh = Dedup.byFingerprint(batch).filter(!col("is_duplicate"))
@@ -45,21 +55,37 @@ object CorpusStreams {
               fresh.select(col("doc_id").as("id"), lit(true).as("exact_new"),
                 lit(true).as("near_new"))
           }
-        // ORDER MATTERS: the audit must be written BEFORE the corpus
-        // append — appending to corpusDir invalidates every cached frame
-        // over that path (Spark recache-by-path), so a lazy re-evaluation
-        // of `flags` afterwards would screen the batch against a corpus
-        // that already contains it and mark its own docs as duplicates
-        val audited = flags.withColumn("batch_id", lit(batchId))
-        audited.write.mode(SaveMode.Append).parquet(auditDir)
-        val admitted = fresh.join(
+        // IDEMPOTENCE: foreachBatch is at-least-once — a retried batch id
+        // must not duplicate audit rows or corpus docs. The audit append
+        // is skipped when this batch_id is already audited (the flags it
+        // recorded then are authoritative: re-screening on retry would
+        // see the batch's own first-attempt docs in the corpus and flag
+        // them duplicates); the corpus append anti-joins away doc_ids a
+        // partial first attempt already landed.
+        val alreadyAudited =
+          try !s.read.parquet(auditDir)
+            .filter(col("batch_id") === batchId).isEmpty
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!alreadyAudited) {
+          // ORDER MATTERS: the audit must be written BEFORE the corpus
+          // append — appending to corpusDir invalidates every cached frame
+          // over that path (Spark recache-by-path), so a lazy re-evaluation
+          // of `flags` afterwards would screen the batch against a corpus
+          // that already contains it and mark its own docs as duplicates
+          flags.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(auditDir)
+        }
+        val passed = fresh.join(
           s.read.parquet(auditDir)
             .filter(col("batch_id") === batchId &&
               col("exact_new") && col("near_new"))
             .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val admitted =
+          try passed.join(s.read.parquet(corpusDir).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          catch { case _: org.apache.spark.sql.AnalysisException => passed }
         admitted.write.mode(SaveMode.Append).parquet(corpusDir)
         Dedup.releaseCaches()
         ()
-      }
-      .start()
+  }
 }

@@ -123,11 +123,17 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated op filter (SPARK_GRAFT_SCALE_OPS) for
+    // measuring one family without paying for the whole suite
+    val selected = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(',').map(_.trim).toSet)
+      .map(want => ops.filter { case (n, _) => want(n) })
+      .getOrElse(ops)
     // warm-up
     docs(spark, args.head).count()
     args.foreach { dir =>
       val nDocs = docs(spark, dir).count()
-      val cells = ops.map { case (name, op) =>
+      val cells = selected.map { case (name, op) =>
         val t0 = System.nanoTime()
         val n = op(spark, dir)
         val sec = (System.nanoTime() - t0) / 1e9

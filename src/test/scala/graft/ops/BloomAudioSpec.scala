@@ -96,4 +96,21 @@ class BloomAudioSpec extends SparkSpec {
     val got = df.select(audio_format($"payload")).as[Option[String]].collect()
     assert(got.forall(_.isEmpty))
   }
+
+  test("WAV decode survives malformed u32 chunk sizes (no loop, no throw)") {
+    import graft.functions.AudioExpressions._
+    // a junk chunk declaring size 0xFFFFFFF8: truncated-to-Int advance
+    // would be 8 + (-8) + 0 = stuck (infinite loop); other >2^31 sizes
+    // would step i negative and throw in tag(). Both must return NULL.
+    def junkWav(junkSize: Long): Array[Byte] =
+      "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+        "JUNK".getBytes ++ le32(junkSize) ++ Array.fill(16)(0x20.toByte)
+    val rows = Seq(
+      (1L, junkWav(0xFFFFFFF8L)),   // advance would be 0 in Int arithmetic
+      (2L, junkWav(0x80000000L)),   // advance negative in Int arithmetic
+      (3L, junkWav(0xFFFFFFFFL)))   // max u32, odd → padded
+    val got = rows.toDF("id", "payload")
+      .select(audio_format($"payload")).as[Option[String]].collect()
+    assert(got.forall(_.isEmpty))
+  }
 }

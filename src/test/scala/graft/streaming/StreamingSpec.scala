@@ -41,6 +41,34 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(("click", 2L)))
   }
 
+  test("CorpusStreams.screenBatch is idempotent under batch redelivery") {
+    val root = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val tB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    val batch0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    CorpusStreams.screenBatch(batch0, 0L, s"$root/corpus", s"$root/audit")
+    // redeliver the SAME batch id (foreachBatch at-least-once): neither
+    // the audit rows nor the corpus docs may duplicate
+    CorpusStreams.screenBatch(batch0, 0L, s"$root/corpus", s"$root/audit")
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(corpus.sorted == Seq(1L, 2L), s"corpus duplicated: $corpus")
+    val audit = spark.read.parquet(s"$root/audit")
+      .select("id").as[Long].collect().toSeq
+    assert(audit.sorted == Seq(1L, 2L), s"audit duplicated: $audit")
+    // a genuinely new batch still flows through after the retry
+    CorpusStreams.screenBatch(
+      Seq((3L, "completely different content about ships and sealing " +
+        "wax and cabbages and kings and why the sea is boiling hot"))
+        .toDF("doc_id", "text"),
+      1L, s"$root/corpus", s"$root/audit")
+    val corpus2 = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(corpus2.sorted == Seq(1L, 2L, 3L))
+  }
+
   test("CorpusStreams.screeningSink: cross-batch exact and near dups rejected") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_screen").toString
