@@ -3607,12 +3607,25 @@ object Queries {
   val fuzzyBlockedMatch: Q = (s, dir) => {
     val p = t(s, dir, "part")
       .select(col("p_partkey").as("id"), lower(col("p_name")).as("nm"))
+    // COMPOSITE block key: last word + name-length bucket. A single-token
+    // block re-quadratics on a real catalog's dominant last token; the
+    // length bucket subdivides hot blocks WITHOUT losing matches, because
+    // levenshtein ≤ 4 bounds the length difference by 4 < the bucket
+    // width 8 — a true match is always in the same or an adjacent bucket,
+    // so the probe side fans out to {lb−1, lb, lb+1} (each true pair
+    // meets exactly once: the build side keeps its own single bucket).
+    // The oracle keeps the plain last-token block: same filtered pair
+    // set, so identical results — the gate proves the subdivision exact.
     val names = Dedup.pin(
       p.select(col("nm")).distinct()
-        .withColumn("blk", element_at(split(col("nm"), " "), -1)))
+        .withColumn("blk", element_at(split(col("nm"), " "), -1))
+        .withColumn("lb", floor(length(col("nm")) / 8)))
+    val probe = names.select(col("nm"), col("blk"),
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
     val reps = p.groupBy(col("nm")).agg(min(col("id")).as("rep_id"))
-    val nn = names.as("a").join(names.as("b"),
-        col("a.blk") === col("b.blk") && col("a.nm") =!= col("b.nm"))
+    val nn = probe.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.lb") === col("b.lb") &&
+          col("a.nm") =!= col("b.nm"))
       .select(col("a.nm").as("nm"), col("b.nm").as("cand_nm"),
         levenshtein(col("a.nm"), col("b.nm")).as("d"))
       .filter(col("d") <= 4)

@@ -66,7 +66,7 @@ object Bpe {
       // count grows 2^rounds (measured ~10 s for 6 rounds at sf0.1 vs
       // ~1.5 s truncated). The checkpointed frame is vocabulary-sized;
       // the cluster analog is writing the merged vocab per round.
-      cur = applyMerge(cur, best.select(col("pair"))).localCheckpoint(true)
+      cur = applyMerge(cur, best.select(col("pair"))).transform(Lineage.cut)
     }
     out.get.orderBy(col("merge_round"))
   }

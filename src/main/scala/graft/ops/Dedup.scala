@@ -309,7 +309,7 @@ object Dedup {
       posexplode(array((0 until chunks).map(chunkVal(col("fp"), _, chunks)): _*))
         .as(Seq("chunk", "ck"))))
     var labels = fpMat.select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+      .transform(Lineage.cut)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // coalesce: sum over an EMPTY vertex set is NULL — an empty graph
       // must converge immediately, not NPE in the fixpoint compare
@@ -340,7 +340,7 @@ object Dedup {
         .select(viaNbr("id"),
           least(viaNbr("cluster_id"),
             coalesce(col("plabel"), viaNbr("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+        .transform(Lineage.cut)
       val nextSum = labelSum(next)
       labels = next
       done = nextSum.compareTo(prevSum) == 0
@@ -418,16 +418,16 @@ object Dedup {
     // same role is played by checkpoint()/intermediate tables.
     val symRaw = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
       .union(pairs.select(col(id2Col).as("a"), col(id1Col).as("b")))
-      .localCheckpoint(true)
+      .transform(Lineage.cut)
     // adaptive parallelism: the vertex set is a tiny fraction of the
     // corpus; size the superstep shuffles to it (~1M edges/partition),
     // not to the session-wide shuffle.partitions
     val nEdges = symRaw.count()
     val parts = math.max(1L, nEdges / 1000000L).toInt
-    val sym = symRaw.repartition(parts, col("b")).localCheckpoint(true)
+    val sym = symRaw.repartition(parts, col("b")).transform(Lineage.cut)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+      .transform(Lineage.cut)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // coalesce: sum over an EMPTY vertex set is NULL — an empty graph
       // must converge immediately, not NPE in the fixpoint compare
@@ -451,7 +451,7 @@ object Dedup {
         .select(viaNeighbors("id"),
           least(viaNeighbors("cluster_id"),
             coalesce(col("plabel"), viaNeighbors("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+        .transform(Lineage.cut)
       val nextSum = labelSum(next)
       labels = next
       done = nextSum.compareTo(prevSum) == 0

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * Scale shape per iteration: one join of the edge list with the rank
   * vector (keyed on src), one aggregation keyed on dst — both linear in
   * edges with map-side partials; the rank vector is node-sized. Lineage
-  * is truncated per superstep (localCheckpoint — the q129/Dedup.clusters
-  * lesson: lazy chaining replays prior rounds through every reference).
+  * is truncated per superstep ([[Lineage.cut]] — the q129/Dedup.clusters
+  * lesson: lazy chaining replays prior rounds through every reference;
+  * set `spark.graft.checkpoint.reliable=true` + a checkpoint dir on a
+  * cluster so a mid-iteration executor loss is recoverable).
   *
   * FIXED-POINT arithmetic, by measurement not taste: three floating
   * formulations of this loop each diverged from DuckDB by 1 ulp —
@@ -46,7 +48,7 @@ object Graph {
     val n = degs.agg(count(lit(1)).as("nn"))
     var ranks = degs.crossJoin(broadcast(n))
       .selectExpr("src AS pk", s"CAST(${UnitMass}L div nn AS BIGINT) AS r")
-      .localCheckpoint(true)
+      .transform(Lineage.cut)
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.select(col("pk").as("src"), col("r")), Seq("src"))
@@ -57,7 +59,7 @@ object Graph {
         .selectExpr("dst AS pk",
           s"CAST((${dampDen - dampNum}L * ${UnitMass}L) div (${dampDen}L * nn)" +
             s" + (${dampNum}L * s) div ${dampDen}L AS BIGINT) AS r")
-        .localCheckpoint(true)
+        .transform(Lineage.cut)
     }
     ranks
   }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-superstep lineage truncation for iterative operators
+  * ([[Dedup.clusters]], [[Dedup.simhashClusters]], [[Bpe.merges]],
+  * [[Graph.pageRank]]).
+  *
+  * Truncation itself is non-negotiable — chaining supersteps lazily
+  * replays every prior round through each reference and the plan grows
+  * exponentially (SCALE.md rounds 2/5) — but WHERE the truncated state
+  * lives is a deployment decision:
+  *
+  *  - default: `localCheckpoint` — executor-local storage, zero extra
+  *    infrastructure, right for local runs and for clusters that accept
+  *    re-running a failed job. The trade: lineage is gone, so on a real
+  *    cluster an executor loss after round k makes the iterated state
+  *    UNRECOVERABLE mid-job (the job fails; rerun recomputes from the
+  *    sources).
+  *  - `spark.graft.checkpoint.reliable=true`: `checkpoint()` to the
+  *    session's checkpoint directory (`SparkContext.setCheckpointDir`,
+  *    typically durable distributed storage) — each superstep's state
+  *    survives executor loss, the iteration resumes from the last
+  *    written round. The cost is a per-superstep write+read of the
+  *    (small, vertex/vocab-sized) iterated frame to durable storage.
+  */
+object Lineage {
+  val ReliableConfKey = "spark.graft.checkpoint.reliable"
+
+  /** Cut `df`'s lineage, eagerly; reliable or local per session conf. */
+  def cut(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable =
+      s.conf.getOption(ReliableConfKey).exists(_.trim.equalsIgnoreCase("true"))
+    if (reliable) {
+      require(s.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConfKey=true requires SparkContext.setCheckpointDir " +
+          "(a durable location — HDFS/object storage on a cluster)")
+      df.checkpoint(true)
+    } else df.localCheckpoint(true)
+  }
+}

@@ -63,6 +63,103 @@ class Round6OpsSpec extends SparkSpec {
     assert(!labels.contains(4L), "no-overlap doc must not appear")
   }
 
+  // ------------------------------------------------- reliable checkpoints
+
+  test("reliable checkpoint mode without a checkpoint dir fails fast") {
+    // MUST run before the agree test below: that one sets a checkpoint
+    // dir on the shared SparkContext, which cannot be unset. A conf flip
+    // with NO checkpoint dir must be an immediate, explicit error — not
+    // a latent job failure.
+    spark.conf.set(Lineage.ReliableConfKey, "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.clusters(Seq((1L, 2L)).toDF("id1", "id2")).collect()
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    } finally spark.conf.unset(Lineage.ReliableConfKey)
+  }
+
+  test("reliable checkpoint mode: iterative ops agree with the local mode") {
+    // local-mode truth first
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val localLabels = Dedup.clusters(edges).as[(Long, Long)].collect().toMap
+    val prEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val localRanks = Graph.pageRank(prEdges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(Lineage.ReliableConfKey, "true")
+    try {
+      val reliableLabels = Dedup.clusters(edges).as[(Long, Long)].collect().toMap
+      assert(reliableLabels == localLabels)
+      assert(reliableLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      val reliableRanks = Graph.pageRank(prEdges, iterations = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(reliableRanks == localRanks)
+      // the state actually went to the reliable checkpoint dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable mode must write to the checkpoint dir")
+    } finally spark.conf.unset(Lineage.ReliableConfKey)
+  }
+
+  // ------------------------------------------------- q128 composite block
+
+  test("q128 composite block key: exact on a skewed shared-last-token catalog") {
+    // every name ends in the SAME last token — the single-token block is
+    // one hot block; the length-bucketed composite key must subdivide it
+    // and still return exactly the brute-force (no blocking) answer,
+    // including pairs whose lengths straddle a bucket boundary
+    val names = Seq(
+      "ruby widget",             // 11 — bucket 1
+      "rubi widget",             // 11 — d=1 to the above
+      "pale ruby widget",        // 16 — bucket 2, d=5 from "ruby widget"
+      "pale rubi widget",        // 16 — d=1 to the above
+      "dark pale ru widget",     // 19 — bucket 2
+      "darkk pale ru widget",    // 20 — bucket 2, d=1, crosses no boundary
+      "abcdefgh ruby widget",    // 20
+      "abcdefgh rubi widget",    // 20 — d=1
+      "aa ruby widget",          // 14 — bucket 1; vs "ruby widget" d=3 (boundary pair)
+      "qqqqqqq widget",          // 14 — bucket 1: its ONLY ≤4 match is ↓
+      "qqqqqqqqq widget",        // 16 — bucket 2 (d=2, cross-bucket best match)
+      "zz zz widget")            // 12 — d>4 from everything: no match row
+    val parts = names.zipWithIndex
+      .map { case (n, i) => (i.toLong + 1, n) }
+      .toDF("p_partkey", "p_name")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fz").toString
+    parts.write.parquet(s"$tmp/part.parquet")
+    val got = Queries.fuzzyBlockedMatch(spark, tmp)
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute force: full cross product, no blocking at all
+    val nmDf = parts.select(lower($"p_name").as("nm")).distinct()
+    val brute = nmDf.as("a").crossJoin(nmDf.as("b"))
+      .filter($"a.nm" =!= $"b.nm")
+      .select($"a.nm".as("nm"), $"b.nm".as("cand"),
+        levenshtein($"a.nm", $"b.nm").as("d"))
+      .filter($"d" <= 4)
+      .groupBy($"nm")
+      .agg(min(concat(lpad($"d".cast("string"), 3, "0"), $"cand")).as("pk"))
+      .select($"nm", substring($"pk", 1, 3).cast("int").as("d"),
+        $"pk".substr(lit(4), length($"pk") - 3).as("cand"))
+      .as[(String, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val byName = names.zipWithIndex.map { case (n, i) => n -> (i.toLong + 1) }.toMap
+    val expected = brute.map { case (nm, (d, cand)) =>
+      byName(nm) -> ((d, byName(cand)))
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(!got.contains(byName("zz zz widget")))
+    // the q-pair's ONLY ≤4 match sits in the adjacent length bucket: its
+    // presence proves the cross-bucket probe, not just same-bucket joins
+    assert(got(byName("qqqqqqq widget")) ==
+      ((2, byName("qqqqqqqqq widget"))))
+    assert(got(byName("qqqqqqqqq widget")) ==
+      ((2, byName("qqqqqqq widget"))))
+  }
+
   test("q145 gate query returns one labeled row per clustered doc") {
     val out = Queries.winnowClustersQ(spark, sfDir)
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
