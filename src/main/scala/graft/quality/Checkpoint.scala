@@ -46,14 +46,54 @@ object Checkpoint {
     SuiteResult(suite.name, rows, schemaResults ++ rowResults ++ missingResults)
   }
 
-  /** Q5: persist the validation result as a JSON document (the engine's
-    * analog of GE's result store + data docs, E1:163-196).
+  /** Q5: persist the validation result as a JSON document plus a small
+    * HTML data-docs page (the engine's analog of GE's result store + the
+    * rendered data docs the reference publishes to its `data_quality/`
+    * bucket, E1:163-196). Returns the JSON path; the HTML sits next to it
+    * as `<suite>.html`.
     */
   def store(result: SuiteResult, outDir: String): String = {
     Files.createDirectories(Paths.get(outDir))
     val p = Paths.get(outDir, s"${result.suite}.json")
     Files.writeString(p, result.toJson)
+    Files.writeString(Paths.get(outDir, s"${result.suite}.html"),
+      renderHtml(result))
     p.toString
+  }
+
+  /** Minimal single-file data-docs page: suite verdict banner + one table
+    * row per expectation with its column, violation count, and verdict.
+    */
+  def renderHtml(result: SuiteResult): String = {
+    def esc(s: String) = s.flatMap {
+      case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+    def verdict(ok: Boolean) =
+      if (ok) """<span class="pass">PASSED</span>"""
+      else """<span class="fail">FAILED</span>"""
+    val rows = result.results.map { r =>
+      s"""<tr><td>${esc(r.kind)}</td><td>${esc(r.column)}</td>""" +
+        s"""<td>${r.violations}</td><td>${verdict(r.passed)}</td></tr>"""
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8">
+       |<title>Data quality: ${esc(result.suite)}</title>
+       |<style>
+       |body{font-family:sans-serif;margin:2em}
+       |table{border-collapse:collapse}
+       |td,th{border:1px solid #999;padding:4px 10px;text-align:left}
+       |.pass{color:#176b30;font-weight:bold}
+       |.fail{color:#a11020;font-weight:bold}
+       |</style></head><body>
+       |<h1>Validation result: ${esc(result.suite)}</h1>
+       |<p>Rows validated: ${result.rows} — suite ${verdict(result.passed)}</p>
+       |<table>
+       |<tr><th>expectation</th><th>column</th><th>violations</th><th>verdict</th></tr>
+       |$rows
+       |</table>
+       |</body></html>
+       |""".stripMargin
   }
 
   /** Q4: persist a suite DEFINITION (not its result) as JSON — the

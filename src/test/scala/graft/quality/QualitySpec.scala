@@ -55,6 +55,26 @@ class QualitySpec extends SparkSpec {
     assert(!r.passed)
   }
 
+  test("store renders an HTML data-docs page naming every verdict (E1:196)") {
+    val dir = java.nio.file.Files.createTempDirectory("dq_html").toString
+    val r = Checkpoint.run(df, Suite("banks_silver", Seq(
+      NotNull("name"),                      // 1 violation → FAILED
+      Between("score", -10.0, 100.0),       // passes
+      ColumnExists("not_a_<column>"))))     // fails; name needs escaping
+    Checkpoint.store(r, dir)
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "banks_silver.html"))
+    assert(html.contains("<title>Data quality: banks_silver</title>"))
+    // one row per expectation, each naming its verdict
+    assert(html.contains("not_null") && html.contains("between") &&
+      html.contains("column_exists"))
+    assert(html.contains("""<span class="fail">FAILED</span>"""))
+    assert(html.contains("""<span class="pass">PASSED</span>"""))
+    assert(html.contains(s"Rows validated: ${r.rows}"))
+    // HTML-escaped column name, no raw angle brackets from data
+    assert(html.contains("not_a_&lt;column&gt;"))
+  }
+
   test("suite DEFINITION round-trips through JSON (save_expectation_suite analog)") {
     val suite = Suite("claims_silver", Seq(
       NotNull("cnpj"),
