@@ -2516,6 +2516,44 @@ object Queries {
     """SELECT r_regionkey, r_name, CAST(1 AS INTEGER) AS n_files
       |FROM region ORDER BY r_regionkey""".stripMargin
 
+  /** Append-mode bronze ingestion (G0a:28's incremental alternative to the
+    * overwrite reload): day-1 load writes a document batch with
+    * `mode('overwrite')`, day-2 appends a second batch that re-crawls part
+    * of day-1 (doc_id ≡ 0 mod 3 lands in both), the bronze dir is re-read
+    * as one table, and the ingest screen reports per doc its
+    * first-occurrence batch and copy count — the promotion-time dedup
+    * decision an append-only bronze layer requires. The oracle recomputes
+    * the two batches as a UNION ALL over the parquet original, so a lost
+    * append, a double append, or an overwrite-instead-of-append all break
+    * the hash. Scale shape: the append is a metadata-only commit (new part
+    * files, no rewrite of day-1), and the screen is one hash aggregation
+    * on the batch-tagged key — no shuffle of document payloads.
+    */
+  val appendBronze: Q = (s, dir) => {
+    val bronze = java.nio.file.Files.createTempDirectory("graft_bronze").toString
+    val docs = t(s, dir, "documents")
+    Writers.parquet(docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("ingest_batch", lit(1)), bronze)
+    Writers.parquet(docs.filter(col("doc_id") % 3 <= 1)
+      .withColumn("ingest_batch", lit(2)), bronze,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Readers.parquet(s, bronze)
+      .groupBy(col("doc_id"))
+      .agg(min(col("ingest_batch")).as("first_batch"),
+        count(lit(1)).as("n_copies"),
+        sum(col("n_chars")).as("chars_ingested"))
+      .orderBy(col("doc_id"))
+  }
+
+  val appendBronzeSql: String =
+    """WITH b AS (
+      | SELECT doc_id, 1 AS ingest_batch, n_chars FROM documents WHERE doc_id % 3 = 0
+      | UNION ALL
+      | SELECT doc_id, 2 AS ingest_batch, n_chars FROM documents WHERE doc_id % 3 <= 1)
+      |SELECT doc_id, CAST(min(ingest_batch) AS INTEGER) AS first_batch,
+      | count(*) AS n_copies, CAST(sum(n_chars) AS BIGINT) AS chars_ingested
+      |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ==================================================== CSV ingest gates
 
   /** CSV round-trip gates (r3 VERDICT #5: S1–S3 — the reference's PRIMARY
@@ -4599,6 +4637,7 @@ object Queries {
     "q143_copurchase_rank" -> copurchaseRank,
     "q144_csv_gzip" -> csvGzipRoundtrip,
     "q145_winnow_clusters" -> winnowClustersQ,
+    "q146_append_bronze" -> appendBronze,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4746,5 +4785,6 @@ object Queries {
     "q142_embedding_drift" -> embeddingDriftSql,
     "q143_copurchase_rank" -> copurchaseRankSql,
     "q144_csv_gzip" -> csvGzipRoundtripSql,
-    "q145_winnow_clusters" -> winnowClustersSql)
+    "q145_winnow_clusters" -> winnowClustersSql,
+    "q146_append_bronze" -> appendBronzeSql)
 }
