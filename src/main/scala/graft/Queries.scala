@@ -4490,6 +4490,184 @@ object Queries {
     """SELECT r_regionkey, r_name, TRUE AS gz_parts_nonzero
       |FROM region ORDER BY r_regionkey""".stripMargin
 
+  // ===================================================== round-6 additions
+
+  /** PII scrubbing (the CCNet/Dolma-style redaction pass a public-crawl
+    * pipeline runs before training): regex-redact emails, IPv4 addresses,
+    * and phone numbers, reporting per-doc hit counts and the md5 of the
+    * scrubbed text (so the EXACT replacement output is hash-pinned, not
+    * just the counts). The synthetic corpus contains no PII, so each doc
+    * is first augmented with deterministic doc_id-derived PII — the same
+    * construction on both engines (the q30/q125 planted-fixture pattern:
+    * the fixtures are synthetic, the scrub machinery is the real
+    * operator). Row-local (one Project), no shuffle; patterns use the
+    * regex subset common to Java and RE2 so both engines match
+    * identically. At 100 TB this runs as a narrow map fused into the
+    * ingest scan — zero exchanges.
+    */
+  val piiScrub: Q = (s, dir) => {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{4}\\b"
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 97).cast("string"),
+        lit(" call 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+    planted.select(col("doc_id"),
+      regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(ip)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "[EMAIL]"), ip, "[IP]"), phone, "[PHONE]")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH planted AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+      |    || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR)
+      |    || ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      | CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+      | CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+      | md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |   '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+      |   '\b\d{3}-\d{4}\b', '[PHONE]', 'g')) AS scrub_md5
+      |FROM planted ORDER BY doc_id""".stripMargin
+
+  /** Training sequence packing (the GPT-style pre-tokenization step that
+    * concatenates documents into fixed-length training sequences): docs in
+    * doc_id order are laid head-to-tail per source shard, each doc assigned
+    * to the sequence its FIRST token lands in (seq_id = preceding-token
+    * count div 512), reporting per-sequence doc/token counts and how many
+    * docs straddle a sequence boundary (the fraction the loader must
+    * split). The pack key is the SOURCE shard — the window cumsum runs per
+    * shard in parallel; a global pack would serialize the corpus through
+    * one partition, so at 100 TB the shard key IS the scale contract
+    * (same discipline as q88's byte-packing).
+    */
+  val sequencePack: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val L = 512
+    val toks = t(s, dir, "documents").select(col("source"), col("doc_id"),
+      size(TextStats.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("tok_before") / L).cast("long"))
+      .withColumn("straddles",
+        floor((col("tok_before") + col("n_tok") - 1) / L) > col("seq_id"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val sequencePackSql: String =
+    """WITH toks AS (SELECT source, doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |laid AS (SELECT source, doc_id, n_tok,
+      |  coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      |  FROM toks)
+      |SELECT source, tok_before // 512 AS seq_id, count(*) AS n_docs,
+      | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      | CAST(sum(CASE WHEN (tok_before + n_tok - 1) // 512 > tok_before // 512
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+      |FROM laid GROUP BY source, seq_id
+      |ORDER BY source, seq_id""".stripMargin
+
+  /** Token-budget data mixing (the sampling step after q119's temperature
+    * weights are chosen): each source contributes its docs in quality
+    * order — longest first, doc_id tiebreak — until a fixed token budget
+    * is exhausted, and the report shows kept vs available mass per source.
+    * The cut is a per-source window cumsum (parallel across sources, one
+    * shuffle on the source key); the budget constant (800 tokens) binds on
+    * every SF, so the gate actually exercises the cut, not a no-op keep.
+    * At 100 TB the same plan holds: sources are the mixture components,
+    * each windowed independently.
+    */
+  val tokenBudgetMix: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 800L
+    val toks = t(s, dir, "documents").select(col("source"), col("doc_id"),
+      col("n_chars"),
+      size(TextStats.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_avail"),
+        sum(when(col("cum_tok") <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tok_avail"),
+        sum(when(col("cum_tok") <= budget, col("n_tok")).otherwise(0L))
+          .as("tok_kept"))
+      .orderBy(col("source"))
+  }
+
+  val tokenBudgetMixSql: String =
+    """WITH toks AS (SELECT source, doc_id, n_chars,
+      |  CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT source, n_tok,
+      |  sum(n_tok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM toks)
+      |SELECT source, count(*) AS n_avail,
+      | CAST(sum(CASE WHEN cum_tok <= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(sum(n_tok) AS BIGINT) AS tok_avail,
+      | CAST(sum(CASE WHEN cum_tok <= 800 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** Dynamic partition overwrite (the lakehouse re-ingest path: replace
+    * ONLY the partitions present in the incoming batch, leave the rest of
+    * the table untouched — Spark's `partitionOverwriteMode=dynamic`, the
+    * portable analog of Delta's replaceWhere). Day-1 writes the full
+    * corpus partitioned by lang; day-2 re-ingests just the `en` partition
+    * with corrected metadata (+100000 chars); the read-back aggregate
+    * proves the other four partitions survived byte-for-byte (static
+    * overwrite semantics would delete them → row-count mismatch) and the
+    * target was replaced, not appended (append would double-count `en`).
+    * At 100 TB this is THE incremental-reload primitive: a day's
+    * re-crawl touches its partitions only, with no rewrite of the lake.
+    */
+  val dynamicPartitionOverwrite: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    // n_chars goes to long BEFORE day-1 so both generations of the `en`
+    // partition carry the same parquet physical type (day-2's +100000L
+    // would otherwise widen int→long only in the rewritten files).
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    docs.write.partitionBy("lang")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    docs.filter(col("lang") === "en")
+      .withColumn("n_chars", col("n_chars") + 100000L)
+      .write.partitionBy("lang")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic").parquet(tmp)
+    // Explicit schema: an empty corpus writes zero data files and
+    // inference would fail; the table contract is known here.
+    s.read.schema(docs.schema).parquet(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val dynamicPartitionOverwriteSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(n_chars + CASE WHEN lang = 'en' THEN 100000 ELSE 0 END) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4638,6 +4816,10 @@ object Queries {
     "q144_csv_gzip" -> csvGzipRoundtrip,
     "q145_winnow_clusters" -> winnowClustersQ,
     "q146_append_bronze" -> appendBronze,
+    "q147_pii_scrub" -> piiScrub,
+    "q148_sequence_pack" -> sequencePack,
+    "q149_token_budget_mix" -> tokenBudgetMix,
+    "q150_dynamic_overwrite" -> dynamicPartitionOverwrite,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4786,5 +4968,9 @@ object Queries {
     "q143_copurchase_rank" -> copurchaseRankSql,
     "q144_csv_gzip" -> csvGzipRoundtripSql,
     "q145_winnow_clusters" -> winnowClustersSql,
-    "q146_append_bronze" -> appendBronzeSql)
+    "q146_append_bronze" -> appendBronzeSql,
+    "q147_pii_scrub" -> piiScrubSql,
+    "q148_sequence_pack" -> sequencePackSql,
+    "q149_token_budget_mix" -> tokenBudgetMixSql,
+    "q150_dynamic_overwrite" -> dynamicPartitionOverwriteSql)
 }
