@@ -4668,6 +4668,107 @@ object Queries {
       | CAST(sum(n_chars + CASE WHEN lang = 'en' THEN 100000 ELSE 0 END) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Domain-blocklist filtering (the C4/RefinedWeb URL screen: drop docs
+    * whose source domain — or ANY registrable parent of it — is on a
+    * blocklist, so `spam.com` also blocks `cdn.spam.com`). Hosts are
+    * planted doc_id-deterministically (same construction both engines;
+    * the q147 fixture pattern). The scale shape is the point: the suffix
+    * hierarchy is exploded on DISTINCT hosts only (label depth ≤ 4, so
+    * the explode is bounded fan-out on a table of unique domains, not the
+    * corpus), matched against the blocklist with a broadcast join, and
+    * the surviving blocked-host set — never larger than the blocklist's
+    * coverage — broadcasts back onto the corpus scan. At 100 TB: corpus
+    * stays linear, blocklist of millions broadcasts once, no shuffle
+    * touches document text.
+    */
+  val domainBlocklist: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, "").when(col("doc_id") % 3 === 1, "www.")
+          .otherwise("cdn."),
+        when(col("doc_id") % 5 === 0, "news.com")
+          .when(col("doc_id") % 5 === 1, "spam.com")
+          .when(col("doc_id") % 5 === 2, "blog.org")
+          .when(col("doc_id") % 5 === 3, "ads.tracker.net")
+          .otherwise("docs.example.com")).as("host"))
+    val blocklist = Seq("spam.com", "tracker.net").toDF("b")
+    val blockedHosts = graft.ops.UrlFilter.blockedHosts(docs, blocklist)
+    docs.join(broadcast(blockedHosts.withColumn("blk", lit(true))),
+        Seq("host"), "left_outer")
+      .groupBy(col("host"), coalesce(col("blk"), lit(false)).as("blocked"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("host"))
+  }
+
+  val domainBlocklistSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'cdn.' END) ||
+      |  (CASE doc_id % 5 WHEN 0 THEN 'news.com' WHEN 1 THEN 'spam.com'
+      |     WHEN 2 THEN 'blog.org' WHEN 3 THEN 'ads.tracker.net'
+      |     ELSE 'docs.example.com' END) AS host FROM documents),
+      |suf AS (SELECT DISTINCT host FROM d),
+      |x AS (SELECT host,
+      |  unnest(list_transform(generate_series(1, len(string_split(host,'.'))),
+      |    i -> array_to_string(string_split(host,'.')[i:], '.'))) AS s FROM suf),
+      |blocked AS (SELECT DISTINCT host FROM x WHERE s IN ('spam.com','tracker.net'))
+      |SELECT d.host, (b.host IS NOT NULL) AS blocked, count(*) AS n_docs
+      |FROM d LEFT JOIN blocked b ON d.host = b.host
+      |GROUP BY 1, 2 ORDER BY d.host""".stripMargin
+
+  /** Content-defined chunking (the rolling-boundary split used by
+    * dedup-friendly storage and incremental corpus sync — rsync/LBFS
+    * lineage: boundaries follow CONTENT, so an insertion reshuffles one
+    * chunk, not every fixed-width window downstream of it). Token-level
+    * CDC: a token is a boundary iff md5(token) ≡ 0 (mod 8) — expected
+    * chunk length 8 tokens; each doc splits at its boundaries, each chunk
+    * is fingerprinted, and the report counts per doc its chunks, distinct
+    * chunks, and NOVEL chunks (fingerprints whose corpus-wide first
+    * occurrence — min doc_id — is this doc): the storage the corpus
+    * actually costs under content-addressed dedup. Plan: one corpus scan
+    * → posexplode → per-doc boundary cumsum (window keyed on doc_id, no
+    * global sort) → hash-agg reassembly → fingerprint-keyed min. All
+    * shuffles are keyed on (doc_id[, chunk]) or the 16-byte fingerprint —
+    * linear and skew-free at 100 TB.
+    */
+  val cdcChunks: Q = (s, dir) => {
+    val chunks = graft.ops.Cdc.chunks(t(s, dir, "documents"))
+    val firstOcc = chunks.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+      .withColumnRenamed("first_doc", "doc_id")
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).cast("long").as("n_distinct"))
+      .join(firstOcc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"), col("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cdcChunksSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS t,
+      |    generate_subscripts(regexp_extract_all(lower(text), '\S+'), 1) AS pos
+      |  FROM documents),
+      |b AS (SELECT doc_id, pos, t,
+      |    CASE WHEN ('0x'||substr(md5(t),1,15))::BIGINT % 8 = 0 THEN 1 ELSE 0 END AS bd
+      |  FROM tok),
+      |c AS (SELECT doc_id, pos, t,
+      |    coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      |  FROM b),
+      |ch AS (SELECT doc_id, chunk_id,
+      |    md5(string_agg(t, ' ' ORDER BY pos)) AS fp
+      |  FROM c GROUP BY doc_id, chunk_id),
+      |fo AS (SELECT fp, min(doc_id) AS first_doc FROM ch GROUP BY fp),
+      |nv AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM fo GROUP BY first_doc),
+      |pc AS (SELECT doc_id, count(*) AS n_chunks, count(DISTINCT fp) AS n_distinct
+      |  FROM ch GROUP BY doc_id)
+      |SELECT pc.doc_id, pc.n_chunks, CAST(pc.n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
+      |FROM pc LEFT JOIN nv USING (doc_id) ORDER BY pc.doc_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4820,6 +4921,8 @@ object Queries {
     "q148_sequence_pack" -> sequencePack,
     "q149_token_budget_mix" -> tokenBudgetMix,
     "q150_dynamic_overwrite" -> dynamicPartitionOverwrite,
+    "q151_domain_blocklist" -> domainBlocklist,
+    "q152_cdc_chunks" -> cdcChunks,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -4972,5 +5075,7 @@ object Queries {
     "q147_pii_scrub" -> piiScrubSql,
     "q148_sequence_pack" -> sequencePackSql,
     "q149_token_budget_mix" -> tokenBudgetMixSql,
-    "q150_dynamic_overwrite" -> dynamicPartitionOverwriteSql)
+    "q150_dynamic_overwrite" -> dynamicPartitionOverwriteSql,
+    "q151_domain_blocklist" -> domainBlocklistSql,
+    "q152_cdc_chunks" -> cdcChunksSql)
 }

@@ -169,4 +169,72 @@ class Round6OpsSpec extends SparkSpec {
     val badLabel = out.filter($"cluster_id" > $"doc_id").count()
     assert(badLabel == 0, "cluster_id is a min — never above the member id")
   }
+
+  // ------------------------------------------------- Cdc (q152)
+
+  test("cdc: insertion reshuffles only the containing chunk") {
+    // the CDC property fixed-width windows lack: inserting one token
+    // changes the fingerprints of the chunk it lands in, while every
+    // chunk before AND after re-aligns and keeps its fingerprint
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val inserted = (1 to 200).map(i => s"w$i")
+      .patch(100, Seq("INSERTED"), 0).mkString(" ")
+    val docs = Seq((1L, base), (2L, inserted)).toDF("doc_id", "text")
+    val fps = Cdc.chunks(docs).select($"doc_id", $"fp")
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val shared = fps(1L).intersect(fps(2L))
+    val nBase = fps(1L).size
+    // all but ≤2 of the original chunks survive verbatim (the split chunk
+    // on each side of the boundary-alignment argument)
+    assert(nBase > 10, s"expected >10 chunks on 200 tokens, got $nBase")
+    assert(shared.size >= nBase - 2,
+      s"insertion must be chunk-local: ${nBase - shared.size} chunks changed")
+  }
+
+  test("cdc: chunks tile the document — reassembly is byte-exact") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(50).cache()
+    // fp is a hash, so tiling is checked via a text-carrying variant of
+    // the same boundary rule: chunk, keep the joined text, re-join per doc
+    val tok = docs.select($"doc_id",
+      posexplode(graft.ops.TextStats.tokens(lower($"text"))).as(Seq("pos", "t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rejoined = tok
+      .withColumn("bd",
+        when(conv(substring(md5($"t"), 1, 15), 16, 10).cast("long")
+          % 8 === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum($"bd").over(w), lit(0L)))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(min($"pos").as("p0"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, t))), x -> x.t)"),
+          " ").as("ctext"))
+      .groupBy($"doc_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(p0, ctext))), x -> x.ctext)"),
+        " ").as("round_trip"))
+    val mismatched = rejoined
+      .join(docs.select($"doc_id",
+        array_join(graft.ops.TextStats.tokens(lower($"text")), " ").as("orig")),
+        Seq("doc_id"))
+      .filter($"round_trip" =!= $"orig").count()
+    assert(mismatched == 0, "chunk concatenation must reproduce the doc")
+    docs.unpersist()
+  }
+
+  // ------------------------------------------------- UrlFilter (q151)
+
+  test("url filter: parent-domain block covers all subdomains, exact only otherwise") {
+    val hosts = Seq("spam.com", "cdn.spam.com", "a.b.spam.com",
+      "spam.com.evil.org", "notspam.com", "news.com").toDF("host")
+    val blocklist = Seq("spam.com").toDF("b")
+    val blocked = UrlFilter.blockedHosts(hosts, blocklist)
+      .as[String].collect().toSet
+    // suffix match is at DOT boundaries: "notspam.com" survives, and a
+    // lookalike where spam.com is a PREFIX label sequence also survives
+    assert(blocked == Set("spam.com", "cdn.spam.com", "a.b.spam.com"))
+  }
 }
