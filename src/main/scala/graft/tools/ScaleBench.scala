@@ -112,7 +112,17 @@ object ScaleBench {
       val dd = docs(s, d)
       Dedup.incrementalNew(dd.filter(col("doc_id") % 10 =!= 0),
         dd.filter(col("doc_id") % 10 === 0)).count()
-    }))
+    }),
+    // round-6 training-pipeline family: row-local scrub, per-shard window
+    // cumsums (pack/mix), bounded-fanout suffix screen, and CDC chunking
+    // (posexplode + per-doc window + fingerprint-keyed aggs)
+    "pii_scrub" -> ((s, d) => graft.Queries.piiScrub(s, d).count()),
+    "sequence_pack" -> ((s, d) => graft.Queries.sequencePack(s, d).count()),
+    "token_budget_mix" -> ((s, d) =>
+      graft.Queries.tokenBudgetMix(s, d).count()),
+    "domain_blocklist" -> ((s, d) =>
+      graft.Queries.domainBlocklist(s, d).count()),
+    "cdc_chunks" -> ((s, d) => graft.ops.Cdc.chunks(docs(s, d)).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
