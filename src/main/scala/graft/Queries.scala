@@ -4732,17 +4732,22 @@ object Queries {
     * linear and skew-free at 100 TB.
     */
   val cdcChunks: Q = (s, dir) => {
-    val chunks = graft.ops.Cdc.chunks(t(s, dir, "documents"))
-    val firstOcc = chunks.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("first_doc"))
-      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
-      .withColumnRenamed("first_doc", "doc_id")
-    chunks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        countDistinct(col("fp")).cast("long").as("n_distinct"))
-      .join(firstOcc, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_chunks"), col("n_distinct"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+    // Single pass over the chunk stream: reduce to (doc, fp, multiplicity)
+    // first, then a min-doc window over fp marks novelty — referencing
+    // `chunks` twice (per-doc agg + first-occurrence agg + join back)
+    // would recompute the whole posexplode+window subtree and scan the
+    // corpus twice (caught by PlanCheck: two Window/Exchange chains).
+    val perDocFp = graft.ops.Cdc.chunks(t(s, dir, "documents"))
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    perDocFp
+      .withColumn("first_doc", min(col("doc_id")).over(wFp))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
       .orderBy(col("doc_id"))
   }
 
