@@ -4774,6 +4774,85 @@ object Queries {
       |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
       |FROM pc LEFT JOIN nv USING (doc_id) ORDER BY pc.doc_id""".stripMargin
 
+  /** Principal embedding direction via distributed gram matrix + integer
+    * power iteration (the whitening/drift-axis step of an embedding
+    * pipeline). The 100 TB work — X^T X over the corpus — is ONE scan:
+    * quantize each vector to integers (q101's non-negative-argument
+    * rounding trick, scale 1000), explode the dim² index pairs row-locally,
+    * and hash-aggregate into ≤ dim² gram cells; map-side partials absorb
+    * the fan-out. The gram collect and the 8-round power iteration are
+    * codebook math, bounded by dim² = 4096 cells — never the corpus (the
+    * SimSearch.kmeansCentroids precedent). All iteration arithmetic is
+    * integer (the q143 lesson: float fixpoints are cross-engine-
+    * unreproducible), on the RAW gram — dividing by n first truncates
+    * the off-diagonal cells (whose means are < 1) to zero and collapses
+    * the matrix to its diagonal (caught by the float-reference spec).
+    * Per-round rescale v' = (s·1e6) // max|s| in truncating division
+    * (DuckDB `//` ≡ BigInt `/`, both toward zero). The driver iterates
+    * in BigInt; the DISTRIBUTED sums stay Long-safe to ~4e13 rows
+    * (|gram| ≤ 2.4e5·n), and DuckDB's sum is HUGEINT. Oracle is a
+    * generated PcaIters-round unrolled CTE
+    * (64 rounds: the corpus spectrum's eigengap is ~0.93, so ~60 rounds
+    * isolate the dominant axis; pinned by the float-reference spec).
+    */
+  val PcaIters = 64
+
+  val embeddingPca: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val gramDf = emb.select(expr(
+        "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 1.0D)" +
+          " * 1000.0D) AS BIGINT) - 1000)").as("q"))
+      .select(explode(expr(
+        "flatten(transform(q, (xi, i) -> transform(q, (xj, j) ->" +
+          " struct(i, j, xi * xj AS p))))")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+    val cells = gramDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2)))
+    if (cells.isEmpty) Seq.empty[(Int, Long)].toDF("i", "loading")
+    else {
+      val gm = cells.toMap
+      val dim = cells.iterator.map(_._1._1).max + 1
+      val zero = BigInt(0)
+      val scale = BigInt(1000000)
+      var v = Array.fill(dim)(scale)
+      for (_ <- 1 to PcaIters) {
+        val sv = Array.tabulate(dim) { i =>
+          var acc = zero
+          var j = 0
+          while (j < dim) { acc += gm.getOrElse((i, j), zero) * v(j); j += 1 }
+          acc
+        }
+        val mx = sv.iterator.map(_.abs).max
+        v = if (mx == zero) Array.fill(dim)(zero)
+        else sv.map(s => s * scale / mx)
+      }
+      v.zipWithIndex.map { case (value, i) => (i, value.toLong) }.toSeq
+        .toDF("i", "loading").orderBy(col("i"))
+    }
+  }
+
+  val embeddingPcaSql: String = {
+    val head =
+      """WITH qq AS (SELECT list_transform(embedding,
+        |    x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * 1000.0) AS BIGINT) - 1000) AS q
+        |  FROM embeddings),
+        |e AS (SELECT q, unnest(q) AS xi, generate_subscripts(q, 1) - 1 AS i FROM qq),
+        |p AS (SELECT i, xi, unnest(q) AS xj, generate_subscripts(q, 1) - 1 AS j FROM e),
+        |gram AS MATERIALIZED (SELECT i, j, sum(xi * xj) AS g FROM p GROUP BY i, j),
+        |v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v FROM gram)""".stripMargin
+    val rounds = (1 to PcaIters).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT gram.i, sum(gram.g * v.v) AS s
+         |  FROM gram JOIN v${k - 1} v ON gram.j = v.j GROUP BY gram.i),
+         |m$k AS (SELECT max(abs(s)) AS mx FROM s$k),
+         |v$k AS MATERIALIZED (SELECT i AS j, CASE WHEN mx = 0 THEN 0
+         |  ELSE (s * 1000000) // mx END AS v FROM s$k, m$k)""".stripMargin
+    }
+    head + ",\n" + rounds.mkString(",\n") + "\n" +
+      s"SELECT CAST(j AS INTEGER) AS i, CAST(v AS BIGINT) AS loading FROM v$PcaIters ORDER BY i"
+  }
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -4928,6 +5007,7 @@ object Queries {
     "q150_dynamic_overwrite" -> dynamicPartitionOverwrite,
     "q151_domain_blocklist" -> domainBlocklist,
     "q152_cdc_chunks" -> cdcChunks,
+    "q153_embedding_pca" -> embeddingPca,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -5082,5 +5162,6 @@ object Queries {
     "q149_token_budget_mix" -> tokenBudgetMixSql,
     "q150_dynamic_overwrite" -> dynamicPartitionOverwriteSql,
     "q151_domain_blocklist" -> domainBlocklistSql,
-    "q152_cdc_chunks" -> cdcChunksSql)
+    "q152_cdc_chunks" -> cdcChunksSql,
+    "q153_embedding_pca" -> embeddingPcaSql)
 }

@@ -237,4 +237,42 @@ class Round6OpsSpec extends SparkSpec {
     // lookalike where spam.com is a PREFIX label sequence also survives
     assert(blocked == Set("spam.com", "cdn.spam.com", "a.b.spam.com"))
   }
+
+  // ------------------------------------------------- embedding PCA (q153)
+
+  test("q153 integer power iteration tracks the float principal direction") {
+    // the integer arithmetic exists for cross-engine exactness; this pins
+    // that it still computes PCA: cosine vs a double-precision power
+    // iteration on the same quantized gram must be ~1 in absolute value
+    // (sign is iteration-parity-dependent, not meaningful)
+    val got = Queries.embeddingPca(spark, sfDir)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2.toDouble)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(x => math.round((x.toDouble + 1.0) * 1000.0).toDouble - 1000.0))
+    val dim = vecs.head.length
+    val n = vecs.length.toDouble
+    val gram = Array.ofDim[Double](dim, dim)
+    vecs.foreach { q =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { gram(i)(j) += q(i) * q(j); j += 1 }
+        i += 1
+      }
+    }
+    var ref = Array.fill(dim)(1.0)
+    for (_ <- 1 to 100) {
+      val s = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => gram(i)(j) / n * ref(j)).sum)
+      val norm = math.sqrt(s.map(x => x * x).sum)
+      ref = s.map(_ / norm)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val c = math.abs(cos(got, ref))
+    assert(c > 0.99, s"integer iteration drifted off the principal axis: |cos|=$c")
+  }
 }
