@@ -122,7 +122,10 @@ object ScaleBench {
       graft.Queries.tokenBudgetMix(s, d).count()),
     "domain_blocklist" -> ((s, d) =>
       graft.Queries.domainBlocklist(s, d).count()),
-    "cdc_chunks" -> ((s, d) => graft.ops.Cdc.chunks(docs(s, d)).count()))
+    "cdc_chunks" -> ((s, d) => graft.ops.Cdc.chunks(docs(s, d)).count()),
+    // gram pass + dim²-bounded driver iteration: the corpus cost is the
+    // quantized outer-product explode (dim² terms per row, map-side agg)
+    "embedding_pca" -> ((s, d) => graft.Queries.embeddingPca(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
