@@ -4774,6 +4774,64 @@ object Queries {
       |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
       |FROM pc LEFT JOIN nv USING (doc_id) ORDER BY pc.doc_id""".stripMargin
 
+  /** Incremental corpus-sync savings under content-defined chunking (the
+    * payoff query for q152's Cdc op): day-2 re-ingests the corpus with a
+    * patch spliced into the MIDDLE of every 7th document, both days are
+    * CDC-chunked, and the report counts day-2 chunks already present in
+    * day-1's content-addressed store — the bytes an incremental sync
+    * does NOT ship. Mid-doc edits are the case that breaks fixed-width
+    * windows (every downstream window shifts); CDC boundaries re-align,
+    * so ~96% of chunks dedup against the store. Plan: two linear chunk
+    * passes + one semi-style left join keyed on the 16-byte fingerprint;
+    * at 100 TB the store side is a distinct-fp table, shuffle-joined on
+    * the hash — no broadcast of corpus-sized state.
+    */
+  val cdcSync: Q = (s, dir) => {
+    val day1 = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val patched = day1.withColumn("text",
+      concat(expr("substring(text, 1, CAST(length(text)/2 AS INT))"),
+        lit(" patched segment inserted here "),
+        expr("substring(text, CAST(length(text)/2 AS INT) + 1)")))
+    val day2 = day1.filter(col("doc_id") % 7 =!= 0)
+      .unionByName(patched.filter(col("doc_id") % 7 === 0))
+    val store = graft.ops.Cdc.chunks(day1).select(col("fp")).distinct()
+    graft.ops.Cdc.chunks(day2, keepCols = Seq("lang"))
+      .join(store.withColumn("known", lit(true)), Seq("fp"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("known"), 1L).otherwise(0L)).as("n_shared"))
+      .orderBy(col("lang"))
+  }
+
+  val cdcSyncSql: String =
+    """WITH d1 AS (SELECT doc_id, lang, text FROM documents),
+      |pat AS (SELECT doc_id, lang,
+      |    substr(text, 1, length(text)//2) || ' patched segment inserted here ' ||
+      |    substr(text, length(text)//2 + 1) AS text FROM documents),
+      |d2 AS (SELECT * FROM d1 WHERE doc_id % 7 <> 0
+      |       UNION ALL SELECT * FROM pat WHERE doc_id % 7 = 0),
+      |t1 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t,
+      |    generate_subscripts(regexp_extract_all(lower(text), '\S+'), 1) AS pos FROM d1),
+      |c1 AS (SELECT doc_id, pos, t,
+      |    coalesce(sum(CASE WHEN ('0x'||substr(md5(t),1,15))::BIGINT % 8 = 0 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id FROM t1),
+      |store AS (SELECT DISTINCT md5(string_agg(t, ' ' ORDER BY pos)) AS fp
+      |    FROM c1 GROUP BY doc_id, chunk_id),
+      |t2 AS (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS t,
+      |    generate_subscripts(regexp_extract_all(lower(text), '\S+'), 1) AS pos FROM d2),
+      |c2 AS (SELECT doc_id, lang, pos, t,
+      |    coalesce(sum(CASE WHEN ('0x'||substr(md5(t),1,15))::BIGINT % 8 = 0 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id FROM t2),
+      |ch2 AS (SELECT doc_id, chunk_id, max(lang) AS lang,
+      |    md5(string_agg(t, ' ' ORDER BY pos)) AS fp FROM c2 GROUP BY doc_id, chunk_id)
+      |SELECT lang, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |FROM ch2 LEFT JOIN store s USING (fp)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Principal embedding direction via distributed gram matrix + integer
     * power iteration (the whitening/drift-axis step of an embedding
     * pipeline). The 100 TB work — X^T X over the corpus — is ONE scan:
@@ -5008,6 +5066,7 @@ object Queries {
     "q151_domain_blocklist" -> domainBlocklist,
     "q152_cdc_chunks" -> cdcChunks,
     "q153_embedding_pca" -> embeddingPca,
+    "q154_cdc_sync" -> cdcSync,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -5163,5 +5222,6 @@ object Queries {
     "q150_dynamic_overwrite" -> dynamicPartitionOverwriteSql,
     "q151_domain_blocklist" -> domainBlocklistSql,
     "q152_cdc_chunks" -> cdcChunksSql,
-    "q153_embedding_pca" -> embeddingPcaSql)
+    "q153_embedding_pca" -> embeddingPcaSql,
+    "q154_cdc_sync" -> cdcSyncSql)
 }

@@ -26,9 +26,10 @@ object Cdc {
     * are ≡ 0 (mod `mod`); the boundary token CLOSES its chunk.
     */
   def chunks(docs: DataFrame, textCol: String = "text", mod: Int = 8,
-      idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol),
-      posexplode(TextStats.tokens(lower(col(textCol)))).as(Seq("pos", "t")))
+      idCol: String = "doc_id", keepCols: Seq[String] = Nil): DataFrame = {
+    val carried = keepCols.map(c => max(col(c)).as(c))
+    val tok = docs.select(col(idCol) +: keepCols.map(col) :+
+      posexplode(TextStats.tokens(lower(col(textCol)))).as(Seq("pos", "t")): _*)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     tok
@@ -39,6 +40,6 @@ object Cdc {
       .groupBy(col(idCol), col("chunk_id"))
       .agg(md5(array_join(
         expr("transform(array_sort(collect_list(struct(pos, t))), x -> x.t)"),
-        " ")).as("fp"))
+        " ")).as("fp"), carried: _*)
   }
 }
