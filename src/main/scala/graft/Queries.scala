@@ -4858,19 +4858,26 @@ object Queries {
   val embeddingPca: Q = (s, dir) => {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
+    // symmetry: emit only i ≤ j (upper triangle — half the explode/agg
+    // volume), mirror on the driver; the gram is exactly symmetric so the
+    // full-matrix oracle sees identical values
     val gramDf = emb.select(expr(
         "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 1.0D)" +
           " * 1000.0D) AS BIGINT) - 1000)").as("q"))
       .select(explode(expr(
-        "flatten(transform(q, (xi, i) -> transform(q, (xj, j) ->" +
-          " struct(i, j, xi * xj AS p))))")).as("e"))
+        "flatten(transform(q, (xi, i) -> transform(" +
+          "slice(q, i + 1, size(q) - i), (xj, j) ->" +
+          " struct(i, i + j AS j, xi * xj AS p))))")).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
     val cells = gramDf.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2)))
     if (cells.isEmpty) Seq.empty[(Int, Long)].toDF("i", "loading")
     else {
-      val gm = cells.toMap
+      val gm = cells.iterator.flatMap { case ((i, j), g) =>
+        if (i == j) Iterator((i, j) -> g)
+        else Iterator((i, j) -> g, (j, i) -> g)
+      }.toMap
       val dim = cells.iterator.map(_._1._1).max + 1
       val zero = BigInt(0)
       val scale = BigInt(1000000)
