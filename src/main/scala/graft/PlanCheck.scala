@@ -15,7 +15,8 @@ object PlanCheck {
         "q91_contamination", "q22_dedup_simhash", "q104_repetition_signals",
         "q105_domain_mix", "q106_ngram_novelty", "q110_salted_join",
         "q118_passage_dedup", "q123_winsorize_quality", "q124_bloom_semi_join",
-        "q126_token_surprisal")
+        "q126_token_surprisal", "q147_pii_scrub", "q148_sequence_pack",
+        "q151_domain_blocklist", "q152_cdc_chunks", "q154_cdc_sync")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
