@@ -4918,6 +4918,60 @@ object Queries {
       s"SELECT CAST(j AS INTEGER) AS i, CAST(v AS BIGINT) AS loading FROM v$PcaIters ORDER BY i"
   }
 
+  /** SemDeDup semantic dedup on the gate ([[Dedup.semanticDedup]]): the
+    * q102 planting pattern — the first 50 vectors re-ingested verbatim
+    * under shifted ids — makes the near-dup set exact (copies have
+    * cosine ≈ 1 ≫ 0.99; the corpus's own max pair cosine is ~0.51, so
+    * every comparison sits far from the threshold and cross-engine float
+    * parity is safe). The codebook is the 8 vectors with vec_id < 8
+    * (SQL-derivable, so the oracle recomputes the SAME assignment), and
+    * a copy always lands in its original's cell — identical vector,
+    * identical argmax — so the within-cell prune provably catches all 50
+    * copies. Output: every vector with its cell and kept verdict.
+    */
+  val semanticDedupGate: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val all = emb.unionByName(planted)
+    // codebook: bounded 8-row collect (the ivfTopK coarse-quantizer shape)
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    Dedup.semanticDedup(all, cents, threshold = 0.99)
+      .select(col("id").as("vec_id"), col("cell"), col("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupGateSql: String =
+    """WITH all_v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |  FROM embeddings WHERE vec_id < 50),
+      |cents AS (SELECT vec_id AS cid, e AS ce FROM all_v WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT v.vec_id, v.e, c.cid,
+      |    coalesce(list_dot_product(v.e, c.ce) /
+      |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))),
+      |     -2.0) AS cos
+      |  FROM all_v v CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, e, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid) AS rn FROM scored) WHERE rn = 1),
+      |dups AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.e, b.e) /
+      |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      |    >= 0.99)
+      |SELECT v.vec_id, v.cell, d.vec_id IS NULL AS kept
+      |FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
+      |ORDER BY v.vec_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -5074,6 +5128,7 @@ object Queries {
     "q152_cdc_chunks" -> cdcChunks,
     "q153_embedding_pca" -> embeddingPca,
     "q154_cdc_sync" -> cdcSync,
+    "q155_semantic_dedup" -> semanticDedupGate,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -5230,5 +5285,6 @@ object Queries {
     "q151_domain_blocklist" -> domainBlocklistSql,
     "q152_cdc_chunks" -> cdcChunksSql,
     "q153_embedding_pca" -> embeddingPcaSql,
-    "q154_cdc_sync" -> cdcSyncSql)
+    "q154_cdc_sync" -> cdcSyncSql,
+    "q155_semantic_dedup" -> semanticDedupGateSql)
 }

@@ -571,4 +571,52 @@ object Dedup {
         .winnow_fingerprints(col(textCol), k, w))).as("fp"))
     clusters(starEdges(fps), maxSupersteps = maxSupersteps)
   }
+
+  // ------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic dedup (Abbas et al. '23, arXiv:2303.09540):
+    * assign every embedding to its nearest codebook centroid by cosine,
+    * then prune within-cluster cosine near-duplicates, keeping the
+    * MINIMUM id per near-dup group. (The paper keeps the member with the
+    * lowest centroid similarity; the min-id keeper matches this engine's
+    * dedup contract — [[markDuplicates]] — and needs no second
+    * cross-engine float comparison.) The quadratic pair work is confined
+    * to single clusters — the paper's regime: k grows with the corpus so
+    * cluster sizes stay bounded — and the codebook is driver-side
+    * literals bounded by k×dim, exactly like [[SimSearch.ivfTopK]]'s
+    * coarse quantizer. The corpus shuffles once, on the cell key; the
+    * nearest-centroid assignment is ONE narrow projection (argmax over k
+    * literal cosines via struct ordering: max cos, tie → min cell id),
+    * so at 100 TB the cell is computable at write time and becomes a
+    * partition key. Zero-norm vectors (NULL cosine) sink below any real
+    * cosine via a −2.0 sentinel.
+    *
+    * Output: (id, cell, kept) — kept = false iff some lower-id member of
+    * the same cell has cosine ≥ `threshold` to this row.
+    */
+  def semanticDedup(emb: DataFrame, centroids: Array[(Long, Array[Float])],
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    if (centroids.isEmpty)
+      // empty codebook (sampled from an empty corpus): nothing to assign
+      return base.select(col("id"), lit(null).cast("long").as("cell"),
+        lit(true).as("kept"))
+    val scored = centroids.map { case (cid, cv) =>
+      struct(
+        coalesce(VectorExpressions.cosine_similarity(col("v"),
+          typedLit(cv.toSeq)), lit(-2.0)).as("cos"),
+        lit(-cid).as("ncid"))
+    }
+    val assigned = pin(base.withColumn("cell",
+      -array_max(array(scored: _*)).getField("ncid")))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(VectorExpressions.cosine_similarity(col("a.v"), col("b.v"))
+        >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dups.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        (!coalesce(col("is_dup"), lit(false))).as("kept"))
+  }
 }

@@ -275,4 +275,41 @@ class Round6OpsSpec extends SparkSpec {
     val c = math.abs(cos(got, ref))
     assert(c > 0.99, s"integer iteration drifted off the principal axis: |cos|=$c")
   }
+
+  // ------------------------------------------------- semanticDedup
+
+  test("semantic dedup: within-cell prune keeps min id, crosses no cells") {
+    // two orthogonal centroid directions; 1/2/3 cluster on the x-axis
+    // (3 is a verbatim copy of 1, 2 is distinct), 4 on the y-axis
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f)),
+      (2L, Array(0.9f, 0.0f, -0.4f)),
+      (3L, Array(1.0f, 0.0f, 0.1f)),
+      (4L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Array(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)))
+    val out = Dedup.semanticDedup(emb, cents, threshold = 0.99)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // 3 pruned by its copy 1; 2's cosine to 1 is ~0.87 < 0.99 → kept;
+    // 4 alone in cell 1 → kept
+    assert(out == Set((1L, 0L, true), (2L, 0L, true), (3L, 0L, false),
+      (4L, 1L, true)))
+  }
+
+  test("semantic dedup: planted corpus copies are exactly the pruned set") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id" < 50)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val all = emb.unionByName(planted)
+    val cents = emb.filter($"vec_id" < 8).orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val out = Dedup.semanticDedup(all, cents, threshold = 0.99)
+    val pruned = out.filter(!$"kept").select($"id").as[Long].collect().toSet
+    assert(pruned == (0L until 50L).map(_ + 100000L).toSet)
+    // empty codebook degrades to all-kept, not a crash
+    val empty = Dedup.semanticDedup(emb, Array.empty, threshold = 0.99)
+    assert(empty.filter(!$"kept").count() == 0)
+  }
 }
