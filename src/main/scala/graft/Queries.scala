@@ -4972,6 +4972,119 @@ object Queries {
       |FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
       |ORDER BY v.vec_id""".stripMargin
 
+  /** DSIR importance weights (Xie et al. '23, arXiv:2302.03169): score
+    * every document by how target-like its hashed-n-gram profile is —
+    * log w(x) = Σ_grams [ln p_target(bucket) − ln p_raw(bucket)] under
+    * Laplace-smoothed bag-of-hashed-bigrams models. Here target = the
+    * corpus's English slice, raw = the whole corpus, buckets = md5-hashed
+    * word bigrams mod 1024 (the established cross-engine 60-bit md5
+    * pattern). The scale shape is DSIR's selling point: ONE corpus pass
+    * explodes bigrams to 8-byte bucket ids (text never shuffles), both
+    * n-gram models are ≤ B-row aggregates, and the per-doc scoring join
+    * is against a B-row broadcast — at 100 TB the model build and the
+    * scoring are both linear scans with bounded state. Cross-row float
+    * discipline: per-bucket ln-ratio rounded to 8 places → DECIMAL, so
+    * the per-doc sums are exact (the q126 surprisal contract).
+    */
+  val dsirWeights: Q = (s, dir) => {
+    val B = 1024
+    val feats = Dedup.pin(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokens(lower(col("text"))).as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(TextStats.wordBigrams(col("tok"))).as("g"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % B)
+            .as("b")))
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = feats.agg(count(lit(1)).as("tr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val deltas = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("tt") + B).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("tr") + B).cast("double")), 8)
+          .cast("decimal(18,8)").as("d"))
+    feats.join(deltas, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        // the sum is EXACT decimal — cast straight to double (one
+        // correctly-rounded conversion, bit-identical cross-engine); a
+        // final round(…, 6) sat exactly on a half boundary on this corpus
+        sum(col("d")).cast("double").as("dsir_logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsSql: String =
+    """WITH toks AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS tok
+      |  FROM documents WHERE length(regexp_extract_all(lower(text), '\S+')) >= 2),
+      |g AS (SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(tok)-1),
+      |      i -> tok[i] || ' ' || tok[i+1])) AS g
+      |  FROM toks),
+      |f AS (SELECT doc_id, lang,
+      |    ('0x'||substr(md5(g),1,15))::BIGINT % 1024 AS b FROM g),
+      |raw AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+      |tgt AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT count(*) AS tr,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM f),
+      |d AS (SELECT b,
+      |    CAST(round(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+      |             - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 1024 AS DOUBLE)), 8)
+      |      AS DECIMAL(18,8)) AS d
+      |  FROM raw LEFT JOIN tgt USING (b), tot)
+      |SELECT doc_id, count(*) AS n_grams,
+      | CAST(sum(d) AS DOUBLE) AS dsir_logw
+      |FROM f JOIN d USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Co-purchase triangle census ([[graft.ops.Graph.triangleCounts]]):
+    * per-part neighbor and triangle counts over the same order-basket
+    * graph as q143 — the cohesion companion to PageRank's centrality
+    * (triangles drive clustering coefficients and community seeds). The
+    * engine path is degree-ordered orientation (wedge fan-out bounded by
+    * O(√m) per node); the oracle counts the same triangles naively with
+    * id-ordered joins — the census is orientation-invariant, integer
+    * end-to-end, no float surface at all.
+    */
+  val triangleCensus: Q = (s, dir) => {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.ops.Graph.triangleCounts(edges)
+      .select(col("id").as("p_partkey"), col("deg").as("n_neighbors"),
+        col("n_tri"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val triangleCensusSql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+      |           FROM lineitem),
+      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |      FROM i a JOIN i b ON a.okey = b.okey AND a.pk < b.pk),
+      |deg AS (SELECT id, count(*) AS deg FROM (
+      |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) GROUP BY id),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |corners AS (SELECT id, count(*) AS n_tri FROM (
+      |    SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+      |    UNION ALL SELECT c AS id FROM tri) GROUP BY id)
+      |SELECT d.id AS p_partkey, d.deg AS n_neighbors,
+      | CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
+      |FROM deg d LEFT JOIN corners c ON c.id = d.id
+      |ORDER BY p_partkey""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -5129,6 +5242,8 @@ object Queries {
     "q153_embedding_pca" -> embeddingPca,
     "q154_cdc_sync" -> cdcSync,
     "q155_semantic_dedup" -> semanticDedupGate,
+    "q156_dsir_weights" -> dsirWeights,
+    "q157_triangle_census" -> triangleCensus,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -5286,5 +5401,7 @@ object Queries {
     "q152_cdc_chunks" -> cdcChunksSql,
     "q153_embedding_pca" -> embeddingPcaSql,
     "q154_cdc_sync" -> cdcSyncSql,
-    "q155_semantic_dedup" -> semanticDedupGateSql)
+    "q155_semantic_dedup" -> semanticDedupGateSql,
+    "q156_dsir_weights" -> dsirWeightsSql,
+    "q157_triangle_census" -> triangleCensusSql)
 }

@@ -63,4 +63,58 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts via degree-ordered orientation (Schank &
+    * Wagner '05; the MapReduce formulation of Suri & Vassilvitskii '11):
+    * orient every undirected edge from its (degree, id)-smaller endpoint
+    * to the larger, enumerate wedges at each oriented source, and close
+    * each wedge with one join against the oriented edge list. Every
+    * triangle is found exactly once, and — the scale point — a node's
+    * oriented OUT-degree is O(√m) regardless of its raw degree, so the
+    * wedge fan-out that makes naive per-node enumeration quadratic at a
+    * celebrity node is structurally bounded. Three shuffles (degree,
+    * wedge self-join, closing join), all keyed on node ids; nothing
+    * quadratic in raw degree ever materializes.
+    *
+    * Input: undirected edges in either orientation; multi-edges are
+    * deduped and self-loops dropped. Output: one row per node,
+    * (id, deg, n_tri) — neighbor count and triangle participation,
+    * zero-triangle nodes included.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val und = Dedup.pin(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct())
+    val deg = Dedup.pin(
+      und.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    val uLast = struct(col("du"), col("u"))
+    val vLast = struct(col("dv"), col("v"))
+    // destination travels with its (deg, id) key — the wedge ordering key
+    val oriented = Dedup.pin(und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(uLast < vLast, col("u")).otherwise(col("v")).as("s"),
+        when(uLast < vLast, struct(col("dv").as("dg"), col("v").as("id")))
+          .otherwise(struct(col("du").as("dg"), col("u").as("id"))).as("d")))
+    // wedges at the oriented source; b precedes c in (deg, id) order, so
+    // the closing edge of {b.id, c.id} — if it exists — is oriented b→c
+    val wedges = oriented.select(col("s"), col("d").as("b"))
+      .join(oriented.select(col("s"), col("d").as("c")), Seq("s"))
+      .filter(col("b") < col("c"))
+    val tris = wedges.join(
+        oriented.select(col("s").as("bs"), col("d").as("cd")),
+        col("b.id") === col("bs") && col("c.id") === col("cd.id"))
+      .select(col("s").as("a"), col("b.id").as("b"), col("c.id").as("c"))
+    val corners = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -173,4 +173,20 @@ class CorpusSignalsSpec extends SparkSpec {
       .filter($"df" === 1).count()
     assert(out.map(_._3).sum == df1)
   }
+
+  test("DSIR weights rank the target slice above the rest of the corpus") {
+    // target = English: English docs must score higher log-importance on
+    // average than non-English — the whole point of importance weighting
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"lang")
+    val w = Queries.dsirWeights(spark, sfDir).join(langs, Seq("doc_id"))
+      .select($"lang" === "en", $"dsir_logw")
+      .as[(Boolean, Double)].collect()
+    Dedup.releaseCaches()
+    val en = w.filter(_._1).map(_._2)
+    val rest = w.filter(!_._1).map(_._2)
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(en.sum / en.length > rest.sum / rest.length,
+      s"en mean ${en.sum / en.length} !> rest mean ${rest.sum / rest.length}")
+  }
 }

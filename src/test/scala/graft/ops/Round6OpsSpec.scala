@@ -312,4 +312,51 @@ class Round6OpsSpec extends SparkSpec {
     val empty = Dedup.semanticDedup(emb, Array.empty, threshold = 0.99)
     assert(empty.filter(!$"kept").count() == 0)
   }
+
+  // ------------------------------------------------- triangleCounts
+
+  test("triangle counts: K4 + pendant, orientation/multi-edge invariant") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus pendant 5-1
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val edges = (k4 :+ ((5L, 1L))).toDF("src", "dst")
+    val expected = Set((1L, 4L, 3L), (2L, 3L, 3L), (3L, 3L, 3L),
+      (4L, 3L, 3L), (5L, 1L, 0L))
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // reversed orientation, duplicated edges, and a self-loop must not
+    // change the census
+    val noisy = edges.select($"dst".as("src"), $"src".as("dst"))
+      .unionByName(edges).unionByName(Seq((2L, 2L)).toDF("src", "dst"))
+    val got2 = Graph.triangleCounts(noisy)
+      .as[(Long, Long, Long)].collect().toSet
+    Dedup.releaseCaches()
+    assert(got2 == expected)
+  }
+
+  test("triangle counts: oriented path matches a naive recompute on data") {
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey".as("okey"), $"l_partkey".as("pk")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        $"a.okey" === $"b.okey" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("src"), $"b.pk".as("dst"))
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    Dedup.releaseCaches()
+    // naive ground truth: id-ordered edge triple join
+    val e = edges.distinct().as[(Long, Long)].collect().toSet
+    val nodes = e.flatMap { case (u, v) => Seq(u, v) }
+    val adj = e.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var corner = Map.empty[Long, Long].withDefaultValue(0L)
+    for ((u, v) <- e; w <- adj.getOrElse(v, Set.empty) if adj.getOrElse(u, Set.empty)(w)) {
+      corner += u -> (corner(u) + 1); corner += v -> (corner(v) + 1)
+      corner += w -> (corner(w) + 1)
+    }
+    val deg = nodes.map(n => n ->
+      e.count { case (u, v) => u == n || v == n }.toLong).toMap
+    assert(got == nodes.map(n => n -> (deg(n), corner(n))).toMap)
+  }
 }
