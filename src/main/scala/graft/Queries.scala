@@ -5085,6 +5085,132 @@ object Queries {
       |FROM deg d LEFT JOIN corners c ON c.id = d.id
       |ORDER BY p_partkey""".stripMargin
 
+  /** Gopher-style composite document filter (Rae et al. '21 §A1.1,
+    * thresholds adapted to this corpus's 10–99-token documents): the
+    * classic rule battery a crawl corpus passes before training — a
+    * word-count band, a mean-word-length band, and a stopword floor —
+    * each emitted as its own verdict plus the conjunction, so downstream
+    * reporting can attribute removals per rule. Entirely row-local (ONE
+    * projection over the scan, no shuffle until the output sort): at
+    * 100 TB this fuses into the ingest scan exactly like q147's PII
+    * scrub. Float discipline: mean word length is a single int/int
+    * division (cross-engine exact) and its band edges are integers, so
+    * no boundary can disagree; everything else is integer.
+    */
+  val gopherFilter: Q = (s, dir) => {
+    val nW = TextStats.tokenCount(col("text"))
+    val mwl = length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+      greatest(nW, lit(1)).cast("double")
+    val stw = TextStats.stopwordCount(col("text"), TextStats.defaultStopwords)
+    val rWords = nW.between(20, 80)
+    val rMwl = mwl >= 3.0 && mwl <= 10.0
+    val rStop = stw >= 2
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        nW.as("n_words"),
+        round(mwl, 4).as("mean_word_len"),
+        stw.as("n_stopwords"),
+        rWords.as("r_words"),
+        rMwl.as("r_word_len"),
+        rStop.as("r_stopwords"),
+        (rWords && rMwl && rStop).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherFilterSql: String =
+    """WITH s AS (SELECT doc_id,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_words,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+      |      greatest(length(regexp_extract_all(text, '\S+')), 1) AS mwl,
+      |    CAST(length(regexp_extract_all(lower(text),
+      |      '\b(the|a|an|and|of|to|in|is|it)\b')) AS INTEGER) AS n_stopwords
+      |  FROM documents)
+      |SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len, n_stopwords,
+      | n_words BETWEEN 20 AND 80 AS r_words,
+      | mwl >= 3.0 AND mwl <= 10.0 AS r_word_len,
+      | n_stopwords >= 2 AS r_stopwords,
+      | (n_words BETWEEN 20 AND 80) AND mwl >= 3.0 AND mwl <= 10.0
+      |   AND n_stopwords >= 2 AS pass
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Per-domain quota cap (the C4/RefinedWeb host-cap curation step: no
+    * source may contribute more than N documents, best-quality first) —
+    * planned through the NATIVE [[graft.plans.TopKPerKey]] operator, not
+    * a window: map-side partial top-k keeps only ≤ k·partitions
+    * survivors per source before the exchange, so at 100 TB a
+    * billion-doc source ships k rows per input partition instead of its
+    * whole corpus slice to one reducer (the q45/q92 survivors-only
+    * discipline). Ordering is the rounded-6 quality score — q26 pins its
+    * cross-engine equality, so rank order (with the doc_id tiebreak) is
+    * engine-independent.
+    */
+  val domainQuota: Q = (s, dir) => {
+    GraftExtensions.install(s)
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      TextStats.qualityScore(col("text")).as("quality"))
+    TopK.perKey(scored, keyCols = Seq("source"), orderCol = "quality",
+        tiebreakCol = "doc_id", k = 10)
+      .orderBy(col("source"), col("quality").desc, col("doc_id"))
+  }
+
+  val domainQuotaSql: String =
+    """WITH s AS (SELECT doc_id, source,
+      | round(
+      |   least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      | + (1.0 - least(CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+      |     / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+      | + least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |     / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3,
+      | 6) AS quality
+      |FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |        ORDER BY quality DESC, doc_id) AS rn FROM s)
+      |SELECT doc_id, source, quality FROM r WHERE rn <= 10
+      |ORDER BY source, quality DESC, doc_id""".stripMargin
+
+  /** Co-purchase reachability ([[graft.ops.Graph.bfsLevels]]): hop
+    * distance from the low-key seed parts over the same basket graph as
+    * q143/q157, `BfsRounds` synchronous min-propagation supersteps —
+    * integer end-to-end (the q143 lesson: no floating fixpoint), lineage
+    * cut per round. Oracle: an unrolled per-round CTE chain, exactly the
+    * q143/q153 pattern.
+    */
+  val BfsRounds = 4
+
+  val bfsLevelsQ: Q = (s, dir) => {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    val seeds = edges.select(col("src").as("id"))
+      .filter(col("id") <= 10).distinct()
+    graft.ops.Graph.bfsLevels(edges, seeds, rounds = BfsRounds)
+      .select(col("pk").as("p_partkey"), col("d").as("hops"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val bfsLevelsSql: String = {
+    val head =
+      """WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+        |           FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |      FROM i a JOIN i b ON a.okey = b.okey AND a.pk <> b.pk),
+        |d0 AS (SELECT DISTINCT src AS pk, CAST(0 AS BIGINT) AS d
+        |       FROM e WHERE src <= 10)""".stripMargin
+    val rounds = (1 to BfsRounds).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT pk, min(d) AS d FROM (
+         |    SELECT pk, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d.d + 1 FROM e JOIN d${k - 1} d ON e.src = d.pk)
+         |  GROUP BY pk)""".stripMargin
+    }
+    ((head +: rounds).mkString(",\n")) +
+      s"\nSELECT pk AS p_partkey, d AS hops FROM d$BfsRounds ORDER BY p_partkey"
+  }
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -5244,6 +5370,9 @@ object Queries {
     "q155_semantic_dedup" -> semanticDedupGate,
     "q156_dsir_weights" -> dsirWeights,
     "q157_triangle_census" -> triangleCensus,
+    "q158_gopher_filter" -> gopherFilter,
+    "q159_domain_quota" -> domainQuota,
+    "q160_bfs_levels" -> bfsLevelsQ,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -5403,5 +5532,8 @@ object Queries {
     "q154_cdc_sync" -> cdcSyncSql,
     "q155_semantic_dedup" -> semanticDedupGateSql,
     "q156_dsir_weights" -> dsirWeightsSql,
-    "q157_triangle_census" -> triangleCensusSql)
+    "q157_triangle_census" -> triangleCensusSql,
+    "q158_gopher_filter" -> gopherFilterSql,
+    "q159_domain_quota" -> domainQuotaSql,
+    "q160_bfs_levels" -> bfsLevelsSql)
 }

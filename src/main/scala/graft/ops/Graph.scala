@@ -64,6 +64,40 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS hop distances: `rounds` synchronous supersteps of
+    * min-distance propagation (unit-weight Bellman–Ford — the Pregel
+    * formulation). Each round is one join of the edge list with the
+    * current distance frame (keyed on src) and one min-aggregation keyed
+    * on node — both linear in edges with map-side partials; the distance
+    * frame is node-sized and integer throughout (nothing floating to
+    * disagree cross-engine). Lineage is truncated per superstep
+    * ([[Lineage.cut]]; set `spark.graft.checkpoint.reliable=true` + a
+    * checkpoint dir on a cluster). `edges` is directed — pass both
+    * orientations for an undirected traversal. Output: (pk, d) for every
+    * node within `rounds` hops of any seed; unreached nodes are absent.
+    */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                idCol: String = "id"): DataFrame = {
+    require(rounds >= 1 && rounds <= 30, "rounds in [1, 30]")
+    val e = Dedup.pin(edges.select(col("src"), col("dst")).distinct())
+    var dist = Lineage.cut(seeds.select(col(idCol).as("pk")).distinct()
+      .select(col("pk"), lit(0L).as("d")))
+    for (_ <- 1 to rounds) {
+      // aggregate the propagated distances BEFORE merging (map-side
+      // partial min), then merge via full-outer + least — not a Union of
+      // the frame with its own derivative, which trips Catalyst's union
+      // constraint rewrite on the shared attribute lineage
+      val prop = e.join(dist.select(col("pk").as("src"), col("d")), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("d") + 1L).as("nd"))
+        .select(col("dst").as("pk"), col("nd"))
+      dist = Lineage.cut(dist.join(prop, Seq("pk"), "full_outer")
+        .select(col("pk"),
+          least(coalesce(col("d"), col("nd")), coalesce(col("nd"), col("d")))
+            .as("d")))
+    }
+    dist
+  }
+
   /** Per-node triangle counts via degree-ordered orientation (Schank &
     * Wagner '05; the MapReduce formulation of Suri & Vassilvitskii '11):
     * orient every undirected edge from its (degree, id)-smaller endpoint

@@ -125,7 +125,21 @@ object ScaleBench {
     "cdc_chunks" -> ((s, d) => graft.ops.Cdc.chunks(docs(s, d)).count()),
     // gram pass + dim²-bounded driver iteration: the corpus cost is the
     // quantized outer-product explode (dim² terms per row, map-side agg)
-    "embedding_pca" -> ((s, d) => graft.Queries.embeddingPca(s, d).count()))
+    "embedding_pca" -> ((s, d) => graft.Queries.embeddingPca(s, d).count()),
+    // round-6b: bounded-codebook semantic dedup (within-cell prune), a
+    // B-row-broadcast importance scorer, and the row-local rule battery
+    "semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = SimSearch.sampledCentroids(e, k = 8)
+      Dedup.semanticDedup(e, cents, threshold = 0.99).count()
+    }),
+    "dsir_weights" -> ((s, d) => graft.Queries.dsirWeights(s, d).count()),
+    "gopher_filter" -> ((s, d) => graft.Queries.gopherFilter(s, d).count()),
+    // graph census/traversal pair over the lineitem basket graph —
+    // measure across sf0.01 → sf0.1 (a natural 10× in edges); the
+    // ScaleData-augmented corpus carries documents/embeddings only
+    "triangle_census" -> ((s, d) => graft.Queries.triangleCensus(s, d).count()),
+    "bfs_levels" -> ((s, d) => graft.Queries.bfsLevelsQ(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")

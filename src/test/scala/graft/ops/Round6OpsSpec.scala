@@ -359,4 +359,48 @@ class Round6OpsSpec extends SparkSpec {
       e.count { case (u, v) => u == n || v == n }.toLong).toMap
     assert(got == nodes.map(n => n -> (deg(n), corner(n))).toMap)
   }
+
+  // ------------------------------------------------- bfsLevels
+
+  test("BFS levels: path-graph distances, horizon cut, multi-source min") {
+    // path 1-2-3-4-5-6 (symmetric edges) + isolated island 10-11
+    val path = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = (path ++ Seq((10L, 11L), (11L, 10L))).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val got = Graph.bfsLevels(edges, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    // node 3: min(dist from 1 = 2, from 4 = 1) = 1; node 6 is 2 from 4;
+    // island {10,11} unreached and absent
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 1L, 6L -> 2L))
+  }
+
+  // ------------------------------------------------- domain quota / gopher
+
+  test("domain quota: native top-k equals the window formulation") {
+    graft.GraftExtensions.install(spark)
+    val got = Queries.domainQuota(spark, sfDir)
+      .as[(Long, String, Double)].collect().toSeq
+    val scored = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"source",
+        TextStats.qualityScore($"text").as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+    val ref = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10).drop("rn")
+      .orderBy($"source", $"quality".desc, $"doc_id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == ref)
+    assert(got.groupBy(_._2).values.forall(_.size <= 10))
+  }
+
+  test("gopher filter: pass is the rule conjunction and discriminates") {
+    val rows = Queries.gopherFilter(spark, sfDir)
+      .select($"r_words", $"r_word_len", $"r_stopwords", $"pass")
+      .as[(Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.forall { case (a, b, c, p) => p == (a && b && c) })
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "thresholds must split the corpus, not rubber-stamp it")
+  }
 }
