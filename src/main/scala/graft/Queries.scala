@@ -5211,6 +5211,152 @@ object Queries {
       s"\nSELECT pk AS p_partkey, d AS hops FROM d$BfsRounds ORDER BY p_partkey"
   }
 
+  /** Co-purchase k-core ([[graft.ops.Graph.kCore]]): the dense kernel of
+    * the basket graph after `KCoreRounds` peels at k = ¾ of the average
+    * degree — data-derived so the threshold tracks scale (a fixed
+    * absolute k either never peels or empties the graph as SF grows; ¾
+    * of average peels meaningfully at every SF, measured in SCALE.md).
+    * k is one bounded scalar aggregate on the driver; the oracle derives
+    * the SAME k in SQL, so both engines run the identical peel. Integer
+    * end-to-end.
+    */
+  val KCoreRounds = 4
+
+  val kCoreQ: Q = (s, dir) => {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    val mn = edges.agg(count(lit(1)).as("m"),
+      countDistinct(col("src")).as("n")).head()
+    // empty graph ⇒ no nodes to peel; k=1 keeps the op total, output empty
+    val k = if (mn.getLong(1) == 0L) 1
+      else ((mn.getLong(0) / mn.getLong(1)) * 3 / 4).toInt.max(1)
+    graft.ops.Graph.kCore(edges, k, rounds = KCoreRounds)
+      .select(col("id").as("p_partkey"), col("core_deg"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val kCoreSql: String = {
+    val head =
+      """WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+        |           FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |      FROM i a JOIN i b ON a.okey = b.okey AND a.pk <> b.pk),
+        |kk AS (SELECT (count(*) // count(DISTINCT src)) * 3 // 4 AS k
+        |       FROM e0)""".stripMargin
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT src FROM e${r - 1}
+         |  GROUP BY src HAVING count(*) >= (SELECT k FROM kk)),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r a ON e.src = a.src JOIN k$r b ON e.dst = b.src)""".stripMargin
+    }
+    ((head +: rounds).mkString(",\n")) +
+      s"""\nSELECT src AS p_partkey, count(*) AS core_deg
+         |FROM e$KCoreRounds GROUP BY src ORDER BY p_partkey""".stripMargin
+  }
+
+  /** First-order event-transition census (the Markov-chain counterpart
+    * of q138's funnel: what actually follows what, per user stream):
+    * lead() over the deterministic (ts, event_id) per-user order, then a
+    * (from, to) count and an exact-ratio transition probability. One
+    * window pass + one types²-bounded aggregation; the totals join is a
+    * broadcast of ≤ |event_types| rows. The probability is a SINGLE
+    * long/long division (correctly rounded identically on both engines)
+    * — no cross-row float accumulation.
+    */
+  val eventTransitions: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s AS (SELECT user_id, event_type AS from_type,
+      |        lead(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS to_type
+      |      FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      | round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
+  /** Corpus datasheet (the "dataset card" numbers a training corpus
+    * ships with — Gebru '18's datasheet headline row): ONE aggregation
+    * pass for docs/tokens/chars/means plus a langs-bounded entropy
+    * term. Float discipline: mean quality is the decSum contract;
+    * language entropy follows q126 — each per-lang −p·ln p term is
+    * rounded to 8 places → DECIMAL before the (exact) sum, because
+    * ln's libm ulps are the only cross-engine float hazard here.
+    */
+  val corpusDatasheet: Q = (s, dir) => {
+    val docs = Dedup.pin(t(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"),
+      TextStats.tokenCount(col("text")).cast("long").as("n_tok"),
+      length(col("text")).cast("long").as("n_chars"),
+      TextStats.qualityScore(col("text")).as("q")))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      round(decSum(col("q"), 6) / count(lit(1)), 4).as("mean_quality"))
+    val lc = Dedup.pin(docs.groupBy(col("lang")).agg(count(lit(1)).as("c")))
+    val ent = lc.crossJoin(broadcast(lc.agg(sum(col("c")).as("tot"))))
+      .select(round(-log(col("c").cast("double") / col("tot").cast("double"))
+          * col("c").cast("double") / col("tot").cast("double"), 8)
+        .cast("decimal(18,8)").as("term"))
+      .agg(sum(col("term")).cast("double").as("lang_entropy"))
+    base.crossJoin(broadcast(ent))
+  }
+
+  val corpusDatasheetSql: String =
+    """WITH s AS (SELECT doc_id, lang, source,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS nc,
+      |    round(
+      |      least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      |    + (1.0 - least(CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+      |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+      |    + least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |        / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3,
+      |    6) AS q
+      |  FROM documents),
+      |base AS (SELECT count(*) AS n_docs,
+      |    count(DISTINCT lang) AS n_langs,
+      |    count(DISTINCT source) AS n_sources,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(sum(nc) AS BIGINT) AS n_chars,
+      |    round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+      |      AS mean_quality
+      |  FROM s),
+      |lc AS (SELECT lang, count(*) AS c FROM s GROUP BY lang),
+      |tot AS (SELECT sum(c) AS tot FROM lc),
+      |ent AS (SELECT CAST(sum(CAST(round(
+      |      -ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+      |        * CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE) AS lang_entropy FROM lc, tot)
+      |SELECT * FROM base CROSS JOIN ent""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -5373,6 +5519,9 @@ object Queries {
     "q158_gopher_filter" -> gopherFilter,
     "q159_domain_quota" -> domainQuota,
     "q160_bfs_levels" -> bfsLevelsQ,
+    "q161_kcore" -> kCoreQ,
+    "q162_event_transitions" -> eventTransitions,
+    "q163_corpus_datasheet" -> corpusDatasheet,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -5535,5 +5684,8 @@ object Queries {
     "q157_triangle_census" -> triangleCensusSql,
     "q158_gopher_filter" -> gopherFilterSql,
     "q159_domain_quota" -> domainQuotaSql,
-    "q160_bfs_levels" -> bfsLevelsSql)
+    "q160_bfs_levels" -> bfsLevelsSql,
+    "q161_kcore" -> kCoreSql,
+    "q162_event_transitions" -> eventTransitionsSql,
+    "q163_corpus_datasheet" -> corpusDatasheetSql)
 }

@@ -98,6 +98,34 @@ object Graph {
     dist
   }
 
+  /** k-core peel (Seidman '83; the iterative-peel formulation of
+    * Batagelj–Zaveršnik): `rounds` synchronous rounds of "drop every
+    * node whose degree in the CURRENT subgraph is < k", then report the
+    * survivors with their in-core degree. Each round is one degree
+    * aggregation plus two semi-joins (src and dst membership) — all
+    * keyed on node ids, linear in surviving edges, integer end-to-end;
+    * lineage cut per round ([[Lineage.cut]]). A fixed `rounds` makes the
+    * result the deterministic R-round peel whether or not the fixpoint
+    * has been reached — the cross-engine-checkable contract (the q143
+    * fixed-iteration lesson); size R to the cascade depth you need.
+    * `edges` must be symmetric (pass both orientations) and simple.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(rounds >= 1 && rounds <= 30, "rounds in [1, 30]")
+    var e = Lineage.cut(edges.select(col("src"), col("dst")).distinct())
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("k_id"))
+      e = Lineage.cut(
+        e.join(keep.select(col("k_id").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("k_id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("id"), col("core_deg"))
+  }
+
   /** Per-node triangle counts via degree-ordered orientation (Schank &
     * Wagner '05; the MapReduce formulation of Suri & Vassilvitskii '11):
     * orient every undirected edge from its (degree, id)-smaller endpoint

@@ -139,7 +139,13 @@ object ScaleBench {
     // measure across sf0.01 → sf0.1 (a natural 10× in edges); the
     // ScaleData-augmented corpus carries documents/embeddings only
     "triangle_census" -> ((s, d) => graft.Queries.triangleCensus(s, d).count()),
-    "bfs_levels" -> ((s, d) => graft.Queries.bfsLevelsQ(s, d).count()))
+    "bfs_levels" -> ((s, d) => graft.Queries.bfsLevelsQ(s, d).count()),
+    "kcore" -> ((s, d) => graft.Queries.kCoreQ(s, d).count()),
+    // events-stream sequence census + one-pass corpus summary
+    "event_transitions" -> ((s, d) =>
+      graft.Queries.eventTransitions(s, d).count()),
+    "corpus_datasheet" -> ((s, d) =>
+      graft.Queries.corpusDatasheet(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")

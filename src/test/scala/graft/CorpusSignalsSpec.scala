@@ -174,6 +174,37 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(out.map(_._3).sum == df1)
   }
 
+  test("event transitions: rows partition the step stream; p sums to 1") {
+    val rows = Queries.eventTransitions(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    val events = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select($"user_id").distinct().count()
+    // every event except each user's last contributes exactly one step
+    assert(rows.map(_._3).sum == events - users)
+    rows.groupBy(_._1).values.foreach { g =>
+      val p = g.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"p sums to $p for ${g.head._1}")
+    }
+  }
+
+  test("corpus datasheet: entropy and means match a Scala recompute") {
+    val r = Queries.corpusDatasheet(spark, sfDir).collect().head
+    Dedup.releaseCaches()
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy($"lang").count().as[(String, Long)].collect()
+    val tot = langs.map(_._2).sum.toDouble
+    val ent = langs.map { case (_, c) =>
+      BigDecimal(-math.log(c / tot) * c / tot)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(r.getAs[Long]("n_docs") == tot.toLong)
+    assert(r.getAs[Long]("n_langs") == langs.length)
+    assert(math.abs(r.getAs[Double]("lang_entropy") - ent) < 1e-7)
+    val q = r.getAs[Double]("mean_quality")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
   test("DSIR weights rank the target slice above the rest of the corpus") {
     // target = English: English docs must score higher log-importance on
     // average than non-English — the whole point of importance weighting

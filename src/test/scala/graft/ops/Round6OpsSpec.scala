@@ -376,6 +376,23 @@ class Round6OpsSpec extends SparkSpec {
       5L -> 1L, 6L -> 2L))
   }
 
+  // ------------------------------------------------- kCore
+
+  test("k-core: cascade peel keeps exactly the dense kernel") {
+    // K4 on {1,2,3,4} + chain 4-5-6: at k=3, node 6 (deg 1) and then 5
+    // (deg 1 after 6 leaves) peel over two rounds; 4 keeps core-deg 3
+    // (its chain edge is gone). Symmetric edge list.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the clique degree empties the graph, not a crash
+    assert(Graph.kCore(edges, k = 5, rounds = 2).count() == 0)
+  }
+
   // ------------------------------------------------- domain quota / gopher
 
   test("domain quota: native top-k equals the window formulation") {
