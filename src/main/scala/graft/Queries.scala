@@ -5357,6 +5357,247 @@ object Queries {
       |    AS DECIMAL(18,8))) AS DOUBLE) AS lang_entropy FROM lc, tot)
       |SELECT * FROM base CROSS JOIN ent""".stripMargin
 
+  /** Robust per-source quality outliers (median/MAD — Hampel '74's
+    * estimator, the 3-MAD rule of Leys '13): per source, the LOWER
+    * median (the actual data value at rank ⌈n/2⌉ — no interpolation, so
+    * both engines select the same 6-decimal score) via one row_number
+    * window, the MAD the same way over absolute deviations, then a
+    * 3·MAD outlier count. The windows shuffle only (source, q) pairs —
+    * never text — and parallelize across sources; the median/MAD frames
+    * are source-bounded broadcasts. Exact rank-select is the gate
+    * contract; at 100 TB the same shape runs with approx_percentile per
+    * group (sketch, no per-group sort) — the documented trade.
+    */
+  val madOutliers: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Dedup.pin(t(s, dir, "documents")
+      .select(col("source"), TextStats.qualityScore(col("text")).as("q")))
+    val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // (n+1)/2 in double then truncate: exact for any realistic n (< 2^52)
+    val kth = ((col("n") + 1) / 2).cast("long")
+    val meds = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("q"))))
+      .join(broadcast(counts), Seq("source"))
+      .filter(col("rn") === kth)
+      .select(col("source"), col("q").as("med_q"))
+    val dev = Dedup.pin(scored.join(broadcast(meds), Seq("source"))
+      .select(col("source"), col("med_q"),
+        abs(col("q") - col("med_q")).as("ad")))
+    val mads = dev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("ad"))))
+      .join(broadcast(counts), Seq("source"))
+      .filter(col("rn") === kth)
+      .select(col("source"), col("ad").as("mad_q"))
+    dev.join(broadcast(mads), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med_q")).as("med_q"), max(col("mad_q")).as("mad_q"),
+        sum(when(col("ad") > col("mad_q") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("source"))
+  }
+
+  val madOutliersSql: String = {
+    val qExpr =
+      """round(
+        |      least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+        |    + (1.0 - least(CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+        |    + least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+        |        / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3,
+        |    6)""".stripMargin
+    s"""WITH s AS (SELECT source, $qExpr AS q FROM documents),
+       |n AS (SELECT source, count(*) AS n FROM s GROUP BY source),
+       |r AS (SELECT source, q,
+       |    row_number() OVER (PARTITION BY source ORDER BY q) AS rn FROM s),
+       |med AS (SELECT r.source, r.q AS med_q FROM r JOIN n USING (source)
+       |        WHERE rn = (n + 1) // 2),
+       |d AS (SELECT s.source, m.med_q, abs(s.q - m.med_q) AS ad
+       |      FROM s JOIN med m USING (source)),
+       |r2 AS (SELECT source, ad,
+       |    row_number() OVER (PARTITION BY source ORDER BY ad) AS rn FROM d),
+       |mad AS (SELECT r2.source, r2.ad AS mad_q FROM r2 JOIN n USING (source)
+       |        WHERE rn = (n + 1) // 2)
+       |SELECT d.source, count(*) AS n_docs, max(d.med_q) AS med_q,
+       | max(m.mad_q) AS mad_q,
+       | CAST(sum(CASE WHEN d.ad > m.mad_q * 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_outliers
+       |FROM d JOIN mad m USING (source)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
+  /** Cross-source leakage matrix: for every unordered source pair, how
+    * many distinct character 13-grams (q91's contamination granularity)
+    * the two slices share, plus the set Jaccard. The scale shape:
+    * grams are md5-hashed to 60-bit longs BEFORE the distinct — the
+    * shuffles carry (source, 8-byte hash), never text — and the
+    * per-source DISTINCT bounds the gram-keyed self-join's fan-out at
+    * |sources| rows per gram (the q23/q165 sparse-join discipline: pair
+    * work is proportional to genuinely-shared grams, nothing all-pairs).
+    * Output is sources²-bounded. Hash collisions are deterministic and
+    * identical on both engines, so the gate is exact.
+    */
+  val crossSourceOverlap: Q = (s, dir) => {
+    val grams = Dedup.pin(t(s, dir, "documents")
+      .filter(length(col("text")) >= 13)
+      .select(col("source"),
+        explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
+      .select(col("source"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("gh"))
+      .distinct())
+    val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("ng"))
+    val shared = grams.as("a").join(grams.as("b"),
+        col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("sh"))
+    val ta = totals.select(col("source").as("src_a"), col("ng").as("grams_a"))
+    val tb = totals.select(col("source").as("src_b"), col("ng").as("grams_b"))
+    ta.crossJoin(tb).filter(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        coalesce(col("sh"), lit(0L)).as("n_shared"),
+        round(coalesce(col("sh"), lit(0L)).cast("double") /
+          (col("grams_a") + col("grams_b") - coalesce(col("sh"), lit(0L)))
+            .cast("double"), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val crossSourceOverlapSql: String =
+    """WITH d0 AS (SELECT source, text FROM documents WHERE length(text) >= 13),
+      |pos AS (SELECT source, text,
+      |    unnest(generate_series(1, length(text)-12)) AS i FROM d0),
+      |g AS (SELECT DISTINCT source,
+      |    ('0x'||substr(md5(substr(text, CAST(i AS INTEGER), 13)),1,15))::BIGINT
+      |      AS gh FROM pos),
+      |tot AS (SELECT source, count(*) AS ng FROM g GROUP BY source),
+      |sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS sh
+      |       FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      |       GROUP BY 1, 2)
+      |SELECT ta.source AS src_a, tb.source AS src_b,
+      | ta.ng AS grams_a, tb.ng AS grams_b,
+      | CAST(coalesce(sh.sh, 0) AS BIGINT) AS n_shared,
+      | round(CAST(coalesce(sh.sh, 0) AS DOUBLE)
+      |   / CAST(ta.ng + tb.ng - coalesce(sh.sh, 0) AS DOUBLE), 6) AS jaccard
+      |FROM tot ta JOIN tot tb ON ta.source < tb.source
+      |LEFT JOIN sh ON sh.src_a = ta.source AND sh.src_b = tb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
+  /** Per-source distribution divergence (the data-mixing diagnostic
+    * DSIR's importance weights aggregate over): KL(source ‖ corpus)
+    * under Laplace-smoothed hashed-bigram models — the SAME feature
+    * space as q156, rolled up per source instead of per document. The
+    * full B-bucket grid (observed or not — smoothing gives every bucket
+    * mass) is sources×1024, a dimension table; the corpus model is a
+    * ≤B-row broadcast. Float discipline: each p·ln(p/q) term is rounded
+    * to 8 places → DECIMAL before the exact per-source sum (the q126
+    * contract — ln's libm ulps are the only cross-engine hazard).
+    */
+  val sourceDivergence: Q = (s, dir) => {
+    val B = 1024
+    val feats = Dedup.pin(t(s, dir, "documents")
+      .select(col("source"), TextStats.tokens(lower(col("text"))).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(col("source"), explode(TextStats.wordBigrams(col("tok"))).as("g"))
+      .select(col("source"),
+        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % B)
+          .as("b")))
+    val srcCounts = feats.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("cs"))
+    val srcTotals = feats.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val corpusCounts = feats.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val corpusTotal = feats.agg(count(lit(1)).as("n"))
+    val ps = (coalesce(col("cs"), lit(0L)) + 1).cast("double") /
+      (col("ns") + B).cast("double")
+    val pc = (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+      (col("n") + B).cast("double")
+    srcTotals
+      .select(col("source"), col("ns"),
+        explode(sequence(lit(0L), lit((B - 1).toLong))).as("b"))
+      .join(srcCounts, Seq("source", "b"), "left")
+      .join(broadcast(corpusCounts), Seq("b"), "left")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("source"), col("ns"),
+        round(ps * log(ps / pc), 8).cast("decimal(18,8)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_grams"),
+        sum(col("term")).cast("double").as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val sourceDivergenceSql: String =
+    """WITH toks AS (SELECT source,
+      |    regexp_extract_all(lower(text), '\S+') AS tok FROM documents
+      |  WHERE length(regexp_extract_all(lower(text), '\S+')) >= 2),
+      |g AS (SELECT source, unnest(list_transform(generate_series(1, len(tok)-1),
+      |    i -> tok[i] || ' ' || tok[i+1])) AS g FROM toks),
+      |f AS (SELECT source,
+      |    ('0x'||substr(md5(g),1,15))::BIGINT % 1024 AS b FROM g),
+      |sc AS (SELECT source, b, count(*) AS cs FROM f GROUP BY 1, 2),
+      |st AS (SELECT source, count(*) AS ns FROM f GROUP BY 1),
+      |cc AS (SELECT b, count(*) AS cb FROM f GROUP BY 1),
+      |ct AS (SELECT count(*) AS n FROM f),
+      |grid AS (SELECT st.source, st.ns, gs.b FROM st
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS b) gs),
+      |terms AS (SELECT grid.source, grid.ns,
+      |   CAST(round(
+      |     (CAST(coalesce(sc.cs, 0) + 1 AS DOUBLE) / CAST(grid.ns + 1024 AS DOUBLE)) *
+      |     ln((CAST(coalesce(sc.cs, 0) + 1 AS DOUBLE) / CAST(grid.ns + 1024 AS DOUBLE)) /
+      |        (CAST(coalesce(cc.cb, 0) + 1 AS DOUBLE) / CAST(ct.n + 1024 AS DOUBLE))), 8)
+      |   AS DECIMAL(18,8)) AS term
+      |   FROM grid LEFT JOIN sc ON sc.source = grid.source AND sc.b = grid.b
+      |   LEFT JOIN cc ON cc.b = grid.b, ct)
+      |SELECT source, max(ns) AS n_grams, CAST(sum(term) AS DOUBLE) AS kl
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  /** Conversion-latency distribution: per user, first 'view' → first
+    * LATER 'purchase' in exact integer microseconds, then the exact
+    * discrete quartiles (percentile_disc — actual data values, q86's
+    * contract) plus the exact-integer mean. One filtered user-keyed
+    * aggregation (two conditional mins in a single pass) + one global
+    * reduce over the converted-user latencies — linear, text-free, and
+    * the integer microsecond arithmetic is bit-exact cross-engine.
+    */
+  val timeToConvert: Q = (s, dir) => {
+    val firsts = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view",
+          unix_micros(col("ts")))).as("v"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("p"))
+      .filter(col("v").isNotNull && col("p").isNotNull && col("p") > col("v"))
+      .select((col("p") - col("v")).as("lat_us"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long").as("p25_us"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long").as("p50_us"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY lat_us)")
+        .cast("long").as("p75_us"),
+      round(sum(col("lat_us")).cast("double") / count(lit(1)) / lit(1000000.0), 6)
+        .as("mean_s"))
+  }
+
+  val timeToConvertSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |u AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      |  FROM e GROUP BY user_id),
+      |lat AS (SELECT p - v AS lat_us FROM u
+      |  WHERE v IS NOT NULL AND p IS NOT NULL AND p > v)
+      |SELECT count(*) AS n_users,
+      | CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY lat_us) AS BIGINT) AS p25_us,
+      | CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us) AS BIGINT) AS p50_us,
+      | CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY lat_us) AS BIGINT) AS p75_us,
+      | round(CAST(sum(lat_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_s
+      |FROM lat""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -5522,6 +5763,10 @@ object Queries {
     "q161_kcore" -> kCoreQ,
     "q162_event_transitions" -> eventTransitions,
     "q163_corpus_datasheet" -> corpusDatasheet,
+    "q164_mad_outliers" -> madOutliers,
+    "q165_cross_source_overlap" -> crossSourceOverlap,
+    "q166_source_divergence" -> sourceDivergence,
+    "q167_time_to_convert" -> timeToConvert,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -5687,5 +5932,9 @@ object Queries {
     "q160_bfs_levels" -> bfsLevelsSql,
     "q161_kcore" -> kCoreSql,
     "q162_event_transitions" -> eventTransitionsSql,
-    "q163_corpus_datasheet" -> corpusDatasheetSql)
+    "q163_corpus_datasheet" -> corpusDatasheetSql,
+    "q164_mad_outliers" -> madOutliersSql,
+    "q165_cross_source_overlap" -> crossSourceOverlapSql,
+    "q166_source_divergence" -> sourceDivergenceSql,
+    "q167_time_to_convert" -> timeToConvertSql)
 }

@@ -145,7 +145,15 @@ object ScaleBench {
     "event_transitions" -> ((s, d) =>
       graft.Queries.eventTransitions(s, d).count()),
     "corpus_datasheet" -> ((s, d) =>
-      graft.Queries.corpusDatasheet(s, d).count()))
+      graft.Queries.corpusDatasheet(s, d).count()),
+    // robust stats / leakage / divergence / conversion latency
+    "mad_outliers" -> ((s, d) => graft.Queries.madOutliers(s, d).count()),
+    "cross_source_overlap" -> ((s, d) =>
+      graft.Queries.crossSourceOverlap(s, d).count()),
+    "source_divergence" -> ((s, d) =>
+      graft.Queries.sourceDivergence(s, d).count()),
+    "time_to_convert" -> ((s, d) =>
+      graft.Queries.timeToConvert(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")

@@ -205,6 +205,73 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(q > 0.0 && q <= 1.0)
   }
 
+  test("MAD outliers: median/MAD match a Scala recompute per source") {
+    val got = Queries.madOutliers(spark, sfDir)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    Dedup.releaseCaches()
+    val scored = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"source", TextStats.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    scored.foreach { case (src, rows) =>
+      val qs = rows.map(_._2).sorted
+      val med = qs((qs.length + 1) / 2 - 1) // lower median, rank ⌈n/2⌉
+      val ads = qs.map(q => math.abs(q - med)).sorted
+      val mad = ads((ads.length + 1) / 2 - 1)
+      val (_, n, gm, gmad, nOut) = got(src)
+      assert(n == qs.length && gm == med && gmad == mad)
+      assert(nOut == ads.count(_ > 3 * mad))
+    }
+  }
+
+  test("cross-source overlap: hashed-gram jaccard equals a set recompute") {
+    val got = Queries.crossSourceOverlap(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    Dedup.releaseCaches()
+    assert(got.length >= 2 && got.exists(_._5 > 0))
+    // recompute ONE pair (the most-overlapping) from raw text 13-grams:
+    // the md5-hashed path must agree exactly (no collisions on this corpus)
+    val top = got.maxBy(_._5)
+    val sets = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"source".isin(top._1, top._2) && length($"text") >= 13)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).map { case (s0, ds) =>
+        s0 -> ds.flatMap(d => d._2.sliding(13)).toSet
+      }
+    val (a, b) = (sets(top._1), sets(top._2))
+    assert(top._3 == a.size && top._4 == b.size)
+    assert(top._5 == (a & b).size)
+    got.foreach { r =>
+      assert(r._6 >= 0.0 && r._6 <= 1.0 && r._5 <= math.min(r._3, r._4))
+    }
+  }
+
+  test("source divergence: KL is non-negative and totals partition grams") {
+    val got = Queries.sourceDivergence(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    Dedup.releaseCaches()
+    // Gibbs: KL >= 0 for full-support smoothed models; the 8-place
+    // per-term rounding can dip the sum at most 1024 * 5e-9 below zero
+    got.foreach { case (src, ng, kl) =>
+      assert(kl > -1e-5, s"$src kl=$kl")
+      assert(ng > 0)
+    }
+    val totalBigrams = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(TextStats.tokens(lower($"text")).as("tok"))
+      .filter(size($"tok") >= 2)
+      .agg(sum(size($"tok") - 1)).as[Long].head()
+    assert(got.map(_._2).sum == totalBigrams)
+  }
+
+  test("time to convert: quartiles are ordered data values") {
+    val r = Queries.timeToConvert(spark, sfDir).collect().head
+    val (p25, p50, p75) = (r.getAs[Long]("p25_us"),
+      r.getAs[Long]("p50_us"), r.getAs[Long]("p75_us"))
+    assert(p25 <= p50 && p50 <= p75 && p25 >= 0)
+    assert(r.getAs[Long]("n_users") > 0)
+    assert(r.getAs[Double]("mean_s") > 0.0)
+  }
+
   test("DSIR weights rank the target slice above the rest of the corpus") {
     // target = English: English docs must score higher log-importance on
     // average than non-English — the whole point of importance weighting
