@@ -5598,6 +5598,148 @@ object Queries {
       | round(CAST(sum(lat_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_s
       |FROM lat""".stripMargin
 
+  /** Pareto (skyline) frontier of user activity — points (n_events,
+    * total_value) per user, keep the non-dominated set (Börzsönyi '01's
+    * skyline operator). The textbook formulation is the quadratic
+    * NOT-EXISTS dominance self-join; the engine runs the O(n log n)
+    * sweep instead: distinct points sorted (x DESC, y DESC), a point
+    * survives iff its y strictly exceeds the running max y over all
+    * preceding points (every preceding point has larger x, or equal x
+    * and larger y — exactly its candidate dominators). One narrow sort
+    * over the DISTINCT point set, one window pass, no self-join. At
+    * 100 TB the same shape runs behind a per-partition local skyline
+    * first (Pareto filtering is distributive — each partition discards
+    * its own dominated points, and the global pass sees only the union
+    * of local frontiers). Oracle: the independent NOT EXISTS dominance
+    * formulation — equivalence of strategies, not a transcription.
+    */
+  val skylineUsers: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        decSum(col("value"), 2).as("total_value"))
+      .groupBy(col("n_events"), col("total_value"))
+      .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("min_user"))
+    val sweep = Window
+      .orderBy(col("n_events").desc, col("total_value").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("rmax", max(col("total_value")).over(sweep))
+      .filter(col("rmax").isNull || col("total_value") > col("rmax"))
+      .select(col("n_events"), col("total_value"), col("n_users"),
+        col("min_user"))
+      .orderBy(col("n_events").desc, col("total_value").desc)
+  }
+
+  val skylineUsersSql: String =
+    """WITH u AS (SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY user_id),
+      |p AS (SELECT n_events, total_value, count(*) AS n_users,
+      |    min(user_id) AS min_user
+      |  FROM u GROUP BY n_events, total_value)
+      |SELECT n_events, total_value, n_users, min_user FROM p
+      |WHERE NOT EXISTS (SELECT 1 FROM p q
+      |  WHERE q.n_events >= p.n_events AND q.total_value >= p.total_value
+      |    AND (q.n_events > p.n_events OR q.total_value > p.total_value))
+      |ORDER BY n_events DESC, total_value DESC""".stripMargin
+
+  /** Collocation mining by pointwise mutual information (Church &
+    * Hanks '90): PMI(w1,w2) = ln(p(w1 w2) / (p(w1)·p(w2))) over adjacent
+    * word bigrams, min count 5, top 40. Three hash aggregations (unigram
+    * counts, bigram counts, two scalar totals) — the explode fan-out is
+    * absorbed by map-side partial agg before any shuffle, and the
+    * bigram⋈unigram count joins carry only (token, count) pairs, never
+    * text. The PMI argument is an exact integer ratio pushed through one
+    * double division, so both engines evaluate bit-identical input to
+    * ln; round(…, 6) absorbs any last-ulp libm difference (the q163
+    * entropy discipline). Scales: vocab-bounded join sides, corpus-
+    * linear everything else.
+    */
+  val pmiCollocations: Q = (s, dir) => {
+    val toks = Dedup.pin(t(s, dir, "documents")
+      .select(TextStats.tokens(lower(col("text"))).as("tok")))
+    val uni = toks.select(explode(col("tok")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nu = toks.agg(sum(size(col("tok"))).as("nu"))
+    val m = toks.filter(size(col("tok")) >= 2)
+      .agg(sum(size(col("tok")) - 1).as("m"))
+    val big = toks.filter(size(col("tok")) >= 2)
+      .select(explode(TextStats.wordBigrams(col("tok"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+      .select(split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bigram"), lit(" "), lit(2)).as("w2"),
+        col("c12"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(m))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("nu") * col("nu") /
+          (col("m").cast("double") * col("c1a") * col("c1b"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(40)
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS tok
+      |  FROM documents),
+      |u AS (SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(tok) AS w FROM toks) GROUP BY w),
+      |nu AS (SELECT CAST(sum(len(tok)) AS BIGINT) AS nu FROM toks),
+      |m AS (SELECT CAST(sum(len(tok) - 1) AS BIGINT) AS m FROM toks
+      |  WHERE len(tok) >= 2),
+      |b AS (SELECT unnest(list_transform(generate_series(1, len(tok)-1),
+      |    i -> tok[i] || ' ' || tok[i+1])) AS bigram
+      |  FROM toks WHERE len(tok) >= 2),
+      |bg AS (SELECT split_part(bigram, ' ', 1) AS w1,
+      |    split_part(bigram, ' ', 2) AS w2, count(*) AS c12
+      |  FROM b GROUP BY bigram HAVING count(*) >= 5)
+      |SELECT w1, w2, c12,
+      |  round(ln(CAST(c12 AS DOUBLE) * nu * nu
+      |    / (CAST(m AS DOUBLE) * ua.c1 * ub.c1)), 6) AS pmi
+      |FROM bg
+      |JOIN u ua ON ua.w = bg.w1
+      |JOIN u ub ON ub.w = bg.w2
+      |CROSS JOIN nu CROSS JOIN m
+      |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis '06,
+    * algorithm A-Res): each document draws key = ln(u)/w for a uniform
+    * u ∈ (0,1) and weight w (= n_chars); the k largest keys are an exact
+    * weighted sample without replacement. u is a deterministic
+    * Knuth-multiplicative residue of doc_id mod the prime 1e9+7 so both
+    * engines draw the identical variate. The top-k lands on Spark's
+    * TakeOrderedAndProject — a size-k heap per partition, then a driver
+    * merge of partitions×k rows — which IS distributed A-Res (each
+    * executor keeps only its local reservoir; nothing global is sorted).
+    * At 100 TB: k·n_partitions rows cross the wire, the corpus never
+    * shuffles.
+    */
+  val weightedSample: Q = (s, dir) => {
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"))
+      .withColumn("u",
+        ((col("doc_id") * lit(2654435761L) + lit(1L)) % lit(1000000007L))
+          .cast("double") / lit(1000000007.0))
+      .withColumn("es_key", log(col("u")) / col("w"))
+    keyed.orderBy(col("es_key").desc, col("doc_id")).limit(100)
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        round(col("es_key"), 9).as("es_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH kd AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+      |    CAST((doc_id * 2654435761 + 1) % 1000000007 AS DOUBLE)
+      |      / 1000000007.0 AS u
+      |  FROM documents),
+      |sel AS (SELECT doc_id, w, ln(u) / w AS es_key FROM kd
+      |  ORDER BY es_key DESC, doc_id LIMIT 100)
+      |SELECT doc_id, CAST(w AS BIGINT) AS w, round(es_key, 9) AS es_key
+      |FROM sel ORDER BY doc_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -5767,6 +5909,9 @@ object Queries {
     "q165_cross_source_overlap" -> crossSourceOverlap,
     "q166_source_divergence" -> sourceDivergence,
     "q167_time_to_convert" -> timeToConvert,
+    "q168_skyline" -> skylineUsers,
+    "q169_pmi_collocations" -> pmiCollocations,
+    "q170_weighted_sample" -> weightedSample,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -5936,5 +6081,8 @@ object Queries {
     "q164_mad_outliers" -> madOutliersSql,
     "q165_cross_source_overlap" -> crossSourceOverlapSql,
     "q166_source_divergence" -> sourceDivergenceSql,
-    "q167_time_to_convert" -> timeToConvertSql)
+    "q167_time_to_convert" -> timeToConvertSql,
+    "q168_skyline" -> skylineUsersSql,
+    "q169_pmi_collocations" -> pmiCollocationsSql,
+    "q170_weighted_sample" -> weightedSampleSql)
 }
