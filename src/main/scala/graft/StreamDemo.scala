@@ -24,13 +24,25 @@ object StreamDemo {
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    // nanos read as long (legacy conf) → convert to micros timestamp.
+    // Mirror Tables.events' layout tolerance: probe the batch reader's
+    // decoded ts type once, declare the matching stream schema, then
+    // normalize to TimestampType. Long (legacy nanos) converts with
+    // integer div; NTZ casts (instant-preserving under the UTC session).
+    val tsRawType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsRawType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream0 = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val stream = tsRawType match {
+      case LongType =>
+        stream0.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => stream0
+      case _ =>
+        stream0.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
 
     val agg = graft.streaming.EventStreams.windowedCounts(stream, "1 hour", "2 hours")
     val q = agg.writeStream.outputMode("complete")

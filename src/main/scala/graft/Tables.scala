@@ -21,14 +21,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects natively; read nanos as long (legacy conf) and convert to a
-    * microsecond TimestampType column (integer `div`, no double rounding).
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's reader rejects
+    * natively — read nanos as long via the legacy conf and convert with
+    * integer `div`, no double rounding) and plain TIMESTAMP(MICROS)
+    * without the UTC-adjusted flag (which Spark reads as TIMESTAMP_NTZ).
+    * Branch on the decoded type so every downstream query always sees one
+    * canonical micro-precision TimestampType `ts`; sessions run with
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→timestamp cast is
+    * instant-preserving and matches DuckDB's NTZ reading of the file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
