@@ -5740,6 +5740,346 @@ object Queries {
       |SELECT doc_id, CAST(w AS BIGINT) AS w, round(es_key, 9) AS es_key
       |FROM sel ORDER BY doc_id""".stripMargin
 
+  /** Incremental aggregate-state maintenance (the materialized-view /
+    * partial-agg merge pattern every periodic-reload pipeline needs once
+    * full recompute stops fitting the window): day-1 computes per-source
+    * ALGEBRAIC partials — count, Σtok, Σtok² (for variance), Σchars,
+    * min/max id, all exact integers — and persists them as a state table
+    * bounded by |sources|; the day-2 refresh scans ONLY the delta batch,
+    * computes the same partials, and merges state ⊎ delta with the
+    * aggregates' own merge functions (sum-of-sums, min-of-mins,
+    * max-of-maxes). Non-mergeable reports (mean, population variance)
+    * derive at the end from merged sums only — the algebraic
+    * decomposition that makes the merge exact. The oracle recomputes from
+    * the full corpus, so a dropped delta row, a double merge, or a
+    * non-mergeable state column all break the hash. Scale shape: day-2
+    * cost is O(delta) + a |sources|-row merge — the 100 TB day-1 corpus
+    * is never rescanned; the derived doubles divide exact integers with
+    * the same operation order on both engines.
+    */
+  val incrementalAgg: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    def partials(df: DataFrame): DataFrame = df
+      .select(col("source"),
+        TextStats.tokenCount(col("text")).cast("long").as("tc"),
+        col("n_chars"), col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tc")).as("s_tok"),
+        sum(col("tc") * col("tc")).as("ss_tok"),
+        sum(col("n_chars")).as("s_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+    Writers.parquet(partials(d.filter(col("doc_id") % 3 =!= 0)), stateDir)
+    Readers.parquet(s, stateDir)
+      .unionByName(partials(d.filter(col("doc_id") % 3 === 0)))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("s_tok")).as("s_tok"),
+        sum(col("ss_tok")).as("ss_tok"),
+        sum(col("s_chars")).as("s_chars"),
+        min(col("min_doc")).as("min_doc"),
+        max(col("max_doc")).as("max_doc"))
+      .select(col("source"), col("n_docs"), col("s_tok"), col("s_chars"),
+        col("min_doc"), col("max_doc"),
+        round(col("s_tok").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_tok"),
+        round((col("ss_tok").cast("double")
+            - col("s_tok").cast("double") * col("s_tok").cast("double")
+              / col("n_docs").cast("double"))
+          / col("n_docs").cast("double"), 6).as("var_tok"))
+      .orderBy(col("source"))
+  }
+
+  val incrementalAggSql: String =
+    """WITH d AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tc,
+      |    n_chars, doc_id FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(tc) AS BIGINT) AS s_tok,
+      | CAST(sum(n_chars) AS BIGINT) AS s_chars,
+      | min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      | round(CAST(sum(tc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_tok,
+      | round((CAST(sum(tc*tc) AS DOUBLE)
+      |   - CAST(sum(tc) AS DOUBLE) * CAST(sum(tc) AS DOUBLE)
+      |     / CAST(count(*) AS DOUBLE))
+      |   / CAST(count(*) AS DOUBLE), 6) AS var_tok
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** Last-touch attribution (the standard marketing-analytics credit
+    * assignment, and a timestamped as-of probe distinct from q38's
+    * bid/ask as-of join): every purchase is attributed to the SAME
+    * user's most recent strictly-preceding view, bucketed by view→buy
+    * latency (<1 h, 1–24 h, 24–72 h, stale, or organic when no view
+    * precedes). One window pass in deterministic (ts, event_id) order
+    * carries the running max view-time per user — no self-join, no
+    * per-purchase scan-back; exact integer microsecond arithmetic end
+    * to end (q167's discipline). Scale shape: the window shuffles the
+    * events table once on user_id; revenue sums go per-value DECIMAL.
+    */
+  val lastTouch: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("bucket",
+        when(col("last_view_us").isNull, "organic")
+          .when(col("us") - col("last_view_us") <= 3600L * 1000000L, "a_lt_1h")
+          .when(col("us") - col("last_view_us") <= 86400L * 1000000L, "b_1h_24h")
+          .when(col("us") - col("last_view_us") <= 259200L * 1000000L, "c_24h_72h")
+          .otherwise("d_stale"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_purchases"),
+        decSum(col("value"), 2).as("revenue"),
+        min(col("event_id")).as("min_event"))
+      .orderBy(col("bucket"))
+  }
+
+  val lastTouchSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |a AS (SELECT *, max(CASE WHEN event_type = 'view' THEN us END)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      |  FROM e),
+      |p AS (SELECT CASE WHEN lv IS NULL THEN 'organic'
+      |    WHEN us - lv <= 3600000000 THEN 'a_lt_1h'
+      |    WHEN us - lv <= 86400000000 THEN 'b_1h_24h'
+      |    WHEN us - lv <= 259200000000 THEN 'c_24h_72h'
+      |    ELSE 'd_stale' END AS bucket, value, event_id
+      |  FROM a WHERE event_type = 'purchase')
+      |SELECT bucket, count(*) AS n_purchases,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | min(event_id) AS min_event
+      |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Exact heavy hitters through a Misra–Gries candidate pass (the
+    * bounded-state frequent-items pattern for streams/corpora where a
+    * full token groupBy's map side would still emit every distinct
+    * token): pass 1 folds the token stream into the custom
+    * [[graft.functions.Aggregators.MisraGries]] TypedColumn — O(k)
+    * state per partition, O(k) over the wire, guaranteed superset of
+    * every item above N/k — and pass 2 re-counts ONLY the ≤ k
+    * candidates (broadcast join) and filters on the EXACT counts
+    * (share > 0.5%, k = 256 > 1/θ, so the sketch provably missed
+    * nothing). The final output is exact and order-independent even
+    * though the intermediate candidate set is not — which is why the
+    * oracle can be the plain exact formulation. Scale shape: two
+    * linear scans, no token-keyed shuffle wider than the candidate
+    * list.
+    */
+  val heavyHitters: Q = (s, dir) => {
+    val toks = Dedup.pin(t(s, dir, "documents")
+      .select(explode(TextStats.tokens(lower(col("text")))).as("w")))
+    val cand = toks
+      .agg(graft.functions.Aggregators.misra_gries_256(col("w")).as("cs"))
+      .select(explode(split(col("cs"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cand), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 200 > col("n"))
+      .select(col("w"), col("cnt"),
+        round(col("cnt").cast("double") / col("n").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("cnt").desc, col("w"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n FROM tok),
+      |c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w)
+      |SELECT w, cnt,
+      | round(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS share
+      |FROM c, n WHERE cnt * 200 > n.n
+      |ORDER BY cnt DESC, w""".stripMargin
+
+  /** RFM segmentation (recency / frequency / monetary quintiles — the
+    * classic customer-value grid): one events pass builds the per-user
+    * triple (last-activity time, purchase count, DECIMAL purchase
+    * value), each dimension is cut into quintiles by ntile(5) in a
+    * deterministic total order (metric desc, user_id tiebreak), and the
+    * 125-cell grid reports population and value per segment. The ntile
+    * windows rank the USER table (corpus-sublinear; the events table
+    * itself is reduced first), but each is still a single-partition
+    * sort at this size — at 100 TB the same cuts come from
+    * percentile thresholds against the user aggregate instead, an
+    * exchange-free plan the scaladoc pins so the swap is mechanical.
+    */
+  val rfmSegments: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        coalesce(sum(when(col("event_type") === "purchase", 1L)), lit(0L))
+          .as("freq"),
+        coalesce(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).as("mon"))
+    per
+      .withColumn("r",
+        ntile(5).over(Window.orderBy(col("last_us").desc, col("user_id"))))
+      .withColumn("f",
+        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
+      .withColumn("m",
+        ntile(5).over(Window.orderBy(col("mon").desc, col("user_id"))))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("mon")).cast("double").as("total_mon"),
+        min(col("user_id")).as("min_user"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH per AS (SELECT user_id,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+      |      AS BIGINT) AS freq,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS mon
+      |  FROM events GROUP BY user_id),
+      |sc AS (SELECT user_id, mon,
+      |    CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id) AS INTEGER) AS r,
+      |    CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS INTEGER) AS f,
+      |    CAST(ntile(5) OVER (ORDER BY mon DESC, user_id) AS INTEGER) AS m
+      |  FROM per)
+      |SELECT r, f, m, count(*) AS n_users,
+      | CAST(sum(mon) AS DOUBLE) AS total_mon, min(user_id) AS min_user
+      |FROM sc GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
+
+  /** Product quantization (Jégou, Douze & Schmid '11, "Product
+    * Quantization for Nearest Neighbor Search"): the 64-dim embedding
+    * splits into m=4 independent 16-dim subspaces, each quantized
+    * against its own 16-entry codebook — a 4-byte code per vector (64×
+    * compression) — and the query audits occupancy and reconstruction
+    * error per (subspace, code) cell, the codebook-health report a PQ
+    * index build emits. All arithmetic is exact integers: floats land
+    * on a 1e3 grid once (float→double is exact; the scaled round is
+    * half-away-from-zero on both engines), distances are Σ(a−b)² longs,
+    * and the argmin tie-breaks on the smaller code via a lexicographic
+    * struct min — bit-identical cross-engine. The codebook is the 16
+    * lowest-id vectors (the deterministic sampled-codebook convention
+    * of q40/q155; k-means training would swap ONLY the literal). Scale
+    * shape: the codebook is k×dim driver literals (bounded by the
+    * codebook, never the corpus); the corpus pass is one narrow
+    * projection evaluating 4×16 codegen'd integer distances per row —
+    * no join, no shuffle until the ≤ m·k-cell final aggregation.
+    */
+  val productQuantize: Q = (s, dir) => {
+    val M = 4; val SUB = 16; val K = 16
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val base = t(s, dir, "embeddings").select(col("vec_id"), qv.as("qv"))
+    val codebook: Array[Array[Long]] = base.orderBy(col("vec_id")).limit(K)
+      .collect().map(_.getSeq[Long](1).toArray)
+    if (codebook.isEmpty) {
+      // empty corpus → empty codebook: emit the schema, zero rows
+      base.select(lit(0).as("subspace"), lit(0).as("code"),
+        lit(0L).as("n_vectors"), lit(0L).as("total_sqerr"),
+        col("vec_id").as("min_vec")).limit(0)
+    } else {
+      // codebook.indices, not 0 until K: a corpus smaller than K yields
+      // a short codebook (the oracle's LIMIT 16 matches naturally)
+      val cells = (0 until M).map { m0 =>
+        val dists = array(codebook.indices.map { c =>
+          val cb = codebook(c)
+          val d = (0 until SUB).map { i =>
+            val diff = col("qv").getItem(m0 * SUB + i) - lit(cb(m0 * SUB + i))
+            diff * diff
+          }.reduce(_ + _)
+          struct(d.as("d"), lit(c).as("code"))
+        }: _*)
+        base.select(col("vec_id"), lit(m0).as("subspace"),
+          array_min(dists).getField("code").as("code"),
+          array_min(dists).getField("d").as("sqerr"))
+      }.reduce(_.unionByName(_))
+      cells.groupBy(col("subspace"), col("code"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("sqerr")).as("total_sqerr"),
+          min(col("vec_id")).as("min_vec"))
+        .orderBy(col("subspace"), col("code"))
+    }
+  }
+
+  val productQuantizeSql: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+      |  FROM q ORDER BY vec_id LIMIT 16),
+      |pairs AS (SELECT q.vec_id, ss.s AS subspace, cb.code,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |      i -> (q.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i])
+      |         * (q.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i]))) AS BIGINT) AS d
+      |  FROM q
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+      |  CROSS JOIN cb),
+      |best AS (SELECT vec_id, subspace, min([d, code]) AS bc
+      |  FROM pairs GROUP BY vec_id, subspace)
+      |SELECT CAST(subspace AS INTEGER) AS subspace,
+      | CAST(bc[2] AS INTEGER) AS code, count(*) AS n_vectors,
+      | CAST(sum(bc[1]) AS BIGINT) AS total_sqerr, min(vec_id) AS min_vec
+      |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-document character-level Shannon entropy ('48) — the
+    * compressibility proxy quality stacks use to flag keyboard-mash,
+    * repeated-character, and template-like text (low entropy) without
+    * running a compressor: H = Σ p·ln(1/p) over the doc's code-point
+    * histogram, reported with the histogram's support size. Exact
+    * cross-engine: counts are integers, each p·ln(n/c) term evaluates
+    * the same two double operations on exact-integer ratios, and the
+    * per-term round→DECIMAL sum (the q126/q163 float contract) makes
+    * the cross-row total order-independent. Scale shape: one explode +
+    * two hash aggregations keyed on (doc_id, char) then doc_id — no
+    * joins wider than the per-doc histogram, linear in corpus bytes.
+    */
+  val charEntropy: Q = (s, dir) => {
+    val counts = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '([\\\\s\\\\S])')")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    counts.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        round((col("c").cast("double") / col("n").cast("double"))
+            * log(col("n").cast("double") / col("c").cast("double")), 8)
+          .cast("decimal(18,8)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_cp"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(col("term")).cast("double").as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charEntropySql: String =
+    """WITH ch AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents),
+      |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+      |t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |    count(*) AS n_distinct FROM c GROUP BY doc_id),
+      |terms AS (SELECT c.doc_id, t.n, t.n_distinct,
+      |    CAST(round((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |      * ln(CAST(t.n AS DOUBLE) / CAST(c.c AS DOUBLE)), 8)
+      |      AS DECIMAL(18,8)) AS term
+      |  FROM c JOIN t USING (doc_id))
+      |SELECT doc_id, max(n) AS n_cp,
+      | CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+      | CAST(sum(term) AS DOUBLE) AS entropy_nats
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -5912,6 +6252,12 @@ object Queries {
     "q168_skyline" -> skylineUsers,
     "q169_pmi_collocations" -> pmiCollocations,
     "q170_weighted_sample" -> weightedSample,
+    "q171_incremental_agg" -> incrementalAgg,
+    "q172_last_touch" -> lastTouch,
+    "q173_heavy_hitters" -> heavyHitters,
+    "q174_rfm_segments" -> rfmSegments,
+    "q175_product_quantize" -> productQuantize,
+    "q176_char_entropy" -> charEntropy,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -6084,5 +6430,11 @@ object Queries {
     "q167_time_to_convert" -> timeToConvertSql,
     "q168_skyline" -> skylineUsersSql,
     "q169_pmi_collocations" -> pmiCollocationsSql,
-    "q170_weighted_sample" -> weightedSampleSql)
+    "q170_weighted_sample" -> weightedSampleSql,
+    "q171_incremental_agg" -> incrementalAggSql,
+    "q172_last_touch" -> lastTouchSql,
+    "q173_heavy_hitters" -> heavyHittersSql,
+    "q174_rfm_segments" -> rfmSegmentsSql,
+    "q175_product_quantize" -> productQuantizeSql,
+    "q176_char_entropy" -> charEntropySql)
 }

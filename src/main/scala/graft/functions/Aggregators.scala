@@ -53,4 +53,67 @@ object Aggregators {
   /** DataFrame/SQL-facing weighted mean: `weighted_mean(x, w)`. */
   val weighted_mean: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(WeightedMean)
+
+  /** Misra–Gries frequent-items summary state: at most k counters. */
+  case class MGState(counts: Map[String, Long])
+
+  /** Distributed Misra–Gries heavy-hitter CANDIDATE generation (Misra &
+    * Gries '82; mergeable-summaries semantics of Agarwal et al. '12):
+    * each partition folds its items into ≤ k counters (hit → increment;
+    * room → insert; full → decrement every counter, dropping zeros), and
+    * partials merge by summing common counters then subtracting the
+    * (k+1)-st largest combined count so the result fits in k again.
+    * Guarantee (the reason this is usable as an EXACT operator's first
+    * pass): every item with true frequency > N/k survives to the final
+    * summary regardless of partitioning or merge order — the summary is a
+    * superset of the θ-heavy hitters for any θ > 1/k. The candidate SET
+    * is order-dependent (extra sub-threshold items may ride along), so a
+    * deterministic gate must re-count candidates exactly and filter on
+    * the true counts; `finish` returns the candidates space-joined and
+    * sorted, never the noisy estimates. Scale shape: state is O(k) per
+    * partition and O(k) over the wire — the corpus token stream itself
+    * is never shuffled (contrast a full groupBy count whose map side
+    * still emits every distinct token). The buffer is a JVM Map
+    * (ObjectHashAggregate, no codegen) — the price of a bounded-state
+    * sketch; k is small, so per-row cost is an O(eC) persistent-map
+    * update.
+    */
+  class MisraGries(k: Int)
+      extends Aggregator[String, MGState, String] {
+    override def zero: MGState = MGState(Map.empty)
+    override def reduce(b: MGState, w: String): MGState = {
+      val m = b.counts
+      m.get(w) match {
+        case Some(c)             => MGState(m.updated(w, c + 1L))
+        case None if m.size < k  => MGState(m.updated(w, 1L))
+        case None =>
+          MGState(m.flatMap { case (t, c) =>
+            if (c > 1L) Some(t -> (c - 1L)) else None })
+      }
+    }
+    override def merge(a: MGState, b: MGState): MGState = {
+      if (a.counts.isEmpty) return b
+      if (b.counts.isEmpty) return a
+      val comb = (a.counts.keySet ++ b.counts.keySet).iterator
+        .map(t => t -> (a.counts.getOrElse(t, 0L) + b.counts.getOrElse(t, 0L)))
+        .toMap
+      if (comb.size <= k) MGState(comb)
+      else {
+        // subtract the (k+1)-st largest count from everything; ≤ k survive
+        val d = comb.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+        MGState(comb.flatMap { case (t, c) =>
+          if (c - d > 0L) Some(t -> (c - d)) else None })
+      }
+    }
+    override def finish(b: MGState): String =
+      b.counts.keys.toSeq.sorted.mkString(" ")
+    override def bufferEncoder: Encoder[MGState] = Encoders.product[MGState]
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** DataFrame-facing Misra–Gries candidates: `misra_gries_256(token)` →
+    * one space-joined sorted candidate string (≤ 256 tokens).
+    */
+  val misra_gries_256: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MisraGries(256), Encoders.STRING)
 }
