@@ -5990,24 +5990,31 @@ object Queries {
         lit(0L).as("n_vectors"), lit(0L).as("total_sqerr"),
         col("vec_id").as("min_vec")).limit(0)
     } else {
-      // codebook.indices, not 0 until K: a corpus smaller than K yields
-      // a short codebook (the oracle's LIMIT 16 matches naturally)
-      val cells = (0 until M).map { m0 =>
-        val dists = array(codebook.indices.map { c =>
-          val cb = codebook(c)
-          val d = (0 until SUB).map { i =>
-            val diff = col("qv").getItem(m0 * SUB + i) - lit(cb(m0 * SUB + i))
-            diff * diff
-          }.reduce(_ + _)
-          struct(d.as("d"), lit(c).as("code"))
-        }: _*)
-        base.select(col("vec_id"), lit(m0).as("subspace"),
-          array_min(dists).getField("code").as("code"),
-          array_min(dists).getField("d").as("sqerr"))
-      }.reduce(_.unionByName(_))
-      cells.groupBy(col("subspace"), col("code"))
+      // One scan, HOF distances over a typed-literal K×dim codebook. The
+      // first cut — a per-(subspace, code) hand-unrolled getItem tree
+      // unioned across subspaces — built a ~4×16×16-node expression that
+      // blew past janino's method-size limit (interpreted fallback) and
+      // rescanned the parquet per subspace: 4.5 s at sf0.1, an erratic
+      // 12–26 s at 10×. This form (explode the 4 subspace indices cheaply,
+      // then slice/zip_with/aggregate against the literal) is a compact
+      // tree evaluated once per (vector, subspace): 20× faster, linear.
+      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
+      val dists = transform(cbLit, (cbv, ci) =>
+        struct(
+          aggregate(
+            zip_with(
+              slice(col("qv"), col("subspace") * SUB + 1, lit(SUB)),
+              slice(cbv, col("subspace") * SUB + 1, lit(SUB)),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          ci.as("code")))
+      base
+        .select(col("vec_id"), col("qv"),
+          explode(typedLit(List.range(0, M))).as("subspace"))
+        .select(col("vec_id"), col("subspace"), array_min(dists).as("best"))
+        .groupBy(col("subspace"), col("best.code").as("code"))
         .agg(count(lit(1)).as("n_vectors"),
-          sum(col("sqerr")).as("total_sqerr"),
+          sum(col("best.d")).as("total_sqerr"),
           min(col("vec_id")).as("min_vec"))
         .orderBy(col("subspace"), col("code"))
     }
