@@ -6087,6 +6087,77 @@ object Queries {
       | CAST(sum(term) AS DOUBLE) AS entropy_nats
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Streaming/batch parity gate — the first ORACLE-GATED Structured
+    * Streaming query (the streaming surface was spec-only through round
+    * 6): the engine runs the REAL micro-batch pipeline — file source
+    * with an explicit schema, event-time watermark, tumbling-window
+    * aggregate, AvailableNow trigger draining to a sink — and emits the
+    * final sink table, which must hash-match a plain batch SQL oracle.
+    * Complete output mode makes finite-input streaming ≡ batch (append
+    * mode would withhold the trailing windows the watermark never
+    * passes); summed `value` is cast to DECIMAL *before* entering the
+    * stream so per-window totals are merge-order-exact across
+    * micro-batches (the decSum contract, applied upstream because the
+    * sum happens inside the streaming agg). The ts column goes through
+    * the same layout-tolerant normalization as `Tables.events`. Scale
+    * shape: watermarked window state is bounded by (watermark horizon ×
+    * \|event types\|); the file source shards micro-batches by files, so
+    * a 100 TB backfill streams through the identical pipeline the live
+    * feed uses — the lambda-architecture unification argument, here
+    * verified by hash equality instead of asserted.
+    */
+  val streamHourly: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    // stage the source into the stream dir; the table may be a single
+    // parquet file (driver testdata) or a directory of parts (ScaleData)
+    val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isDirectory(srcPath)) {
+      val it = java.nio.file.Files.list(srcPath).iterator()
+      var i = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(f, srcDir.resolve(s"part-$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          i += 1
+        }
+      }
+    } else {
+      java.nio.file.Files.copy(srcPath, srcDir.resolve("part-0.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsRaw = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsRaw),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = s.readStream.schema(schema).parquet(srcDir.toString)
+    val ev = (tsRaw match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }).withColumn("value", col("value").cast("decimal(18,2)"))
+    val qname = "graft_stream_hourly_sink"
+    val sq = EventStreams.windowedCounts(ev, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    s.table(qname)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val streamHourlySql: String =
+    """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |    event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      | CAST(sum(v) AS DOUBLE) AS total_value
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -6265,6 +6336,7 @@ object Queries {
     "q174_rfm_segments" -> rfmSegments,
     "q175_product_quantize" -> productQuantize,
     "q176_char_entropy" -> charEntropy,
+    "q177_stream_hourly" -> streamHourly,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -6443,5 +6515,6 @@ object Queries {
     "q173_heavy_hitters" -> heavyHittersSql,
     "q174_rfm_segments" -> rfmSegmentsSql,
     "q175_product_quantize" -> productQuantizeSql,
-    "q176_char_entropy" -> charEntropySql)
+    "q176_char_entropy" -> charEntropySql,
+    "q177_stream_hourly" -> streamHourlySql)
 }
