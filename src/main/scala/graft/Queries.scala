@@ -6158,6 +6158,144 @@ object Queries {
       | CAST(sum(v) AS DOUBLE) AS total_value
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Cross-source quantile normalization of quality scores (the
+    * calibration step before mixing corpora whose scorers drift:
+    * Bolstad '03's microarray quantile normalization, applied to
+    * per-source quality): each document's within-source rank maps onto
+    * the GLOBAL score distribution — doc at source-rank r of ns maps to
+    * the global value at position ⌈r·N/ns⌉ — so every source's score
+    * column acquires the same marginal distribution while preserving
+    * within-source order. Rank targets use pure integer arithmetic
+    * ((r·N + ns − 1) div ns — a double ceil could flip at exact-integer
+    * boundaries), the report means go through DECIMAL sums, and ranks
+    * tie-break on doc_id. Scale shape: shuffles carry (source, score,
+    * id) triples and the rank-keyed join probes integers — text never
+    * moves; the global rank window is single-partition at gate scale,
+    * with the 100 TB swap (range-partitioned global rank via
+    * `zipWithIndex`-style partition offsets) pinned here.
+    */
+  val quantileNorm: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Dedup.pin(t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextStats.qualityScore(col("text")).as("q")))
+    val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val total = scored.agg(count(lit(1)).as("n"))
+    val ranked = scored
+      .withColumn("rs", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))))
+      .join(broadcast(counts), Seq("source"))
+    val globalIdx = scored
+      .select(col("q").as("gq"),
+        row_number().over(Window.orderBy(col("q"), col("doc_id"))).as("gk"))
+    ranked.crossJoin(broadcast(total))
+      // integer ceil: Spark's `/` on integers is true division (double)
+      .withColumn("gk",
+        expr("CAST((rs * n + ns - 1) div ns AS BIGINT)"))
+      .join(globalIdx, Seq("gk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("q").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_raw"),
+        round(sum(col("gq").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_norm"),
+        round(max(abs(col("gq") - col("q"))), 6).as("max_shift"))
+      .orderBy(col("source"))
+  }
+
+  val quantileNormSql: String = {
+    val qExpr =
+      """round(
+        |      least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+        |    + (1.0 - least(CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+        |    + least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+        |        / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3,
+        |    6)""".stripMargin
+    s"""WITH s AS (SELECT doc_id, source, $qExpr AS q FROM documents),
+       |ns AS (SELECT source, count(*) AS ns FROM s GROUP BY source),
+       |n AS (SELECT count(*) AS n FROM s),
+       |r AS (SELECT s.*, row_number()
+       |    OVER (PARTITION BY source ORDER BY q, doc_id) AS rs FROM s),
+       |g AS (SELECT q AS gq,
+       |    row_number() OVER (ORDER BY q, doc_id) AS gk FROM s),
+       |p AS (SELECT r.source, r.q, g.gq
+       |  FROM r JOIN ns USING (source) CROSS JOIN n
+       |  JOIN g ON g.gk = (r.rs * n.n + ns.ns - 1) // ns.ns)
+       |SELECT source, count(*) AS n_docs,
+       | round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+       |   AS mean_raw,
+       | round(CAST(sum(CAST(gq AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+       |   AS mean_norm,
+       | round(max(abs(gq - q)), 6) AS max_shift
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Train/test split-leakage audit — the "dedup BEFORE you split"
+    * correctness check (the Lee '22 finding that duplicate text
+    * straddling train and eval inflates benchmark scores): combine
+    * q120's deterministic hash split with q20's content fingerprints
+    * and report how many exact-duplicate clusters span more than one
+    * split, how many documents sit in those leaky clusters, and the
+    * first offender for triage. Scale shape: one scan computes both
+    * the split tag (row-local md5-uniform of doc_id) and the content
+    * fingerprint; the only shuffle carries (16-byte fp, split tag) —
+    * never text — into one hash aggregation, and the report is a
+    * single global reduce. A clean pipeline drives n_leaky_* to zero;
+    * because the small-SF corpora carry no natural duplicates, the
+    * query re-ingests every 50th document under a shifted id (the
+    * q102/q117 planted re-crawl shape) so duplicate clusters exist by
+    * construction at every SF — each copy draws an independent hash
+    * split, so ~1 in 5 planted clusters straddles the 90/5/5 cut and
+    * the leak counters are provably non-trivial.
+    */
+  val splitLeakage: Q = (s, dir) => {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(2, 60)))
+    val docs = t(s, dir, "documents")
+    val recrawled = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+    recrawled
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"),
+        when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") > 1)
+      .agg(count(lit(1)).as("n_dup_clusters"),
+        coalesce(sum(when(col("n_splits") > 1, 1L)), lit(0L))
+          .as("n_leaky_clusters"),
+        coalesce(sum(when(col("n_splits") > 1, col("n_docs"))), lit(0L))
+          .as("n_leaky_docs"),
+        min(when(col("n_splits") > 1, col("min_doc"))).as("first_leaky_doc"))
+  }
+
+  val splitLeakageSql: String =
+    """WITH r AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 50 = 0),
+      |d AS (SELECT doc_id, md5(text) AS fp,
+      |    CASE WHEN u < 0.90 THEN 'train' WHEN u < 0.95 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, text,
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |        / CAST(pow(2, 60) AS DOUBLE) AS u FROM r)),
+      |c AS (SELECT fp, count(*) AS n_docs,
+      |    count(DISTINCT split) AS n_splits, min(doc_id) AS min_doc
+      |  FROM d GROUP BY fp HAVING count(*) > 1)
+      |SELECT count(*) AS n_dup_clusters,
+      | CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN 1 END), 0) AS BIGINT)
+      |   AS n_leaky_clusters,
+      | CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN n_docs END), 0) AS BIGINT)
+      |   AS n_leaky_docs,
+      | min(CASE WHEN n_splits > 1 THEN min_doc END) AS first_leaky_doc
+      |FROM c""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -6337,6 +6475,8 @@ object Queries {
     "q175_product_quantize" -> productQuantize,
     "q176_char_entropy" -> charEntropy,
     "q177_stream_hourly" -> streamHourly,
+    "q178_quantile_norm" -> quantileNorm,
+    "q179_split_leakage" -> splitLeakage,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -6516,5 +6656,7 @@ object Queries {
     "q174_rfm_segments" -> rfmSegmentsSql,
     "q175_product_quantize" -> productQuantizeSql,
     "q176_char_entropy" -> charEntropySql,
-    "q177_stream_hourly" -> streamHourlySql)
+    "q177_stream_hourly" -> streamHourlySql,
+    "q178_quantile_norm" -> quantileNormSql,
+    "q179_split_leakage" -> splitLeakageSql)
 }
