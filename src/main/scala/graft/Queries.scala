@@ -6296,6 +6296,64 @@ object Queries {
       | min(CASE WHEN n_splits > 1 THEN min_doc END) AS first_leaky_doc
       |FROM c""".stripMargin
 
+  /** Near-dup detector agreement audit — the method-selection
+    * diagnostic a curation pipeline runs before committing to one
+    * detector family: the exact blocked token-Jaccard pair set (q23's
+    * configuration) and the simhash Hamming-≤8 pair set (q22's) are
+    * FULL-OUTER joined on the unordered pair key and bucketed into
+    * both / jaccard-only / simhash-only, with pair counts and a sample
+    * id for triage. Both constituent pair sets are individually
+    * hash-proven against independent oracle formulations (sparse
+    * gram join; brute-force Hamming), so this gate verifies the
+    * COMPOSITION — the disagreement surface itself. Scale shape: both
+    * detectors run their production bucketed/blocked paths (nothing
+    * all-pairs); the agreement join is keyed on (id1, id2) integer
+    * pairs — output-bounded, never corpus-bounded.
+    */
+  val detectorAgreement: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val jac = Dedup.blockedJaccardPairs(docs, "text", "doc_id",
+      Seq("lang", "n_chars"), threshold = 0.5)
+      .select(col("id1"), col("id2"), lit(1).as("in_jac"))
+    val withFp = docs.select(col("doc_id").as("id"),
+      graft.functions.VectorExpressions.md5_simhash60(
+        TextStats.tokens(lower(col("text")))).as("fp"))
+      .filter(col("fp").isNotNull)
+    val sim = Dedup.simhashPairs(withFp, maxHammingDistance = 8)
+      .select(col("id1"), col("id2"), lit(1).as("in_sim"))
+    jac.join(sim, Seq("id1", "id2"), "full_outer")
+      .select(col("id1"),
+        when(col("in_jac").isNotNull && col("in_sim").isNotNull, "both")
+          .when(col("in_jac").isNotNull, "jaccard_only")
+          .otherwise("simhash_only").as("verdict"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("id1")).as("sample_id1"))
+      .orderBy(col("verdict"))
+  }
+
+  val detectorAgreementSql: String =
+    s"""WITH tj AS (
+      | SELECT doc_id, lang, n_chars,
+      |  list_distinct(regexp_extract_all(lower(text), '\\S+')) AS tok
+      | FROM documents WHERE length(regexp_extract_all(lower(text), '\\S+')) > 0),
+      |jac AS (SELECT l.doc_id AS id1, r.doc_id AS id2
+      | FROM tj l JOIN tj r
+      |   ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+      | WHERE CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |       length(list_distinct(list_concat(l.tok, r.tok))) >= 0.5),
+      |$md5SimhashCte,
+      |sim AS (SELECT l.doc_id AS id1, r.doc_id AS id2
+      | FROM fps l JOIN fps r
+      |   ON l.doc_id < r.doc_id AND bit_count(xor(l.fp, r.fp)) <= 8),
+      |m AS (SELECT coalesce(j.id1, s.id1) AS id1,
+      |   CASE WHEN j.id1 IS NOT NULL AND s.id1 IS NOT NULL THEN 'both'
+      |        WHEN j.id1 IS NOT NULL THEN 'jaccard_only'
+      |        ELSE 'simhash_only' END AS verdict
+      | FROM jac j FULL OUTER JOIN sim s
+      |   ON j.id1 = s.id1 AND j.id2 = s.id2)
+      |SELECT verdict, count(*) AS n_pairs, min(id1) AS sample_id1
+      |FROM m GROUP BY verdict ORDER BY verdict""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -6477,6 +6535,7 @@ object Queries {
     "q177_stream_hourly" -> streamHourly,
     "q178_quantile_norm" -> quantileNorm,
     "q179_split_leakage" -> splitLeakage,
+    "q180_detector_agreement" -> detectorAgreement,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -6658,5 +6717,6 @@ object Queries {
     "q176_char_entropy" -> charEntropySql,
     "q177_stream_hourly" -> streamHourlySql,
     "q178_quantile_norm" -> quantileNormSql,
-    "q179_split_leakage" -> splitLeakageSql)
+    "q179_split_leakage" -> splitLeakageSql,
+    "q180_detector_agreement" -> detectorAgreementSql)
 }
