@@ -6354,6 +6354,206 @@ object Queries {
       |SELECT verdict, count(*) AS n_pairs, min(id1) AS sample_id1
       |FROM m GROUP BY verdict ORDER BY verdict""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov drift audit: for every source, the exact
+    * KS distance between that source's document-length distribution and the
+    * rest of the corpus — the distribution-shift alarm a mixture pipeline
+    * runs when a crawl snapshot or new provider lands (KL on binned scores
+    * is q166; KS is the binning-free complement whose statistic is attained
+    * at a pooled sample point, so it needs no bandwidth choice). Scale
+    * shape: everything windows over the VALUE DOMAIN, never the corpus —
+    * counts per (len, source) shrink the frame to |lens|×|sources| (the
+    * q123 winsorize precedent; at petabyte scale the grid is coarsened by
+    * bucketing len, same statistic on the gridded CDF), the per-source
+    * cumulative is a window partitioned by source over distinct lens, and
+    * the pooled cumulative is a partition-total window BY len (no global
+    * single-partition window anywhere). Totals ride one broadcast one-row
+    * frame. F_rest excludes the source itself, so a source is never
+    * compared against its own mass.
+    */
+  val ksDrift: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Dedup.pin(
+      t(s, dir, "documents").select(col("source"), col("n_chars").as("len")))
+    val c = lens.groupBy(col("len"), col("source")).agg(count(lit(1)).as("cnt"))
+    // dense grid: every source needs a CDF value at every pooled len
+    val grid = lens.select(col("len")).distinct()
+      .crossJoin(broadcast(lens.select(col("source")).distinct()))
+    val filled = grid.join(c, Seq("len", "source"), "left")
+      .select(col("len"), col("source"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val cum = filled.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("source")).orderBy(col("len"))))
+    val withTot = cum.withColumn("cum_tot",
+      sum(col("cum")).over(Window.partitionBy(col("len"))))
+    val ns = lens.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val n = lens.agg(count(lit(1)).as("n_tot"))
+    withTot.join(broadcast(ns), Seq("source")).crossJoin(broadcast(n))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(round(max(abs(
+        col("cum").cast("double") / col("n_docs")
+          - (col("cum_tot") - col("cum")).cast("double")
+            / (col("n_tot") - col("n_docs")))), 6).as("ks"))
+      .select(col("source"), col("n_docs"), col("ks"))
+      .orderBy(col("source"))
+  }
+
+  val ksDriftSql: String =
+    """WITH lens AS (SELECT source, n_chars AS len FROM documents),
+      |c AS (SELECT len, source, count(*) AS cnt FROM lens GROUP BY 1, 2),
+      |grid AS (SELECT l.len, s.source
+      |  FROM (SELECT DISTINCT len FROM lens) l
+      |  CROSS JOIN (SELECT DISTINCT source FROM lens) s),
+      |f AS (SELECT g.len, g.source, coalesce(cnt, 0) AS cnt
+      |  FROM grid g LEFT JOIN c ON g.len = c.len AND g.source = c.source),
+      |cum AS (SELECT len, source,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY len) AS cum FROM f),
+      |ct AS (SELECT len, source, cum,
+      |    sum(cum) OVER (PARTITION BY len) AS cum_tot FROM cum),
+      |ns AS (SELECT source, count(*) AS n_docs FROM lens GROUP BY 1),
+      |n AS (SELECT count(*) AS n_tot FROM lens)
+      |SELECT ct.source, ns.n_docs,
+      | round(max(abs(CAST(cum AS DOUBLE) / n_docs
+      |   - CAST(cum_tot - cum AS DOUBLE) / (n_tot - n_docs))), 6) AS ks
+      |FROM ct JOIN ns ON ct.source = ns.source CROSS JOIN n
+      |GROUP BY ct.source, ns.n_docs ORDER BY ct.source""".stripMargin
+
+  /** Decile lift / calibration table: cut the corpus into 10 exact
+    * length-deciles and report each decile's duplicate rate — the
+    * "is my quality signal correlated with duplication?" audit run before
+    * trusting a filter threshold (a lift table is how the reference's DQ
+    * reports present rule hit-rates per band). Deciles are assigned by
+    * VALUE against broadcast percentile_disc cut points — never ntile,
+    * whose global row sort is both a scale hazard and nondeterministic
+    * under ties; value-comparison assignment is reproducible on both
+    * engines and keeps the corpus scan shuffle-free (one crossJoin of a
+    * one-row 9-column cuts frame). Duplication is q20's exact content
+    * fingerprint; the small-SF corpora carry no natural duplicates, so the
+    * query plants the q179 re-crawl (every 50th doc under a shifted id) to
+    * make every counter provably non-trivial at every SF.
+    */
+  val qualityLift: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val recrawled = Dedup.pin(
+      docs.select(col("doc_id"), col("text"), col("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("text"), col("n_chars"))))
+    val cuts = recrawled.agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars)").as("c1"),
+      (2 to 9).map(k =>
+        expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY n_chars)")
+          .as(s"c$k")): _*)
+    val withFp = recrawled.select(col("doc_id"), col("n_chars"),
+      md5(col("text").cast("binary")).as("fp"))
+    val copies = withFp.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    withFp.join(copies, Seq("fp"))
+      .crossJoin(broadcast(cuts))
+      .withColumn("decile", lit(1) + (1 to 9)
+        .map(k => when(col("n_chars") > col(s"c$k"), 1).otherwise(0))
+        .reduce(_ + _))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup"),
+        round(sum(when(col("n_copies") > 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("dup_rate"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("decile"))
+  }
+
+  val qualityLiftSql: String = {
+    val decile = (1 to 9)
+      .map(k => s"(CASE WHEN n_chars > c$k THEN 1 ELSE 0 END)")
+      .mkString("1 + ", " + ", "")
+    val cuts = (1 to 9)
+      .map(k => s"quantile_disc(n_chars, 0.$k) AS c$k").mkString(", ")
+    s"""WITH r AS (
+      | SELECT doc_id, text, n_chars FROM documents
+      | UNION ALL
+      | SELECT doc_id + 10000000, text, n_chars FROM documents
+      | WHERE doc_id % 50 = 0),
+      |cuts AS (SELECT $cuts FROM r),
+      |fp AS (SELECT doc_id, n_chars, md5(text) AS f FROM r),
+      |cp AS (SELECT f, count(*) AS n_copies FROM fp GROUP BY f),
+      |tag AS (SELECT fp.n_chars, cp.n_copies, $decile AS decile
+      | FROM fp JOIN cp USING (f) CROSS JOIN cuts)
+      |SELECT decile, count(*) AS n_docs,
+      | CAST(coalesce(sum(CASE WHEN n_copies > 1 THEN 1 END), 0) AS BIGINT)
+      |   AS n_dup,
+      | round(CAST(coalesce(sum(CASE WHEN n_copies > 1 THEN 1 END), 0)
+      |   AS DOUBLE) / count(*), 6) AS dup_rate,
+      | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM tag GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
+  /** G² log-likelihood token keyness (Dunning '93 "Accurate Methods for
+    * the Statistics of Surprise and Coincidence"): the 20 tokens whose
+    * frequency in the lexicographically-first source deviates most from
+    * the rest of the corpus — the corpus-linguistics complement of q169's
+    * PMI (PMI ranks co-occurring PAIRS; G² ranks single terms against a
+    * contingency expectation, and unlike PMI it is not dominated by rare
+    * events). Scale shape: one token explode (linear in corpus bytes)
+    * into a token-keyed hash aggregation; the focus label and the
+    * (NA, NB) totals each ride a broadcast one-row frame; min-count ≥ 5
+    * prunes the tail before the double math; top-20 is TakeOrdered, never
+    * a global sort. Ties at the rounded statistic break on the token, so
+    * the emitted set is deterministic on both engines.
+    */
+  val tokenKeyness: Q = (s, dir) => {
+    val toks = Dedup.pin(t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextStats.tokens(lower(col("text")))).as("token")))
+    val focus = toks.agg(min(col("source")).as("focus"))
+    val counts = toks.crossJoin(broadcast(focus))
+      .groupBy(col("token"))
+      .agg(sum(when(col("source") === col("focus"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") =!= col("focus"), 1L).otherwise(0L)).as("b"))
+    val tot = counts.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    counts.filter(col("a") + col("b") >= 5)
+      .crossJoin(broadcast(tot))
+      .withColumn("ea",
+        (col("a") + col("b")).cast("double") * col("na")
+          / (col("na") + col("nb")))
+      .withColumn("eb",
+        (col("a") + col("b")).cast("double") * col("nb")
+          / (col("na") + col("nb")))
+      .withColumn("g2", round(lit(2.0) * (
+        when(col("a") > 0, col("a").cast("double")
+          * log(col("a").cast("double") / col("ea"))).otherwise(lit(0.0))
+          + when(col("b") > 0, col("b").cast("double")
+            * log(col("b").cast("double") / col("eb"))).otherwise(lit(0.0))),
+        4))
+      .select(col("token"), col("a").as("n_focus"), col("b").as("n_rest"),
+        col("g2"))
+      .orderBy(col("g2").desc, col("token"))
+      .limit(20)
+  }
+
+  val tokenKeynessSql: String =
+    """WITH tk AS (SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS token
+      |  FROM documents),
+      |f AS (SELECT min(source) AS focus FROM tk),
+      |c AS (SELECT token,
+      |   CAST(coalesce(sum(CASE WHEN source = focus THEN 1 END), 0)
+      |     AS BIGINT) AS a,
+      |   CAST(coalesce(sum(CASE WHEN source <> focus THEN 1 END), 0)
+      |     AS BIGINT) AS b
+      | FROM tk CROSS JOIN f GROUP BY token),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+      |   CAST(sum(b) AS BIGINT) AS nb FROM c)
+      |SELECT token, a AS n_focus, b AS n_rest,
+      | round(2.0 * (
+      |   (CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+      |      * ln(CAST(a AS DOUBLE)
+      |        / (CAST(a + b AS DOUBLE) * na / (na + nb))) ELSE 0 END)
+      | + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+      |      * ln(CAST(b AS DOUBLE)
+      |        / (CAST(a + b AS DOUBLE) * nb / (na + nb))) ELSE 0 END)), 4)
+      |   AS g2
+      |FROM c CROSS JOIN tot
+      |WHERE a + b >= 5
+      |ORDER BY g2 DESC, token LIMIT 20""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -6536,6 +6736,9 @@ object Queries {
     "q178_quantile_norm" -> quantileNorm,
     "q179_split_leakage" -> splitLeakage,
     "q180_detector_agreement" -> detectorAgreement,
+    "q181_ks_drift" -> ksDrift,
+    "q182_quality_lift" -> qualityLift,
+    "q183_token_keyness" -> tokenKeyness,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -6718,5 +6921,8 @@ object Queries {
     "q177_stream_hourly" -> streamHourlySql,
     "q178_quantile_norm" -> quantileNormSql,
     "q179_split_leakage" -> splitLeakageSql,
-    "q180_detector_agreement" -> detectorAgreementSql)
+    "q180_detector_agreement" -> detectorAgreementSql,
+    "q181_ks_drift" -> ksDriftSql,
+    "q182_quality_lift" -> qualityLiftSql,
+    "q183_token_keyness" -> tokenKeynessSql)
 }
