@@ -6554,6 +6554,92 @@ object Queries {
       |WHERE a + b >= 5
       |ORDER BY g2 DESC, token LIMIT 20""".stripMargin
 
+  /** Consecutive-day activity streaks — the gaps-and-islands DATE variant
+    * (q42 sessionizes by a TIME gap inside a day; streaks are the
+    * engagement-retention complement over distinct calendar days, the
+    * "longest run" metric every behavioral dashboard carries). Islands by
+    * the classic row_number subtraction: within a user, day −
+    * row_number(day) is constant exactly across consecutive days, so one
+    * user-partitioned window plus a two-level aggregation yields every
+    * streak without self-joins. Scale shape: distinct (user, day) first —
+    * the frame shrinks to user-days before any window runs — then both
+    * the window and the aggregations are user-partitioned; nothing
+    * crosses users, no global sort.
+    */
+  val activityStreaks: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val streaks = days
+      .withColumn("island", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val activityStreaksSql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |isl AS (SELECT user_id,
+      |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |      AS INTEGER) AS island
+      |  FROM days),
+      |st AS (SELECT user_id, island, count(*) AS len
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id,
+      | CAST(sum(len) AS BIGINT) AS n_active_days,
+      | count(*) AS n_streaks,
+      | CAST(max(len) AS BIGINT) AS max_streak
+      |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Exact WEIGHTED median per group (quantity-weighted line price) — the
+    * weighted percentile_disc Spark and DuckDB both lack as a builtin:
+    * the smallest value whose cumulative weight reaches half the group
+    * total (lower weighted median, the Edgeworth '88 definition). Weights
+    * ride DECIMAL from the first aggregation — cross-row float sums are
+    * engine-order-dependent (the q119/q126 rule), and the half-total test
+    * is cum·2 ≥ total in exact decimal, never a double division. Scale
+    * shape: the corpus collapses to (group, value) weight cells first, so
+    * the cumulative window runs over the VALUE DOMAIN per group (the q181
+    * KS precedent), and the reported median is a raw data value — no
+    * arithmetic touches it.
+    */
+  val weightedMedian: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pw = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("decimal(18,2)").as("w"))
+      .groupBy(col("flag"), col("price")).agg(sum(col("w")).as("wsum"))
+    val cum = pw.withColumn("cum",
+      sum(col("wsum")).over(Window.partitionBy(col("flag")).orderBy(col("price"))))
+    val tot = pw.groupBy(col("flag")).agg(sum(col("wsum")).as("tot"))
+    cum.join(tot, Seq("flag"))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("flag"))
+      .agg(min(col("price")).as("wmedian"),
+        round(max(col("tot")).cast("double"), 2).as("total_w"))
+      .orderBy(col("flag"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH pw AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS wsum
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (SELECT flag, price, wsum,
+      |    sum(wsum) OVER (PARTITION BY flag ORDER BY price) AS cum FROM pw),
+      |tot AS (SELECT flag, sum(wsum) AS tot FROM pw GROUP BY 1)
+      |SELECT cum.flag, min(price) AS wmedian,
+      | round(CAST(max(tot) AS DOUBLE), 2) AS total_w
+      |FROM cum JOIN tot ON cum.flag = tot.flag
+      |WHERE cum * 2 >= tot
+      |GROUP BY cum.flag ORDER BY cum.flag""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -6739,6 +6825,8 @@ object Queries {
     "q181_ks_drift" -> ksDrift,
     "q182_quality_lift" -> qualityLift,
     "q183_token_keyness" -> tokenKeyness,
+    "q184_activity_streaks" -> activityStreaks,
+    "q185_weighted_median" -> weightedMedian,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -6924,5 +7012,7 @@ object Queries {
     "q180_detector_agreement" -> detectorAgreementSql,
     "q181_ks_drift" -> ksDriftSql,
     "q182_quality_lift" -> qualityLiftSql,
-    "q183_token_keyness" -> tokenKeynessSql)
+    "q183_token_keyness" -> tokenKeynessSql,
+    "q184_activity_streaks" -> activityStreaksSql,
+    "q185_weighted_median" -> weightedMedianSql)
 }

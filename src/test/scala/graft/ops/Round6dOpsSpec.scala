@@ -46,6 +46,44 @@ class Round6dOpsSpec extends SparkSpec {
     }
   }
 
+  test("q184: streak accounting is internally consistent per user") {
+    val rows = graft.Queries.all("q184_activity_streaks")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val days = r.getAs[Long]("n_active_days")
+      val streaks = r.getAs[Long]("n_streaks")
+      val longest = r.getAs[Long]("max_streak")
+      // islands partition the user's distinct active days
+      assert(streaks >= 1 && streaks <= days)
+      assert(longest >= 1 && longest <= days)
+      // n_streaks islands of length <= max_streak must cover all days
+      assert(streaks * longest >= days)
+    }
+  }
+
+  test("q185: weighted median is an actual data value at >= half the mass") {
+    val rows = graft.Queries.all("q185_weighted_median")(spark, sfDir).collect()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val m = r.getAs[Double]("wmedian")
+      val grp = li.filter(col("l_returnflag") === flag)
+      // the median is a real price from the group
+      assert(grp.filter(col("l_extendedprice") === m).count() > 0)
+      // Scala-side reference: smallest price with cum weight >= half total
+      val cells = grp.groupBy(col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
+        .collect()
+        .map(x => (x.getDouble(0), x.getDecimal(1)))
+        .sortBy(_._1)
+      val total = cells.map(_._2.doubleValue).sum
+      var cum = 0.0
+      val ref = cells.find { case (_, w) =>
+        cum += w.doubleValue; cum * 2 >= total }.get._1
+      assert(m == ref, s"$flag: got $m want $ref")
+    }
+  }
+
   test("q183: G2 keyness is non-negative and the min-count prune held") {
     val rows = graft.Queries.all("q183_token_keyness")(spark, sfDir).collect()
     assert(rows.length == 20)
