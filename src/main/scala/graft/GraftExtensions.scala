@@ -94,11 +94,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  // Sessions already installed — keyed weakly so a stopped session can be
+  // collected. Re-running install per query invocation is harmless
+  // semantically but each createOrReplaceTempFunction logs a WARN
+  // ("function replaced..."), and ~20 of those per session flood the
+  // stderr tail the driver's bench capture depends on (VERDICT r6 #2).
+  private val installed = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
+
   /** Register the same functions on an ALREADY-RUNNING session (extensions
     * passed to the builder only bind when the session is first created —
     * `getOrCreate()` against a live session silently skips them).
+    * Idempotent per session: repeat calls are no-ops, so the registry
+    * never logs "replaced" WARNs after the first installation.
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!installed.add(spark)) return
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKStrategy

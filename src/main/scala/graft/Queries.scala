@@ -26,6 +26,26 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  // ---- scratch-dir lifecycle (ADVICE r6: sink/stream gates were leaving
+  // per-invocation temp copies behind — disk grew linearly with reruns).
+  // One JVM-exit hook sweeps every dir handed out by `scratch`.
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    scratchDirs.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+  }))
+  private def scratch(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p
+  }
+
   /** Exact order-independent sum of a money-ish double column: per-row
     * decimal cast → decimal sum → double.
     */
@@ -2501,8 +2521,8 @@ object Queries {
     * and n_files must be exactly the coalesced 1.
     */
   val fsRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fs_src").toString
-    val dst = java.nio.file.Files.createTempDirectory("graft_fs_dst").toString + "/copy"
+    val tmp = scratch("graft_fs_src").toString
+    val dst = scratch("graft_fs_dst").toString + "/copy"
     Writers.parquet(t(s, dir, "region").coalesce(1), tmp)
     val nFiles = Writers.listParquetFiles(tmp,
       s.sparkContext.hadoopConfiguration).size
@@ -2530,7 +2550,7 @@ object Queries {
     * on the batch-tagged key — no shuffle of document payloads.
     */
   val appendBronze: Q = (s, dir) => {
-    val bronze = java.nio.file.Files.createTempDirectory("graft_bronze").toString
+    val bronze = scratch("graft_bronze").toString
     val docs = t(s, dir, "documents")
     Writers.parquet(docs.filter(col("doc_id") % 3 === 0)
       .withColumn("ingest_batch", lit(1)), bronze)
@@ -2568,7 +2588,7 @@ object Queries {
     */
   private def csvRoundtrip(s: SparkSession, dir: String, table: String,
                            delim: String, casts: Seq[(String, String)]): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_csv_$table").toString
+    val tmp = scratch(s"graft_csv_$table").toString
     Writers.csv(t(s, dir, table), tmp, delimiter = delim)
     casts.foldLeft(Readers.csv(s, tmp, delimiter = delim)) {
       case (df, (c, ty)) => df.withColumn(c, col(c).cast(ty))
@@ -2605,7 +2625,7 @@ object Queries {
     * checks the round-trip is lossless, not any particular escape style).
     */
   val csvQuotedRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_quoted").toString
+    val tmp = scratch("graft_csv_quoted").toString
     val spiked = t(s, dir, "supplier").select(
       col("s_suppkey"),
       concat(col("s_name"), lit(", area "), col("s_nationkey"),
@@ -2633,7 +2653,7 @@ object Queries {
     */
   val csvQuarantine: Q = (s, dir) => {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_quar").toString
+    val tmp = scratch("graft_csv_quar").toString
     val doctored = t(s, dir, "nation").select(
       col("n_nationkey").cast("string"),
       col("n_name"),
@@ -2667,7 +2687,7 @@ object Queries {
     * PartitionDemo's evidence promoted to a driver-checked row.
     */
   val partitionedPruning: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part_gate").toString
+    val tmp = scratch("graft_part_gate").toString
     val docs = t(s, dir, "documents")
     Writers.parquet(docs, s"$tmp/docs", partitionBy = Seq("lang"))
     // schema-specified read-back: an empty source writes no part files,
@@ -2698,7 +2718,7 @@ object Queries {
     * inference path deliberately.)
     */
   val jsonlRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val tmp = scratch("graft_jsonl").toString
     val cust = t(s, dir, "customer")
     Writers.jsonl(cust, tmp)
     Readers.jsonlOrEmpty(s, tmp, cust.schema)
@@ -2718,7 +2738,7 @@ object Queries {
     * double fidelity) breaks the hash.
     */
   val orcRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = scratch("graft_orc").toString
     Writers.orc(t(s, dir, "part"), tmp)
     s.read.orc(tmp).orderBy(col("p_partkey"))
   }
@@ -2784,7 +2804,7 @@ object Queries {
     * collapse are both hash-checked.
     */
   val compactRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    val tmp = scratch("graft_compact")
       .toString + "/t"
     Writers.parquet(t(s, dir, "supplier").repartition(8), tmp)
     val conf = s.sparkContext.hadoopConfiguration
@@ -2834,7 +2854,7 @@ object Queries {
     * recomputes both generations from the original.
     */
   val mergeSchemaRead: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val tmp = scratch("graft_evolve").toString
     val nat = t(s, dir, "nation")
     Writers.parquet(
       nat.select(col("n_nationkey"), col("n_name"), lit(0).as("gen")), tmp)
@@ -3771,7 +3791,7 @@ object Queries {
     */
   val jsonlQuarantine: Q = (s, dir) => {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_quar").toString
+    val tmp = scratch("graft_jsonl_quar").toString
     t(s, dir, "nation").select(
         when(col("n_nationkey") === 0, lit("{broken"))
           .otherwise(to_json(struct(col("n_nationkey"), col("n_name"),
@@ -4428,12 +4448,12 @@ object Queries {
     * not allowed in a recursive CTE term) of the same exact BIGINT ops.
     */
   val copurchaseRank: Q = (s, dir) => {
+    // max-basket guard (VERDICT r6 #6): TPC-H baskets are ≤7 parts, so
+    // the 64 cap never binds here — it exists so one pathological order
+    // cannot detonate the O(basket²) pair emission on a raw feed
     val items = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = items.as("a").join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    val edges = graft.ops.Graph.coOccurrenceEdges(items, "okey", "pk")
     graft.ops.Graph.pageRank(edges, iterations = 5)
       .select(col("pk").as("p_partkey"), col("r").as("rank_units"))
       .orderBy(col("p_partkey"))
@@ -4473,7 +4493,7 @@ object Queries {
     * available), never one giant archive.
     */
   val csvGzipRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_gz").toString
+    val tmp = scratch("graft_csv_gz").toString
     t(s, dir, "region").write
       .option("header", "true").option("compression", "gzip")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).csv(tmp)
@@ -4551,6 +4571,13 @@ object Queries {
     * shard in parallel; a global pack would serialize the corpus through
     * one partition, so at 100 TB the shard key IS the scale contract
     * (same discipline as q88's byte-packing).
+    *
+    * Oracle-typing note (the round-6 red row, root-caused round 7): a
+    * DuckDB window `sum(BIGINT)` is HUGEINT, and HUGEINT fetches into
+    * pandas as float64 — so an output column derived from it without
+    * `CAST(... AS BIGINT)` hashes as `0.0` against Spark's int64 `0`
+    * even though every value compares equal. `seq_id` was the one
+    * aggregate-derived output column in the catalog missing the cast.
     */
   val sequencePack: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
@@ -4578,7 +4605,8 @@ object Queries {
       |  coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
       |  FROM toks)
-      |SELECT source, tok_before // 512 AS seq_id, count(*) AS n_docs,
+      |SELECT source, CAST(tok_before // 512 AS BIGINT) AS seq_id,
+      | count(*) AS n_docs,
       | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
       | CAST(sum(CASE WHEN (tok_before + n_tok - 1) // 512 > tok_before // 512
       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
@@ -4641,7 +4669,7 @@ object Queries {
     * re-crawl touches its partitions only, with no rewrite of the lake.
     */
   val dynamicPartitionOverwrite: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val tmp = scratch("graft_dpo").toString
     // n_chars goes to long BEFORE day-1 so both generations of the `en`
     // partition carry the same parquet physical type (day-2's +100000L
     // would otherwise widen int→long only in the rewritten files).
@@ -5771,7 +5799,7 @@ object Queries {
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
     val stateDir =
-      java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+      scratch("graft_aggstate").toString
     Writers.parquet(partials(d.filter(col("doc_id") % 3 =!= 0)), stateDir)
     Readers.parquet(s, stateDir)
       .unionByName(partials(d.filter(col("doc_id") % 3 === 0)))
@@ -6109,21 +6137,24 @@ object Queries {
   val streamHourly: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val srcDir = scratch("graft_stream_src")
     // stage the source into the stream dir; the table may be a single
     // parquet file (driver testdata) or a directory of parts (ScaleData)
     val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
     if (java.nio.file.Files.isDirectory(srcPath)) {
-      val it = java.nio.file.Files.list(srcPath).iterator()
-      var i = 0
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.toString.endsWith(".parquet")) {
-          java.nio.file.Files.copy(f, srcDir.resolve(s"part-$i.parquet"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          i += 1
+      val listing = java.nio.file.Files.list(srcPath)
+      try {
+        val it = listing.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.toString.endsWith(".parquet")) {
+            java.nio.file.Files.copy(f, srcDir.resolve(s"part-$i.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            i += 1
+          }
         }
-      }
+      } finally listing.close()
     } else {
       java.nio.file.Files.copy(srcPath, srcDir.resolve("part-0.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -6388,10 +6419,13 @@ object Queries {
     val n = lens.agg(count(lit(1)).as("n_tot"))
     withTot.join(broadcast(ns), Seq("source")).crossJoin(broadcast(n))
       .groupBy(col("source"), col("n_docs"))
-      .agg(round(max(abs(
-        col("cum").cast("double") / col("n_docs")
-          - (col("cum_tot") - col("cum")).cast("double")
-            / (col("n_tot") - col("n_docs")))), 6).as("ks"))
+      // single-source corpus: the "rest" is empty, its CDF undefined —
+      // report 0 drift rather than a 0/0 NaN (ADVICE r6)
+      .agg(round(max(when(col("n_tot") === col("n_docs"), lit(0.0))
+        .otherwise(abs(
+          col("cum").cast("double") / col("n_docs")
+            - (col("cum_tot") - col("cum")).cast("double")
+              / (col("n_tot") - col("n_docs"))))), 6).as("ks"))
       .select(col("source"), col("n_docs"), col("ks"))
       .orderBy(col("source"))
   }
@@ -6411,8 +6445,9 @@ object Queries {
       |ns AS (SELECT source, count(*) AS n_docs FROM lens GROUP BY 1),
       |n AS (SELECT count(*) AS n_tot FROM lens)
       |SELECT ct.source, ns.n_docs,
-      | round(max(abs(CAST(cum AS DOUBLE) / n_docs
-      |   - CAST(cum_tot - cum AS DOUBLE) / (n_tot - n_docs))), 6) AS ks
+      | round(max(CASE WHEN n_tot = n_docs THEN 0.0
+      |   ELSE abs(CAST(cum AS DOUBLE) / n_docs
+      |     - CAST(cum_tot - cum AS DOUBLE) / (n_tot - n_docs)) END), 6) AS ks
       |FROM ct JOIN ns ON ct.source = ns.source CROSS JOIN n
       |GROUP BY ct.source, ns.n_docs ORDER BY ct.source""".stripMargin
 
@@ -6568,7 +6603,9 @@ object Queries {
     */
   val activityStreaks: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val days = t(s, dir, "events")
+    // Tables.events, not the raw loader: ts must survive both testdata
+    // layouts (INT64 TIMESTAMP(NANOS) vs NTZ micros — ADVICE r6)
+    val days = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
     val streaks = days

@@ -45,24 +45,67 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen, "damping in (0, 1)")
     val e = Dedup.pin(edges.select(col("src"), col("dst")).distinct())
     val degs = Dedup.pin(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val n = degs.agg(count(lit(1)).as("nn"))
-    var ranks = degs.crossJoin(broadcast(n))
-      .selectExpr("src AS pk", s"CAST(${UnitMass}L div nn AS BIGINT) AS r")
-      .transform(Lineage.cut)
+    // node count as a driver literal (one bounded-result action) — the
+    // former per-round crossJoin(broadcast(n)) re-broadcast a 1-row frame
+    // every superstep for a value that never changes
+    // empty graph: degs has no rows, so ranks is empty whatever the
+    // divisor — clamp to 1 only to keep the literal arithmetic defined
+    val nn = math.max(degs.count(), 1L)
+    var ranks = degs
+      .selectExpr("src AS pk", s"CAST(${UnitMass / nn}L AS BIGINT) AS r")
+      .transform(Lineage.cutLazy)
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.select(col("pk").as("src"), col("r")), Seq("src"))
         .join(degs, Seq("src"))
         .selectExpr("dst", "CAST(r div deg AS BIGINT) AS c")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = contrib.crossJoin(broadcast(n))
+      // lazy cut: fixed-round loop, no mid-loop action — all supersteps
+      // execute in the single downstream job (Lineage.cutLazy scaladoc)
+      ranks = contrib
         .selectExpr("dst AS pk",
-          s"CAST((${dampDen - dampNum}L * ${UnitMass}L) div (${dampDen}L * nn)" +
+          s"CAST(${(dampDen - dampNum) * UnitMass / (dampDen * nn)}L" +
             s" + (${dampNum}L * s) div ${dampDen}L AS BIGINT) AS r")
-        .transform(Lineage.cut)
+        .transform(Lineage.cutLazy)
     }
     ranks
   }
+
+  /** Co-occurrence edges from (group, item) pairs — the "ordered
+    * together" graph — with a MAX-BASKET GUARD: pair emission within a
+    * group is O(basket²), so one pathological basket (a bot order, a
+    * catalog-wide crawl page) must not be able to detonate a run. Each
+    * group keeps only its `maxBasket` smallest items (row_number in item
+    * order — deterministic, so the capped graph is reproducible and
+    * oracle-checkable), and clipped groups are countable via
+    * [[clippedGroups]]. Sized so the cap NEVER binds on sane data
+    * (TPC-H baskets are ≤7 items; default 64), it is purely a
+    * detonation guard, not a sampling step. Both directed orientations
+    * are emitted (symmetric graph — no dangling mass in PageRank).
+    */
+  def coOccurrenceEdges(pairs: DataFrame, groupCol: String, itemCol: String,
+                        maxBasket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxBasket >= 2, "maxBasket >= 2")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(itemCol))
+    val capped = pairs.select(col(groupCol).as("okey"), col(itemCol).as("pk"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBasket).drop("rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+  }
+
+  /** Companion audit for [[coOccurrenceEdges]]: one row per clipped
+    * group with its raw size — emit alongside the ranked output so a
+    * capped run is visible, never silent.
+    */
+  def clippedGroups(pairs: DataFrame, groupCol: String, itemCol: String,
+                    maxBasket: Int = 64): DataFrame =
+    pairs.select(col(groupCol).as("grp"), col(itemCol).as("item")).distinct()
+      .groupBy(col("grp")).agg(count(lit(1)).as("basket_size"))
+      .filter(col("basket_size") > maxBasket)
 
   /** Multi-source BFS hop distances: `rounds` synchronous supersteps of
     * min-distance propagation (unit-weight Bellman–Ford — the Pregel
@@ -80,7 +123,7 @@ object Graph {
                 idCol: String = "id"): DataFrame = {
     require(rounds >= 1 && rounds <= 30, "rounds in [1, 30]")
     val e = Dedup.pin(edges.select(col("src"), col("dst")).distinct())
-    var dist = Lineage.cut(seeds.select(col(idCol).as("pk")).distinct()
+    var dist = Lineage.cutLazy(seeds.select(col(idCol).as("pk")).distinct()
       .select(col("pk"), lit(0L).as("d")))
     for (_ <- 1 to rounds) {
       // aggregate the propagated distances BEFORE merging (map-side
@@ -90,7 +133,8 @@ object Graph {
       val prop = e.join(dist.select(col("pk").as("src"), col("d")), Seq("src"))
         .groupBy(col("dst")).agg(min(col("d") + 1L).as("nd"))
         .select(col("dst").as("pk"), col("nd"))
-      dist = Lineage.cut(dist.join(prop, Seq("pk"), "full_outer")
+      // lazy cut: fixed-round loop, no mid-loop action (Lineage.cutLazy)
+      dist = Lineage.cutLazy(dist.join(prop, Seq("pk"), "full_outer")
         .select(col("pk"),
           least(coalesce(col("d"), col("nd")), coalesce(col("nd"), col("d")))
             .as("d")))
@@ -113,11 +157,12 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, "k >= 1")
     require(rounds >= 1 && rounds <= 30, "rounds in [1, 30]")
-    var e = Lineage.cut(edges.select(col("src"), col("dst")).distinct())
+    var e = Lineage.cutLazy(edges.select(col("src"), col("dst")).distinct())
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("k_id"))
-      e = Lineage.cut(
+      // lazy cut: fixed-round loop, no mid-loop action (Lineage.cutLazy)
+      e = Lineage.cutLazy(
         e.join(keep.select(col("k_id").as("src")), Seq("src"), "left_semi")
           .join(keep.select(col("k_id").as("dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst")))

@@ -28,7 +28,23 @@ object Lineage {
   val ReliableConfKey = "spark.graft.checkpoint.reliable"
 
   /** Cut `df`'s lineage, eagerly; reliable or local per session conf. */
-  def cut(df: DataFrame): DataFrame = {
+  def cut(df: DataFrame): DataFrame = cutImpl(df, eager = true)
+
+  /** Cut `df`'s lineage WITHOUT forcing materialization now. The logical
+    * plan is truncated immediately either way (both forms return a
+    * LogicalRDD, so the Catalyst re-analysis blow-up cannot happen); lazy
+    * skips the per-superstep job, so a fixed-round loop with no mid-loop
+    * action collapses R driver jobs into one final job — measured round 7
+    * on the q143/q160/q161 loops (SCALE.md). Convergence-style loops
+    * (an action per round anyway, e.g. [[Dedup.clusters]]) gain nothing
+    * — keep [[cut]] there. Under `spark.graft.checkpoint.reliable=true`
+    * this stays EAGER: per-round durability is the entire point of the
+    * reliable path, a lazy reliable cut would persist nothing until the
+    * final action.
+    */
+  def cutLazy(df: DataFrame): DataFrame = cutImpl(df, eager = false)
+
+  private def cutImpl(df: DataFrame, eager: Boolean): DataFrame = {
     val s = df.sparkSession
     val reliable =
       s.conf.getOption(ReliableConfKey).exists(_.trim.equalsIgnoreCase("true"))
@@ -37,6 +53,6 @@ object Lineage {
         s"$ReliableConfKey=true requires SparkContext.setCheckpointDir " +
           "(a durable location — HDFS/object storage on a cluster)")
       df.checkpoint(true)
-    } else df.localCheckpoint(true)
+    } else df.localCheckpoint(eager)
   }
 }
