@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify output contract (VERDICT r4/r5/r6: BENCH parsed:null): the
+// driver machine-parses the LAST stdout lines of `sbt runMain graft.Bench`.
+// Two sbt behaviors get between it and the JSON: the logger prefixes every
+// forked-run line with "[info] " / "[error] ", and a trailing
+// "[success] Total time: …" lands AFTER the payload. StdoutOutput passes
+// the forked JVM's stdout/stderr through verbatim (no prefixes), and
+// showSuccess drops the trailer, so the compact JSON summary printed by
+// Bench (after spark.stop()) is the final line of the process output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

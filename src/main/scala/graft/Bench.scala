@@ -45,8 +45,12 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // spark.stop() BEFORE the println: executor/context shutdown logs land
+    // ahead of the payload, so (with build.sbt's StdoutOutput+showSuccess
+    // settings) the JSON is the very last line of process output — the
+    // driver's tail parse sees it first.
+    spark.stop()
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_file":"$outFile","sf":"$sfDir"}""")
-    spark.stop()
   }
 }

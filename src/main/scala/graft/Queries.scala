@@ -6341,8 +6341,10 @@ object Queries {
     * all-pairs); the agreement join is keyed on (id1, id2) integer
     * pairs — output-bounded, never corpus-bounded.
     */
-  val detectorAgreement: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+  val detectorAgreement: Q = (s, dir) =>
+    detectorAgreementOver(t(s, dir, "documents"))
+
+  private def detectorAgreementOver(docs: DataFrame): DataFrame = {
     val jac = Dedup.blockedJaccardPairs(docs, "text", "doc_id",
       Seq("lang", "n_chars"), threshold = 0.5)
       .select(col("id1"), col("id2"), lit(1).as("in_jac"))
@@ -6361,6 +6363,68 @@ object Queries {
       .agg(count(lit(1)).as("n_pairs"), min(col("id1")).as("sample_id1"))
       .orderBy(col("verdict"))
   }
+
+  /** Sampled-stratum detector agreement (VERDICT r6 #5): the same
+    * disagreement audit as q180, run on a deterministic hash stratum whose
+    * EXPECTED SIZE IS CONSTANT regardless of corpus size — the membership
+    * threshold is `least(1, target / n_docs)`, so a 10× (or 10⁶×) corpus
+    * yields the same ≈`target`-doc stratum and the audit's pair-native
+    * cost stays bounded at any scale. Membership is a pure function of
+    * doc_id (q57/q179's md5-u discipline: first 15 md5 hex digits as a
+    * 60-bit uniform), so the stratum is reproducible across engines, runs,
+    * and partitionings; the corpus count rides a broadcast one-row frame
+    * (q181's totals discipline), never a driver collect. This makes the
+    * q180 diagnostic safe to point at a raw 100 TB corpus: the full-corpus
+    * variant stays available for curated slices, the sampled one is the
+    * default production entry.
+    */
+  val detectorAgreementSampled: Q = (s, dir) => {
+    val target = 400.0
+    val docsAll = t(s, dir, "documents")
+    val tot = docsAll.agg(count(lit(1)).cast("double").as("n_tot"))
+    val samp = docsAll.crossJoin(broadcast(tot))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("double") / lit(math.pow(2, 60)))
+      .filter(col("u") < least(lit(1.0), lit(target) / col("n_tot")))
+      .drop("u", "n_tot")
+    detectorAgreementOver(samp)
+  }
+
+  val detectorAgreementSampledSql: String =
+    s"""WITH nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tot FROM documents),
+      |samp AS (SELECT d.* FROM documents d CROSS JOIN nt
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |        / CAST(pow(2, 60) AS DOUBLE) < least(1.0, 400.0 / n_tot)),
+      |tj AS (
+      | SELECT doc_id, lang, n_chars,
+      |  list_distinct(regexp_extract_all(lower(text), '\\S+')) AS tok
+      | FROM samp WHERE length(regexp_extract_all(lower(text), '\\S+')) > 0),
+      |jac AS (SELECT l.doc_id AS id1, r.doc_id AS id2
+      | FROM tj l JOIN tj r
+      |   ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+      | WHERE CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |       length(list_distinct(list_concat(l.tok, r.tok))) >= 0.5),
+      |toks AS (
+      |  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '\\S+'),
+      |    t -> (('0x'||substr(md5(t),1,15))::BIGINT)) AS hs
+      |  FROM samp),
+      |fps AS (
+      |  SELECT doc_id, list_sum(list_transform(generate_series(0,59),
+      |    b -> CASE WHEN list_sum(list_transform(hs, h -> (h >> b) & 1))*2 >= len(hs)
+      |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS fp
+      |  FROM toks WHERE len(hs) > 0),
+      |sim AS (SELECT l.doc_id AS id1, r.doc_id AS id2
+      | FROM fps l JOIN fps r
+      |   ON l.doc_id < r.doc_id AND bit_count(xor(l.fp, r.fp)) <= 8),
+      |m AS (SELECT coalesce(j.id1, s.id1) AS id1,
+      |   CASE WHEN j.id1 IS NOT NULL AND s.id1 IS NOT NULL THEN 'both'
+      |        WHEN j.id1 IS NOT NULL THEN 'jaccard_only'
+      |        ELSE 'simhash_only' END AS verdict
+      | FROM jac j FULL OUTER JOIN sim s
+      |   ON j.id1 = s.id1 AND j.id2 = s.id2)
+      |SELECT verdict, count(*) AS n_pairs, min(id1) AS sample_id1
+      |FROM m GROUP BY verdict ORDER BY verdict""".stripMargin
 
   val detectorAgreementSql: String =
     s"""WITH tj AS (
@@ -6384,6 +6448,270 @@ object Queries {
       |   ON j.id1 = s.id1 AND j.id2 = s.id2)
       |SELECT verdict, count(*) AS n_pairs, min(id1) AS sample_id1
       |FROM m GROUP BY verdict ORDER BY verdict""".stripMargin
+
+  /** HyperLogLog distinct-token estimate per source (Flajolet et al. '07)
+    * — the mergeable cardinality sketch every corpus dashboard runs
+    * instead of count(DISTINCT): m=64 registers, register = low 6 bits of
+    * a 60-bit md5 hash, rank = leading-zero count of the remaining 54
+    * bits (+1). The whole sketch is DETERMINISTIC — register index and
+    * rank are pure functions of the md5 hex string, and the MSB position
+    * is computed with integer/string ops (`length(bin(w))`), never
+    * floating log2, so the DuckDB oracle rebuilds register-identical
+    * state and the gate hash-checks an approximate-cardinality pipeline
+    * exactly (the q22 FNV-vs-md5 discipline applied to sketching).
+    * Σ2^(−M_j) is carried as the EXACT integer Σ2^(55−M_j) (s_total), so
+    * the raw estimate α·m²/Σ is one IEEE-exactly-rounded multiply chain
+    * plus one divide. The small-range regime (raw ≤ 2.5m with empty
+    * registers) applies Flajolet's linear-counting correction
+    * m·ln(m/V) — cross-engine ln is already proven by the q126/q183
+    * gates, and round(·,2) absorbs any last-ulp libm delta. Exact
+    * distinct rides alongside for the error column. Scale: state is 64
+    * registers per source — a groupBy whose frame is |sources|×64 rows
+    * regardless of corpus size; the exact-distinct column is the gate's
+    * ground truth and would be dropped at 100 TB (it IS the expensive
+    * distinct the sketch replaces).
+    */
+  val hllDistinct: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(TextStats.tokens(lower(col("text")))).as("tokn"))
+    val h = conv(substring(md5(col("tokn")), 1, 15), 16, 10).cast("long")
+    val w = shiftrightunsigned(h, 6)
+    val regs = toks
+      .select(col("source"), h.bitwiseAND(lit(63L)).as("reg"),
+        when(w === 0, lit(55)).otherwise(lit(55) - length(bin(w))).as("rho"))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+    val per = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))")).as("s_present"))
+      .withColumn("s_total",
+        col("s_present") + (lit(64L) - col("n_regs")) * lit(1L << 55))
+      .withColumn("raw_est",
+        lit(0.709) * lit(4096.0) * lit(math.pow(2, 55))
+          / col("s_total").cast("double"))
+      .withColumn("v_zero", lit(64L) - col("n_regs"))
+      .withColumn("est_distinct",
+        round(when(col("raw_est") <= 160.0 && col("v_zero") > 0,
+          lit(64.0) * log(lit(64.0) / col("v_zero").cast("double")))
+          .otherwise(col("raw_est")), 2))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tokn")).as("exact_distinct"))
+    per.join(exact, Seq("source"))
+      .select(col("source"), col("n_regs"), col("s_total"),
+        col("est_distinct"), col("exact_distinct"),
+        round((col("est_distinct") - col("exact_distinct"))
+          / col("exact_distinct").cast("double") * 100, 2).as("err_pct"))
+      .orderBy(col("source"))
+  }
+
+  val hllDistinctSql: String =
+    """WITH tok AS (SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS tokn
+      |  FROM documents),
+      |h AS (SELECT source, tokn,
+      |    ('0x'||substr(md5(tokn),1,15))::BIGINT AS h FROM tok),
+      |r AS (SELECT source, h & 63 AS reg,
+      |    CASE WHEN (h >> 6) = 0 THEN 55
+      |         ELSE 55 - length(bin(h >> 6)) END AS rho FROM h),
+      |m AS (SELECT source, reg, max(rho) AS mj FROM r GROUP BY source, reg),
+      |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs,
+      |    CAST(sum(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT) AS s_present
+      |  FROM m GROUP BY source),
+      |p2 AS (SELECT source, n_regs,
+      |    s_present + (64 - n_regs) * (CAST(1 AS BIGINT) << 55) AS s_total
+      |  FROM p),
+      |p3 AS (SELECT source, n_regs, s_total,
+      |    round(CASE WHEN raw_est <= 160.0 AND (64 - n_regs) > 0
+      |      THEN 64.0 * ln(CAST(64 AS DOUBLE) / (64 - n_regs))
+      |      ELSE raw_est END, 2) AS est_distinct
+      |  FROM (SELECT source, n_regs, s_total,
+      |      CAST(0.709 AS DOUBLE) * 4096.0 * pow(2, 55)
+      |        / CAST(s_total AS DOUBLE) AS raw_est FROM p2)),
+      |e AS (SELECT source, CAST(count(DISTINCT tokn) AS BIGINT) AS exact_distinct
+      |  FROM tok GROUP BY source)
+      |SELECT p3.source, n_regs, s_total, est_distinct, exact_distinct,
+      |  round((est_distinct - exact_distinct)
+      |    / CAST(exact_distinct AS DOUBLE) * 100, 2) AS err_pct
+      |FROM p3 JOIN e ON p3.source = e.source
+      |ORDER BY p3.source""".stripMargin
+
+  /** Asymmetric containment pairs — the quote/superset detector Jaccard
+    * misses by construction: a short document wholly embedded in a long
+    * one has tiny Jaccard (union is dominated by the long doc) but
+    * containment |A∩B|/|A| ≈ 1. Profile = per-doc distinct char
+    * 13-grams, DF-filtered to grams shared by ≤ 20 docs (a boilerplate
+    * gram puts every pair of its holders into the candidate join while
+    * carrying no evidence two specific docs overlap — the DF cap bounds
+    * candidate fan-out per gram at 20², the q128 blocking discipline).
+    * Candidates are collision-driven (explode → join on the gram), never
+    * all-pairs; emission is ORDERED (id_a = the contained side), both
+    * directions of an asymmetric pair surface independently. Scale: one
+    * shuffle keyed on the gram, per-gram fan-out capped by the DF
+    * filter, output bounded by genuinely-overlapping pairs.
+    */
+  val containmentPairs: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").filter(length(col("text")) >= 13)
+    val grams = docs.select(col("doc_id").as("id"),
+      explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
+    val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select(col("gram"))
+    val g = Dedup.pin(grams.join(rare, Seq("gram")))
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .withColumn("containment", col("n_shared").cast("double") / col("n_a"))
+      .filter(col("containment") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val containmentPairsSql: String =
+    """WITH pos AS (SELECT doc_id, text,
+      |    unnest(generate_series(1, length(text)-12)) AS i
+      |  FROM documents WHERE length(text) >= 13),
+      |gr AS (SELECT DISTINCT doc_id AS id,
+      |    substr(text, CAST(i AS INTEGER), 13) AS gram FROM pos),
+      |rare AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) <= 20),
+      |g AS (SELECT id, gr.gram FROM gr JOIN rare ON gr.gram = rare.gram),
+      |sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+      |sh AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.id <> b.id
+      |  GROUP BY a.id, b.id)
+      |SELECT id_a, id_b, n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / n, 6) AS containment
+      |FROM sh JOIN sz ON sh.id_a = sz.id
+      |WHERE CAST(n_shared AS DOUBLE) / n >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash estimator calibration audit — the accuracy side of the q21
+    * recall gate: for every co-shingle pair with true Jaccard ≥ 0.2, the
+    * k=32 one-permutation-per-function MinHash estimate (fraction of
+    * matching signature components) is compared against the exact
+    * token-3-shingle Jaccard, and pairs are bucketed by signed estimator
+    * error (width 1/8). The signature is md5-keyed per hash function
+    * (`md5(i || '|' || shingle)`), so the DuckDB oracle recomputes every
+    * signature component bit-for-bit — the estimator itself is under
+    * hash-check, not just the candidate recall. E[est] = J and
+    * Var = J(1−J)/k (Broder '97); the bucket histogram is the empirical
+    * check a pipeline runs before trusting an LSH threshold transfer.
+    * Scale: signatures are one projection per doc (k×|shingles| hashes,
+    * map-side); the exact side is the same collision-driven sparse join
+    * as q21 (gate-SF ground truth, not the production path); est sums
+    * are exact multiples of 1/32 so the per-bucket averages go through
+    * lossless DECIMAL(18,6) accumulation.
+    */
+  val minhashCalibration: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val base = Dedup.pin(docs.select(col("doc_id").as("id"),
+        array_distinct(Dedup.wordShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val withSig = Dedup.pin(base.withColumn("sig", expr(
+      "transform(sequence(0, 31), i -> array_min(transform(sh, s -> " +
+        "cast(conv(substring(md5(concat(cast(i as string), '|', s)), 1, 15)," +
+        " 16, 10) as bigint))))")))
+    val g = base.select(col("id"), explode(col("sh")).as("gram"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("cnt"))
+    val sizes = base.select(col("id"), size(col("sh")).as("n"))
+    val pairs = inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .withColumn("exact_j",
+        col("cnt").cast("double") / (col("n1") + col("n2") - col("cnt")))
+      .filter(col("exact_j") >= 0.2)
+      .join(withSig.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(withSig.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("est_j",
+        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))")
+          / lit(32.0))
+    pairs
+      .withColumn("bucket", floor((col("est_j") - col("exact_j")) * 8).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(round(col("exact_j"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_exact"),
+        round(sum(col("est_j").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_est"))
+      .orderBy(col("bucket"))
+  }
+
+  val minhashCalibrationSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tok
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tok)-2),
+      |    i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) AS sh
+      |  FROM toks WHERE len(tok) >= 3),
+      |sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+      |    i -> list_min(list_transform(sh, s ->
+      |      ('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||s),1,15))::BIGINT))) AS sig
+      |  FROM sh),
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cnt
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |p AS (SELECT i.id1, i.id2,
+      |    CAST(i.cnt AS DOUBLE) / (len(l.sh) + len(r.sh) - i.cnt) AS exact_j
+      |  FROM inter i JOIN sh l ON i.id1 = l.doc_id
+      |               JOIN sh r ON i.id2 = r.doc_id),
+      |q AS (SELECT p.id1, p.id2, exact_j,
+      |    CAST(len(list_filter(generate_series(1, 32),
+      |      i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 32.0 AS est_j
+      |  FROM p JOIN sig s1 ON p.id1 = s1.doc_id
+      |         JOIN sig s2 ON p.id2 = s2.doc_id
+      |  WHERE exact_j >= 0.2)
+      |SELECT CAST(floor((est_j - exact_j) * 8) AS BIGINT) AS bucket,
+      |  count(*) AS n_pairs,
+      |  round(CAST(sum(CAST(round(exact_j, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |    / count(*), 6) AS avg_exact,
+      |  round(CAST(sum(CAST(est_j AS DECIMAL(18,6))) AS DOUBLE)
+      |    / count(*), 6) AS avg_est
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Near-dup cluster-size distribution — the shape diagnostic read off
+    * q94's components before choosing a keeper policy: how much of the
+    * corpus sits in singletons vs jumbo boilerplate clusters (dedup's
+    * payoff curve is exactly this histogram's tail). Built ON the
+    * cluster-native path (no pair materialization anywhere), then two
+    * tiny aggregations: components → sizes → histogram. Oracle: the q94
+    * recursive-CTE transitive closure, aggregated the same way — the
+    * histogram gate composes with the component gate rather than
+    * re-proving it. Scale: both aggregations are cluster-id/size keyed,
+    * frames shrink monotonically (docs → clusters → distinct sizes).
+    */
+  val clusterSizeHistogram: Q = (s, dir) => {
+    val withFp = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.functions.VectorExpressions.md5_simhash60(
+          TextStats.tokens(lower(col("text")))).as("fp"))
+      .filter(col("fp").isNotNull)
+    Dedup.simhashClusters(withFp, maxHammingDistance = 8)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val clusterSizeHistogramSql: String =
+    s"""WITH RECURSIVE $md5SimhashCte,
+      |edges AS (
+      |  SELECT l.doc_id AS a, r.doc_id AS b FROM fps l JOIN fps r
+      |  ON l.doc_id < r.doc_id AND bit_count(xor(l.fp, r.fp)) <= 8),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach AS (SELECT a, b FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+      |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      |lab AS (SELECT f.doc_id, coalesce(cl.cluster_id, f.doc_id) AS cluster_id
+      |  FROM fps f LEFT JOIN cl ON f.doc_id = cl.doc_id),
+      |c AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY cluster_id)
+      |SELECT sz AS cluster_size, count(*) AS n_clusters,
+      |  CAST(sum(sz) AS BIGINT) AS n_docs
+      |FROM c GROUP BY sz ORDER BY sz""".stripMargin
 
   /** Two-sample Kolmogorov–Smirnov drift audit: for every source, the exact
     * KS distance between that source's document-length distribution and the
@@ -6864,6 +7192,11 @@ object Queries {
     "q183_token_keyness" -> tokenKeyness,
     "q184_activity_streaks" -> activityStreaks,
     "q185_weighted_median" -> weightedMedian,
+    "q186_detector_agreement_sampled" -> detectorAgreementSampled,
+    "q187_hll_distinct" -> hllDistinct,
+    "q188_containment_pairs" -> containmentPairs,
+    "q189_minhash_calibration" -> minhashCalibration,
+    "q190_cluster_size_histogram" -> clusterSizeHistogram,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -7051,5 +7384,10 @@ object Queries {
     "q182_quality_lift" -> qualityLiftSql,
     "q183_token_keyness" -> tokenKeynessSql,
     "q184_activity_streaks" -> activityStreaksSql,
-    "q185_weighted_median" -> weightedMedianSql)
+    "q185_weighted_median" -> weightedMedianSql,
+    "q186_detector_agreement_sampled" -> detectorAgreementSampledSql,
+    "q187_hll_distinct" -> hllDistinctSql,
+    "q188_containment_pairs" -> containmentPairsSql,
+    "q189_minhash_calibration" -> minhashCalibrationSql,
+    "q190_cluster_size_histogram" -> clusterSizeHistogramSql)
 }

@@ -153,7 +153,21 @@ object ScaleBench {
     "source_divergence" -> ((s, d) =>
       graft.Queries.sourceDivergence(s, d).count()),
     "time_to_convert" -> ((s, d) =>
-      graft.Queries.timeToConvert(s, d).count()))
+      graft.Queries.timeToConvert(s, d).count()),
+    // round-7: the full-corpus pair-native diagnostic vs its
+    // constant-size-stratum production twin (q180 vs q186 — the stratum
+    // target is fixed, so pair work is bounded at ANY corpus size),
+    // deterministic HLL registers (state = 64×|sources| rows), the
+    // DF-capped containment join, and the cluster-native size histogram
+    "detector_agreement" -> ((s, d) =>
+      graft.Queries.detectorAgreement(s, d).count()),
+    "detector_agreement_sampled" -> ((s, d) =>
+      graft.Queries.detectorAgreementSampled(s, d).count()),
+    "hll_distinct" -> ((s, d) => graft.Queries.hllDistinct(s, d).count()),
+    "containment_pairs" -> ((s, d) =>
+      graft.Queries.containmentPairs(s, d).count()),
+    "cluster_size_histogram" -> ((s, d) =>
+      graft.Queries.clusterSizeHistogram(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-7 additions (q186–q190) — semantic invariants the oracle hash
+  * can't name: sketch error bounds, containment planted-superset
+  * behavior, calibration variance, histogram mass conservation, and the
+  * exact-fp collapse inside simhashClusters.
+  */
+class Round7QueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q186: sampled stratum is a subset audit with the q180 schema") {
+    val rows = graft.Queries.all("q186_detector_agreement_sampled")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val verdicts = rows.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.subsetOf(Set("both", "jaccard_only", "simhash_only")))
+    // the stratum is ≤ corpus: pair counts cannot exceed the full audit's
+    val full = graft.Queries.all("q180_detector_agreement")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n_pairs"))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") <= full(r.getAs[String]("verdict")))
+    }
+  }
+
+  test("q187: HLL estimate lands within the m=64 error regime") {
+    val rows = graft.Queries.all("q187_hll_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Double]("est_distinct")
+      // 1.04/sqrt(64) = 13% std error; 4 sigma plus raw-estimate bias
+      // headroom (no small-range correction is applied, by design)
+      assert(math.abs(est - exact) / exact < 0.60,
+        s"${r.getAs[String]("source")}: est $est vs exact $exact")
+      assert(r.getAs[Long]("n_regs") <= 64L)
+    }
+  }
+
+  test("q188: containment flags a planted strict substring") {
+    import spark.implicits._
+    val long = "The quick brown fox jumps over the lazy dog while " +
+      "seventeen astronomers catalogue variable stars beyond the veil " +
+      "of the northern winter sky every clear evening this year."
+    val sub = long.substring(20, 150)
+    val docs = Seq(
+      (1L, long, "en", "a", long.length.toLong),
+      (2L, sub, "en", "a", sub.length.toLong),
+      (3L, "completely unrelated text that shares no thirteen-gram " +
+        "with either of the planted documents in this tiny fixture corpus",
+        "en", "a", 120L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r7_cont")
+    try {
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = graft.Queries.all("q188_containment_pairs")(spark, tmp.toString)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("containment")))
+      // the substring doc is contained in the long doc, not vice versa
+      assert(out.exists(p => p._1 == 2L && p._2 == 1L && p._3 == 1.0))
+      assert(!out.exists(p => p._1 == 1L && p._2 == 2L))
+      assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
+  test("q189: estimator errors concentrate per Broder variance") {
+    val rows = graft.Queries.all("q189_minhash_calibration")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // Var = J(1-J)/32 <= 1/128 => sigma <= 0.089; |err| < 4 sigma + bucket
+    // width means every populated bucket sits within [-4, 3] (width-1/8
+    // buckets; bucket b covers [b/8, (b+1)/8))
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= -4 && b <= 3, s"bucket $b out of the variance regime")
+      assert(r.getAs[Double]("avg_est") >= 0.0)
+      assert(r.getAs[Double]("avg_exact") >= 0.2)
+    }
+  }
+
+  test("q190: histogram mass equals the fingerprinted corpus") {
+    val nFp = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.functions.VectorExpressions.md5_simhash60(
+        TextStats.tokens(lower(col("text")))).as("fp"))
+      .filter(col("fp").isNotNull).count()
+    val rows = graft.Queries.all("q190_cluster_size_histogram")(spark, sfDir)
+      .collect()
+    val mass = rows.map(r => r.getAs[Long]("n_docs")).sum
+    assert(mass == nFp, s"histogram mass $mass != fingerprinted docs $nFp")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+  }
+
+  test("simhashClusters: exact-fp collapse preserves components") {
+    import spark.implicits._
+    // two exact-dup groups bridged by a 1-bit neighbor, plus a singleton:
+    // {1,2} share fp A; 3 has fp A^1 (hamming 1 from A); {4,5} share fp B
+    // far from A; 6 alone. Components: {1,2,3}, {4,5}, {6}.
+    val a = 0x0F0F0F0FL
+    val b = 0x7000000000000000L
+    val withFp = Seq(
+      (1L, a), (2L, a), (3L, a ^ 1L), (4L, b), (5L, b), (6L, 0x123456789AL))
+      .toDF("id", "fp")
+    val got = Dedup.simhashClusters(withFp, maxHammingDistance = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L))
+  }
+}
