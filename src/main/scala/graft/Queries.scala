@@ -6609,11 +6609,22 @@ object Queries {
     val base = Dedup.pin(docs.select(col("doc_id").as("id"),
         array_distinct(Dedup.wordShingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0))
-    val withSig = Dedup.pin(base.withColumn("sig", expr(
-      "transform(sequence(0, 31), i -> array_min(transform(sh, s -> " +
-        "cast(conv(substring(md5(concat(cast(i as string), '|', s)), 1, 15)," +
-        " 16, 10) as bigint))))")))
-    val g = base.select(col("id"), explode(col("sh")).as("gram"))
+    val g = Dedup.pin(base.select(col("id"), explode(col("sh")).as("gram")))
+    // hash each DISTINCT shingle once (32 md5s per distinct gram, not per
+    // (doc, gram) instance — the r4 lambda-interior lesson applied across
+    // rows), then the per-doc signature is 32 element-wise min aggregates
+    // over the joined hash arrays: one narrow join + one keyed agg.
+    val gramHash = g.select(col("gram")).distinct()
+      .withColumn("ha", expr(
+        "transform(sequence(0, 31), i -> " +
+          "cast(conv(substring(md5(concat(cast(i as string), '|', gram))," +
+          " 1, 15), 16, 10) as bigint))"))
+    val withSig = Dedup.pin(g.join(gramHash, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(min(col("ha")(0)).as("m0"),
+        (1 until 32).map(i => min(col("ha")(i)).as(s"m$i")): _*)
+      .select(col("id"),
+        array((0 until 32).map(i => col(s"m$i")): _*).as("sig")))
     val inter = g.as("a").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -6712,6 +6723,263 @@ object Queries {
       |SELECT sz AS cluster_size, count(*) AS n_clusters,
       |  CAST(sum(sz) AS BIGINT) AS n_docs
       |FROM c GROUP BY sz ORDER BY sz""".stripMargin
+
+  /** Count-Min sketch overcount audit (Cormode & Muthukrishnan '05) —
+    * the mergeable frequency sketch that answers "how often does token X
+    * appear" in O(d·w) state: d=4 rows × w=64 cells, row hash = 60-bit
+    * md5 keyed by the row index, cell totals = plain sums (mergeable
+    * across partitions/days by addition). The estimate min_d cms[d][h_d(x)]
+    * NEVER undercounts; this audit reports the overcount against exact
+    * counts for the exact top-10 tokens. INTEGER end-to-end — the only
+    * arithmetic is modular indexing and sums — so the DuckDB oracle
+    * rebuilds the sketch cell-for-cell (the q187 HLL discipline; together
+    * with q173's exact Misra–Gries and q192's KMV this completes a
+    * mergeable-sketch family: frequencies, heavy hitters, cardinality).
+    * Scale: sketch state is 256 cells regardless of corpus size; the
+    * exact side is gate-SF ground truth (it IS what the sketch replaces).
+    */
+  val cmsOvercount: Q = (s, dir) => {
+    val depth = 4
+    val toks = t(s, dir, "documents")
+      .select(explode(TextStats.tokens(lower(col("text")))).as("tokn"))
+    val counts = Dedup.pin(
+      toks.groupBy(col("tokn")).agg(count(lit(1)).as("n")))
+    def cell(d: Int) =
+      expr(s"CAST(conv(substring(md5(concat('$d|', tokn)), 1, 15), 16, 10)" +
+        " AS BIGINT) % 64")
+    val cms = counts
+      .select(col("n"), posexplode(array((0 until depth).map(cell): _*))
+        .as(Seq("d", "cell")))
+      .groupBy(col("d"), col("cell")).agg(sum(col("n")).as("cms_n"))
+    val top = counts.orderBy(col("n").desc, col("tokn")).limit(10)
+      .select(col("tokn"), col("n").as("exact_n"))
+    top
+      .select(col("tokn"), col("exact_n"),
+        posexplode(array((0 until depth).map(cell): _*)).as(Seq("d", "cell")))
+      .join(cms, Seq("d", "cell"))
+      .groupBy(col("tokn"), col("exact_n"))
+      .agg(min(col("cms_n")).as("est_n"))
+      .select(col("tokn"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("tokn"))
+  }
+
+  val cmsOvercountSql: String =
+    """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tokn
+      |  FROM documents),
+      |c AS (SELECT tokn, count(*) AS n FROM tok GROUP BY tokn),
+      |cells AS (SELECT tokn, n, d,
+      |    ('0x'||substr(md5(CAST(d AS VARCHAR)||'|'||tokn),1,15))::BIGINT % 64
+      |      AS cell
+      |  FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) ds),
+      |cms AS (SELECT d, cell, CAST(sum(n) AS BIGINT) AS cms_n
+      |  FROM cells GROUP BY d, cell),
+      |top AS (SELECT tokn, n AS exact_n FROM c
+      |  ORDER BY n DESC, tokn LIMIT 10),
+      |probe AS (SELECT t.tokn, t.exact_n, x.d,
+      |    ('0x'||substr(md5(CAST(x.d AS VARCHAR)||'|'||t.tokn),1,15))::BIGINT % 64
+      |      AS cell
+      |  FROM top t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) x)
+      |SELECT p.tokn, p.exact_n, min(m.cms_n) AS est_n,
+      |  min(m.cms_n) - p.exact_n AS overcount
+      |FROM probe p JOIN cms m ON p.d = m.d AND p.cell = m.cell
+      |GROUP BY p.tokn, p.exact_n
+      |ORDER BY p.exact_n DESC, p.tokn""".stripMargin
+
+  /** KMV (k-minimum-values) cardinality sketch per source + merged union
+    * (Bar-Yossef '02; Beyer '07 unbiased estimator (k−1)·2^60/h_(k)) —
+    * the third leg of the mergeable-sketch family (q173 heavy hitters,
+    * q187 HLL, q191 CMS): a KMV sketch is just the k smallest distinct
+    * hash values, merged by taking the k smallest of a union — which
+    * this query demonstrates by estimating every source AND the merged
+    * all-source union from the same per-source state. Integer until the
+    * single final division; sources with < k distinct values carry the
+    * whole value set, so their estimate IS the exact count (emitted via
+    * the same CASE both engines evaluate identically). Scale: sketch
+    * state is k values per source; the rank-k selection is a per-source
+    * window over DISTINCT hashes (and at 100 TB a per-partition top-k
+    * merge — the q170 heap discipline — replaces the window).
+    */
+  val kmvDistinct: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 16
+    val hashed = Dedup.pin(t(s, dir, "documents")
+      .select(col("source"), explode(TextStats.tokens(lower(col("text")))).as("tokn"))
+      .select(col("source"),
+        conv(substring(md5(col("tokn")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct())
+    val union = hashed.select(lit("__union__").as("source"), col("h")).distinct()
+    val all = hashed.unionByName(union)
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sk = all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("source"))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n_in_sketch"))
+    val exact = all.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    sk.join(exact, Seq("source"))
+      .select(col("source"), col("kth").as("kth_min_hash"),
+        round(when(col("n_in_sketch") < k, col("exact_distinct").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60))
+            / col("kth").cast("double")), 2).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy(col("source"))
+  }
+
+  val kmvDistinctSql: String =
+    """WITH tok AS (SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS tokn
+      |  FROM documents),
+      |hs AS (SELECT DISTINCT source,
+      |    ('0x'||substr(md5(tokn),1,15))::BIGINT AS h FROM tok),
+      |uni AS (SELECT DISTINCT '__union__' AS source, h FROM hs),
+      |a AS (SELECT * FROM hs UNION ALL SELECT * FROM uni),
+      |r AS (SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM a),
+      |sk AS (SELECT source, CAST(max(h) AS BIGINT) AS kth,
+      |    count(*) AS n_in_sketch FROM r WHERE rn <= 16 GROUP BY source),
+      |e AS (SELECT source, count(*) AS exact_distinct FROM a GROUP BY source)
+      |SELECT sk.source, kth AS kth_min_hash,
+      |  round(CASE WHEN n_in_sketch < 16 THEN CAST(exact_distinct AS DOUBLE)
+      |    ELSE CAST(15 AS DOUBLE) * pow(2, 60) / CAST(kth AS DOUBLE) END, 2)
+      |    AS est_distinct,
+      |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+      |FROM sk JOIN e ON sk.source = e.source
+      |ORDER BY sk.source""".stripMargin
+
+  /** Epoch water-filling planner (the budget-allocation step downstream
+    * of q119's temperature weights; repetition thinking per Muennighoff
+    * '23 "Scaling Data-Constrained Language Models": repeated epochs
+    * beyond ~4 add sharply diminishing value): a token budget B = 4× the
+    * corpus is allocated across sources by temperature share q_i ∝
+    * tok_i^0.5; any source whose allocation exceeds the epoch cap C=4
+    * is CLIPPED to 4·tok_i, and the freed budget is redistributed among
+    * unclipped sources proportional to their shares (one redistribution
+    * round — defined, deterministic semantics; a full water-fill
+    * iterates to fixpoint, but one round is the cross-engine-checkable
+    * contract, the q143 fixed-iteration lesson). Cross-row share sums go
+    * through DECIMAL(20,12) (the q119 normalizer discipline). Output is
+    * a \|sources\|-row plan: share, raw epochs, clipped flag, final
+    * epochs, final token allocation. Scale: everything after the one
+    * corpus scan operates on the \|sources\|-row aggregate.
+    */
+  val epochPlanner: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+    val base = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(TextStats.tokenCount(col("text")).cast("long")).as("tok"))
+      .withColumn("budget", lit(4L) * sum(col("tok")).over(w))
+      .withColumn("pa", round(pow(col("tok").cast("double"), 0.5), 12)
+        .cast("decimal(20,12)"))
+      .withColumn("q", col("pa").cast("double")
+        / sum(col("pa")).over(w).cast("double"))
+      .withColumn("alloc_raw", col("budget").cast("double") * col("q"))
+      .withColumn("epochs_raw", col("alloc_raw") / col("tok").cast("double"))
+      .withColumn("clipped", col("epochs_raw") > 4.0)
+    val redo = base
+      .withColumn("spent_clipped",
+        sum(when(col("clipped"), lit(4L) * col("tok")).otherwise(lit(0L)))
+          .over(w))
+      .withColumn("q_free",
+        sum(when(col("clipped"), lit(0).cast("decimal(20,12)"))
+          .otherwise(col("pa"))).over(w))
+      .withColumn("alloc_final",
+        when(col("clipped"), (lit(4L) * col("tok")).cast("double"))
+          .otherwise((col("budget") - col("spent_clipped")).cast("double")
+            * (col("pa").cast("double") / col("q_free").cast("double"))))
+    redo.select(col("source"), col("tok").as("tok_avail"),
+        round(col("q"), 6).as("share"),
+        round(col("epochs_raw"), 4).as("epochs_raw"),
+        col("clipped"),
+        round(col("alloc_final") / col("tok").cast("double"), 4)
+          .as("epochs_final"),
+        round(col("alloc_final"), 2).as("tok_alloc"))
+      .orderBy(col("source"))
+  }
+
+  val epochPlannerSql: String =
+    """WITH l AS (SELECT source,
+      |    CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT)
+      |      AS tok
+      |  FROM documents GROUP BY source),
+      |b AS (SELECT *, 4 * CAST(sum(tok) OVER () AS BIGINT) AS budget,
+      |    CAST(round(pow(CAST(tok AS DOUBLE), 0.5), 12) AS DECIMAL(20,12))
+      |      AS pa
+      |  FROM l),
+      |n AS (SELECT *,
+      |    CAST(pa AS DOUBLE) / CAST(sum(pa) OVER () AS DOUBLE) AS q
+      |  FROM b),
+      |r0 AS (SELECT *, CAST(budget AS DOUBLE) * q AS alloc_raw FROM n),
+      |r1 AS (SELECT *, alloc_raw / CAST(tok AS DOUBLE) AS epochs_raw,
+      |    alloc_raw / CAST(tok AS DOUBLE) > 4.0 AS clipped FROM r0),
+      |r2 AS (SELECT *,
+      |    CAST(sum(CASE WHEN clipped THEN 4 * tok ELSE 0 END) OVER ()
+      |      AS BIGINT) AS spent_clipped,
+      |    sum(CASE WHEN clipped THEN CAST(0 AS DECIMAL(20,12)) ELSE pa END)
+      |      OVER () AS q_free
+      |  FROM r1),
+      |r3 AS (SELECT *,
+      |    CASE WHEN clipped THEN CAST(4 * tok AS DOUBLE)
+      |         ELSE CAST(budget - spent_clipped AS DOUBLE)
+      |           * (CAST(pa AS DOUBLE) / CAST(q_free AS DOUBLE)) END
+      |      AS alloc_final
+      |  FROM r2)
+      |SELECT source, tok AS tok_avail,
+      | round(q, 6) AS share,
+      | round(epochs_raw, 4) AS epochs_raw,
+      | clipped,
+      | round(alloc_final / CAST(tok AS DOUBLE), 4) AS epochs_final,
+      | round(alloc_final, 2) AS tok_alloc
+      |FROM r3 ORDER BY source""".stripMargin
+
+  /** Streaming dedup-at-ingest parity gate — the second oracle-gated
+    * Structured Streaming query (q177 proved windowed aggregation; this
+    * proves STATEFUL STREAMING DEDUP, the shape an LLM-ingest front door
+    * actually runs): documents stream through a file source throttled to
+    * one file per micro-batch (maxFilesPerTrigger=1 over a 4-file
+    * staging copy — state must survive ACROSS micro-batches for the
+    * answer to be right), `dropDuplicates` on (source, content-md5)
+    * holds the seen-fingerprint state, and the complete-mode per-source
+    * distinct counts must hash-match the batch DuckDB oracle. Dedup on
+    * (source, fp) — not fp alone — keeps the result order-independent:
+    * WHICH duplicate row survives global fp-dedup depends on arrival
+    * order, but per-source distinct counts are arrival-invariant (the
+    * determinism contract). Scale: state is one fingerprint per distinct
+    * (source, content) — 16 bytes per unique doc, the same state a
+    * cluster ingest keeps in RocksDB; a 100 TB backfill drains through
+    * the identical pipeline via AvailableNow.
+    */
+  val streamDedup: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val srcDir = scratch("graft_stream_dedup_src")
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val qname = "graft_stream_dedup_sink"
+    val sq = raw
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+      .dropDuplicates("source", "fp")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    s.table(qname)
+      .select(col("source"), col("n_unique"))
+      .orderBy(col("source"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT source, count(DISTINCT md5(text)) AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Two-sample Kolmogorov–Smirnov drift audit: for every source, the exact
     * KS distance between that source's document-length distribution and the
@@ -7197,6 +7465,10 @@ object Queries {
     "q188_containment_pairs" -> containmentPairs,
     "q189_minhash_calibration" -> minhashCalibration,
     "q190_cluster_size_histogram" -> clusterSizeHistogram,
+    "q191_cms_overcount" -> cmsOvercount,
+    "q192_kmv_distinct" -> kmvDistinct,
+    "q193_epoch_planner" -> epochPlanner,
+    "q194_stream_dedup" -> streamDedup,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -7389,5 +7661,9 @@ object Queries {
     "q187_hll_distinct" -> hllDistinctSql,
     "q188_containment_pairs" -> containmentPairsSql,
     "q189_minhash_calibration" -> minhashCalibrationSql,
-    "q190_cluster_size_histogram" -> clusterSizeHistogramSql)
+    "q190_cluster_size_histogram" -> clusterSizeHistogramSql,
+    "q191_cms_overcount" -> cmsOvercountSql,
+    "q192_kmv_distinct" -> kmvDistinctSql,
+    "q193_epoch_planner" -> epochPlannerSql,
+    "q194_stream_dedup" -> streamDedupSql)
 }

@@ -321,8 +321,12 @@ object Dedup {
     val keyed = pin(reps.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map(chunkVal(col("fp"), _, chunks)): _*))
         .as(Seq("chunk", "ck"))))
+    // LAZY cuts throughout the loop (round 7): the fixpoint check
+    // (labelSum) is an action every round anyway, so a lazy localCheckpoint
+    // materializes inside THAT job — one job per superstep instead of two
+    // (the eager cut ran its own materialization job first).
     var labels = reps.select(col("id"), col("id").as("cluster_id"))
-      .transform(Lineage.cut)
+      .transform(Lineage.cutLazy)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // coalesce: sum over an EMPTY vertex set is NULL — an empty graph
       // must converge immediately, not NPE in the fixpoint compare
@@ -353,7 +357,7 @@ object Dedup {
         .select(viaNbr("id"),
           least(viaNbr("cluster_id"),
             coalesce(col("plabel"), viaNbr("cluster_id"))).as("cluster_id"))
-        .transform(Lineage.cut)
+        .transform(Lineage.cutLazy)
       val nextSum = labelSum(next)
       labels = next
       done = nextSum.compareTo(prevSum) == 0
@@ -444,9 +448,12 @@ object Dedup {
     val nEdges = symRaw.count()
     val parts = math.max(1L, nEdges / 1000000L).toInt
     val sym = symRaw.repartition(parts, col("b")).transform(Lineage.cut)
+    // lazy per-round cuts: the fixpoint labelSum is an action every round,
+    // so a lazy localCheckpoint materializes inside that job — one job per
+    // superstep instead of an eager-checkpoint job plus the sum job
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .transform(Lineage.cut)
+      .transform(Lineage.cutLazy)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // coalesce: sum over an EMPTY vertex set is NULL — an empty graph
       // must converge immediately, not NPE in the fixpoint compare
@@ -470,7 +477,7 @@ object Dedup {
         .select(viaNeighbors("id"),
           least(viaNeighbors("cluster_id"),
             coalesce(col("plabel"), viaNeighbors("cluster_id"))).as("cluster_id"))
-        .transform(Lineage.cut)
+        .transform(Lineage.cutLazy)
       val nextSum = labelSum(next)
       labels = next
       done = nextSum.compareTo(prevSum) == 0

@@ -103,6 +103,59 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q191: CMS never undercounts; top tokens are exact-ordered") {
+    val rows = graft.Queries.all("q191_cms_overcount")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"${r.getAs[String]("tokn")}: CMS undercounted")
+      assert(r.getAs[Long]("est_n") ==
+        r.getAs[Long]("exact_n") + r.getAs[Long]("overcount"))
+    }
+    val exacts = rows.map(_.getAs[Long]("exact_n")).toSeq
+    assert(exacts == exacts.sortBy(-_))
+  }
+
+  test("q192: KMV union row dominates every per-source sketch") {
+    val rows = graft.Queries.all("q192_kmv_distinct")(spark, sfDir).collect()
+    val bySource = rows.map(r => r.getAs[String]("source") -> r).toMap
+    val union = bySource("__union__")
+    bySource.foreach { case (src, r) =>
+      assert(r.getAs[Long]("exact_distinct")
+        <= union.getAs[Long]("exact_distinct"))
+      // union's kth min hash can only be <= any source's (more values)
+      assert(union.getAs[Long]("kth_min_hash")
+        <= r.getAs[Long]("kth_min_hash"), s"union kth > $src kth")
+    }
+    assert(rows.length >= 2)
+  }
+
+  test("q193: epoch planner conserves the budget within rounding") {
+    val rows = graft.Queries.all("q193_epoch_planner")(spark, sfDir).collect()
+    val tokTotal = rows.map(_.getAs[Long]("tok_avail")).sum
+    val allocTotal = rows.map(_.getAs[Double]("tok_alloc")).sum
+    val budget = 4.0 * tokTotal
+    // one redistribution round conserves the budget exactly unless the
+    // SECOND round would clip again; allow only tiny rounding drift when
+    // nothing re-clips (epochs_final <= 4 for unclipped sources here)
+    assert(math.abs(allocTotal - budget) / budget < 0.05,
+      s"alloc $allocTotal vs budget $budget")
+    rows.filter(_.getAs[Boolean]("clipped")).foreach { r =>
+      assert(math.abs(r.getAs[Double]("epochs_final") - 4.0) < 1e-9)
+    }
+  }
+
+  test("q194: streaming dedup counts equal batch distinct counts") {
+    val streamed = graft.Queries.all("q194_stream_dedup")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_unique"))
+      .toMap
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(col("source"))
+      .agg(countDistinct(md5(col("text").cast("binary"))).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    assert(streamed == batch)
+  }
+
   test("simhashClusters: exact-fp collapse preserves components") {
     import spark.implicits._
     // two exact-dup groups bridged by a 1-bit neighbor, plus a singleton:
