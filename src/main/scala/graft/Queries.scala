@@ -6551,8 +6551,16 @@ object Queries {
     */
   val containmentPairs: Q = (s, dir) => {
     val docs = t(s, dir, "documents").filter(length(col("text")) >= 13)
+    // grams md5-hashed to 8-byte longs BEFORE any shuffle (the q165
+    // discipline): the DF agg, the rare semi-join, and the pair self-join
+    // all key on a long instead of a 13-char string; the oracle applies
+    // the identical hash, so any collision collides identically on both
+    // engines and the gate stays exact.
     val grams = docs.select(col("doc_id").as("id"),
-      explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
+        explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
+      .select(col("id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram"))
+      .distinct() // post-hash dedup, mirroring the oracle's DISTINCT-on-hash
     val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20).select(col("gram"))
     val g = Dedup.pin(grams.join(rare, Seq("gram")))
@@ -6574,7 +6582,8 @@ object Queries {
       |    unnest(generate_series(1, length(text)-12)) AS i
       |  FROM documents WHERE length(text) >= 13),
       |gr AS (SELECT DISTINCT doc_id AS id,
-      |    substr(text, CAST(i AS INTEGER), 13) AS gram FROM pos),
+      |    ('0x'||substr(md5(substr(text, CAST(i AS INTEGER), 13)),1,15))::BIGINT
+      |      AS gram FROM pos),
       |rare AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) <= 20),
       |g AS (SELECT id, gr.gram FROM gr JOIN rare ON gr.gram = rare.gram),
       |sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
