@@ -6990,6 +6990,144 @@ object Queries {
     """SELECT source, count(DISTINCT md5(text)) AS n_unique
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** BM25 retrieval scoring (Robertson–Spärck Jones '76 / Robertson '94;
+    * k1=1.2, b=0.75) — the relevance ranker a curation pipeline runs to
+    * pull topical slices out of a corpus (and the scoring half of any
+    * RAG retrieval layer). The query is DATA-DERIVED so the gate binds
+    * on every SF: the 3 tokens with document frequency closest to N/2
+    * (maximally informative mid-df terms; exact integer |2·df − N| with
+    * token tiebreak — no float in term selection). Plan: token stream →
+    * per-(doc, term) tf against a ≤3-row broadcast query-term table →
+    * per-term scores, each a single-expression double derivation, summed
+    * per doc through DECIMAL(18,8) (the decSum contract — cross-row
+    * float addition is the one non-reproducible op). idf uses the
+    * +1-inside-ln BM25+ form (always positive). Scale: one tf join keyed
+    * on the term, doc-length table keyed on doc_id, avg length rides a
+    * broadcast 1-row frame; top-20 via TakeOrdered.
+    */
+  val bm25TopK: Q = (s, dir) => {
+    val toks = Dedup.pin(t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("tokn")))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nAvg = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val df = toks.select(col("doc_id"), col("tokn")).distinct()
+      .groupBy(col("tokn")).agg(count(lit(1)).as("df"))
+    val qterms = df.crossJoin(broadcast(nAvg.select(col("n_docs"))))
+      .withColumn("spread", abs(lit(2L) * col("df") - col("n_docs")))
+      .orderBy(col("spread"), col("tokn")).limit(3)
+      .select(col("tokn"), col("df"))
+    val tf = toks.join(broadcast(qterms), Seq("tokn"))
+      .groupBy(col("doc_id"), col("tokn"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(dl, Seq("doc_id")).crossJoin(broadcast(nAvg))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        round(col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * (col("dl").cast("double") / col("avgdl")))), 8)
+          .cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_score")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("n_terms"), round(col("bm25"), 8).as("bm25"))
+  }
+
+  val bm25TopKSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS tokn
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |na AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      |df AS (SELECT tokn, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, tokn FROM tok) GROUP BY tokn),
+      |qt AS (SELECT tokn, df FROM df CROSS JOIN na
+      |  ORDER BY abs(2 * df - n_docs), tokn LIMIT 3),
+      |tf AS (SELECT t.doc_id, t.tokn, q.df, count(*) AS tf
+      |  FROM tok t JOIN qt q ON t.tokn = q.tokn
+      |  GROUP BY t.doc_id, t.tokn, q.df),
+      |ts AS (SELECT tf.doc_id,
+      |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 8)
+      |      AS DECIMAL(18,8)) AS term_score
+      |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN na)
+      |SELECT doc_id, n_terms, round(raw, 8) AS bm25 FROM (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    CAST(sum(term_score) AS DOUBLE) AS raw
+      |  FROM ts GROUP BY doc_id
+      |  ORDER BY raw DESC, doc_id LIMIT 20)
+      |ORDER BY raw DESC, doc_id""".stripMargin
+
+  /** Label-supervised contrastive triplet mining (the training-pair
+    * harvest for embedding-model finetuning — Schroff '15 FaceNet hard
+    * mining, applied corpus-side): for each anchor vector, the hardest
+    * POSITIVE (highest-cosine same-label neighbor) and hardest NEGATIVE
+    * (highest-cosine different-label vector — the boundary case that
+    * drives contrastive gradients), with the margin between them.
+    * Argmax is an exact struct-max on (raw cosine, −id) — the q24
+    * precedent that ordered-summation cosines agree cross-engine makes
+    * raw-double ranking oracle-safe; rounding touches OUTPUT columns
+    * only. Gate anchors are bounded (vec_id < 100) so the exact
+    * all-pairs side stays a harness; production mines candidates from
+    * [[graft.ops.SimSearch]] buckets (IVF cell or SRP bucket) — the
+    * same argmax over a bucket-bounded candidate stream.
+    */
+  val contrastiveTriplets: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("aid"), col("embedding").as("av"),
+        col("label").as("albl"))
+    val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("label").as("clbl"))
+    val scored = Dedup.pin(anchors.join(cands, col("aid") =!= col("cid"))
+      .withColumn("cos", graft.functions.VectorExpressions
+        .cosine_similarity(col("av"), col("cv"))))
+    val pos = scored.filter(col("albl") === col("clbl"))
+      .groupBy(col("aid"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("nid"))).as("m"))
+      .select(col("aid"), (-col("m.nid")).as("pos_id"),
+        col("m.cos").as("cp"))
+    val neg = scored.filter(col("albl") =!= col("clbl"))
+      .groupBy(col("aid"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("nid"))).as("m"))
+      .select(col("aid"), (-col("m.nid")).as("neg_id"),
+        col("m.cos").as("cn"))
+    pos.join(neg, Seq("aid"))
+      .select(col("aid").as("vec_id"), col("pos_id"),
+        round(col("cp"), 6).as("cos_pos"),
+        col("neg_id"), round(col("cn"), 6).as("cos_neg"),
+        round(col("cp") - col("cn"), 6).as("margin"))
+      .orderBy(col("vec_id"))
+  }
+
+  val contrastiveTripletsSql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |sc AS (SELECT a.vec_id AS aid, c.vec_id AS cid,
+      |    a.label AS albl, c.label AS clbl,
+      |    list_dot_product(a.e, c.e) /
+      |      (sqrt(list_dot_product(a.e, a.e))
+      |        * sqrt(list_dot_product(c.e, c.e))) AS cos
+      |  FROM v a JOIN v c ON a.vec_id < 100 AND a.vec_id <> c.vec_id),
+      |p AS (SELECT aid, cid AS pos_id, cos AS cp FROM (
+      |  SELECT aid, cid, cos,
+      |    row_number() OVER (PARTITION BY aid ORDER BY cos DESC, cid) AS rn
+      |  FROM sc WHERE albl = clbl) WHERE rn = 1),
+      |n AS (SELECT aid, cid AS neg_id, cos AS cn FROM (
+      |  SELECT aid, cid, cos,
+      |    row_number() OVER (PARTITION BY aid ORDER BY cos DESC, cid) AS rn
+      |  FROM sc WHERE albl <> clbl) WHERE rn = 1)
+      |SELECT p.aid AS vec_id, pos_id, round(cp, 6) AS cos_pos,
+      |  neg_id, round(cn, 6) AS cos_neg, round(cp - cn, 6) AS margin
+      |FROM p JOIN n ON p.aid = n.aid
+      |ORDER BY vec_id""".stripMargin
+
   /** Two-sample Kolmogorov–Smirnov drift audit: for every source, the exact
     * KS distance between that source's document-length distribution and the
     * rest of the corpus — the distribution-shift alarm a mixture pipeline
@@ -7478,6 +7616,8 @@ object Queries {
     "q192_kmv_distinct" -> kmvDistinct,
     "q193_epoch_planner" -> epochPlanner,
     "q194_stream_dedup" -> streamDedup,
+    "q195_bm25_topk" -> bm25TopK,
+    "q196_contrastive_triplets" -> contrastiveTriplets,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -7674,5 +7814,7 @@ object Queries {
     "q191_cms_overcount" -> cmsOvercountSql,
     "q192_kmv_distinct" -> kmvDistinctSql,
     "q193_epoch_planner" -> epochPlannerSql,
-    "q194_stream_dedup" -> streamDedupSql)
+    "q194_stream_dedup" -> streamDedupSql,
+    "q195_bm25_topk" -> bm25TopKSql,
+    "q196_contrastive_triplets" -> contrastiveTripletsSql)
 }

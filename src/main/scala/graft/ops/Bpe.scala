@@ -66,7 +66,11 @@ object Bpe {
       // count grows 2^rounds (measured ~10 s for 6 rounds at sf0.1 vs
       // ~1.5 s truncated). The checkpointed frame is vocabulary-sized;
       // the cluster analog is writing the merged vocab per round.
-      cur = applyMerge(cur, best.select(col("pair"))).transform(Lineage.cut)
+      // lazy cut (round 7): plan still truncates per round, but the
+      // vocabulary-sized frames materialize inside the FINAL job's
+      // computation (each lazy localCheckpoint caches on first compute,
+      // so round r's state is computed exactly once) — R fewer jobs.
+      cur = applyMerge(cur, best.select(col("pair"))).transform(Lineage.cutLazy)
     }
     out.get.orderBy(col("merge_round"))
   }

@@ -167,7 +167,10 @@ object ScaleBench {
     "containment_pairs" -> ((s, d) =>
       graft.Queries.containmentPairs(s, d).count()),
     "cluster_size_histogram" -> ((s, d) =>
-      graft.Queries.clusterSizeHistogram(s, d).count()))
+      graft.Queries.clusterSizeHistogram(s, d).count()),
+    "bm25_topk" -> ((s, d) => graft.Queries.bm25TopK(s, d).count()),
+    "contrastive_triplets" -> ((s, d) =>
+      graft.Queries.contrastiveTriplets(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")

@@ -156,6 +156,31 @@ class Round7QueriesSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q195: BM25 scores are positive and rank-ordered") {
+    val rows = graft.Queries.all("q195_bm25_topk")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("bm25")).toSeq
+    assert(scores.forall(_ > 0.0))
+    assert(scores == scores.sortBy(-_))
+    rows.foreach(r => assert(r.getAs[Long]("n_terms") <= 3L))
+  }
+
+  test("q196: triplet labels — positive same-label, negative cross-label") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.Queries.all("q196_contrastive_triplets")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("vec_id")
+      assert(emb(r.getAs[Long]("pos_id")) == emb(a), s"pos label differs for $a")
+      assert(emb(r.getAs[Long]("neg_id")) != emb(a), s"neg label equals for $a")
+      assert(math.abs(r.getAs[Double]("margin")
+        - (r.getAs[Double]("cos_pos") - r.getAs[Double]("cos_neg"))) < 2e-6)
+    }
+  }
+
   test("simhashClusters: exact-fp collapse preserves components") {
     import spark.implicits._
     // two exact-dup groups bridged by a 1-bit neighbor, plus a singleton:
