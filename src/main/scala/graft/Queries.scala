@@ -6990,6 +6990,152 @@ object Queries {
     """SELECT source, count(DISTINCT md5(text)) AS n_unique
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Pairwise source-overlap matrix from KMV sketches (the q192 state
+    * COMPOSED: Beyer '07 §4 — a KMV sketch supports union by "merge and
+    * keep the k smallest", and intersection by inclusion–exclusion over
+    * the union estimate). The whole sources×sources matrix derives from
+    * per-source sketch STATE (k=16 values each), never from a second
+    * corpus pass — the scale contrast to q165's exact gram-set overlap:
+    * at 100 TB the exact column here is dropped and the matrix costs
+    * |sources|²·k rows of work. Sketch-complete sides (< k distinct)
+    * fall back to their exact member count through the same CASE both
+    * engines evaluate; estimates subtract on ALREADY-ROUNDED columns so
+    * the derived overlap is bit-identical by construction.
+    */
+  val kmvOverlapMatrix: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 16
+    val hashed = Dedup.pin(t(s, dir, "documents")
+      .select(col("source"), explode(TextStats.tokens(lower(col("text")))).as("tokn"))
+      .select(col("source"),
+        conv(substring(md5(col("tokn")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct())
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sk = Dedup.pin(hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("source"), col("h")))
+    def estCol(kth: Column, n: Column): Column =
+      round(when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60))
+          / kth.cast("double")), 2)
+    val per = sk.groupBy(col("source"))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n"))
+      .select(col("source"), estCol(col("kth"), col("n")).as("est"))
+    val srcs = per.select(col("source"))
+    val pairs = srcs.as("a").crossJoin(srcs.as("b"))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"))
+    val merged = pairs.join(sk,
+        sk("source") === col("sa") || sk("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("h")).distinct()
+    val wu = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+    val uni = merged.withColumn("rn", row_number().over(wu))
+      .filter(col("rn") <= k)
+      .groupBy(col("sa"), col("sb"))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n"))
+      .select(col("sa"), col("sb"), estCol(col("kth"), col("n")).as("est_union"))
+    val exact = hashed.as("x").join(hashed.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    uni
+      .join(per.select(col("source").as("sa"), col("est").as("est_a")), "sa")
+      .join(per.select(col("source").as("sb"), col("est").as("est_b")), "sb")
+      .join(exact, Seq("sa", "sb"), "left")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0),
+          round(col("est_a") + col("est_b") - col("est_union"), 2))
+          .as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val kmvOverlapMatrixSql: String =
+    """WITH tok AS (SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS tokn
+      |  FROM documents),
+      |hs AS (SELECT DISTINCT source,
+      |    ('0x'||substr(md5(tokn),1,15))::BIGINT AS h FROM tok),
+      |sk AS (SELECT source, h FROM (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs)
+      |  WHERE rn <= 16),
+      |per AS (SELECT source,
+      |    round(CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+      |      ELSE CAST(15 AS DOUBLE) * pow(2, 60) / CAST(max(h) AS DOUBLE)
+      |      END, 2) AS est
+      |  FROM sk GROUP BY source),
+      |pairs AS (SELECT a.source AS sa, b.source AS sb
+      |  FROM per a CROSS JOIN per b WHERE a.source < b.source),
+      |merged AS (SELECT DISTINCT sa, sb, h
+      |  FROM pairs JOIN sk ON sk.source = sa OR sk.source = sb),
+      |uni AS (SELECT sa, sb,
+      |    round(CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+      |      ELSE CAST(15 AS DOUBLE) * pow(2, 60) / CAST(max(h) AS DOUBLE)
+      |      END, 2) AS est_union
+      |  FROM (SELECT sa, sb, h FROM (
+      |    SELECT sa, sb, h,
+      |      row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+      |    FROM merged) WHERE rn <= 16)
+      |  GROUP BY sa, sb),
+      |ex AS (SELECT x.source AS sa, y.source AS sb, count(*) AS exact_overlap
+      |  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+      |  GROUP BY x.source, y.source)
+      |SELECT uni.sa AS source_a, uni.sb AS source_b,
+      |  pa.est AS est_a, pb.est AS est_b, est_union,
+      |  greatest(0.0, round(pa.est + pb.est - est_union, 2)) AS est_overlap,
+      |  CAST(coalesce(exact_overlap, 0) AS BIGINT) AS exact_overlap
+      |FROM uni
+      |JOIN per pa ON pa.source = uni.sa
+      |JOIN per pb ON pb.source = uni.sb
+      |LEFT JOIN ex ON ex.sa = uni.sa AND ex.sb = uni.sb
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** Exponentially time-decayed engagement score per user (the recency
+    * weighting every ranking/retention system applies — half-life ≈ 6.6
+    * days at decay 0.9/day): weight = 0.9^(days before the corpus's last
+    * active day), one weighted event count per user. Determinism: the
+    * decay anchor is the DATA's max date (broadcast one-row frame, no
+    * wall clock — the no-Date.now contract); day distances are exact
+    * integer datediffs; each per-day term is a single pow() derivation
+    * rounded to DECIMAL(18,8), and the per-user sum is decimal-exact
+    * (the q126 cross-row float contract), so the top-50 rank order is an
+    * exact-decimal sort. Scale: aggregates by (user, day) first — the
+    * frame shrinks to user-days before any weighting — then one keyed
+    * agg; TakeOrdered bounds the output.
+    */
+  val decayEngagement: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val anchor = ev.agg(max(col("d")).as("anchor"))
+    val perDay = ev.groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_ev"))
+    perDay.crossJoin(broadcast(anchor))
+      .withColumn("term",
+        round(col("n_ev") * pow(lit(0.9), datediff(col("anchor"), col("d"))), 8)
+          .cast("decimal(18,8)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_ev")).as("n_events"),
+        sum(col("term")).as("score_dec"))
+      .orderBy(col("score_dec").desc, col("user_id")).limit(50)
+      .select(col("user_id"), col("n_days"), col("n_events"),
+        col("score_dec").cast("double").as("score"))
+  }
+
+  val decayEngagementSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |an AS (SELECT max(d) AS anchor FROM ev),
+      |pd AS (SELECT user_id, d, count(*) AS n_ev FROM ev GROUP BY user_id, d),
+      |t AS (SELECT user_id, d, n_ev,
+      |    CAST(round(n_ev * pow(0.9, datediff('day', d, anchor)), 8)
+      |      AS DECIMAL(18,8)) AS term
+      |  FROM pd CROSS JOIN an)
+      |SELECT user_id, count(*) AS n_days,
+      |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |  CAST(sum(term) AS DOUBLE) AS score
+      |FROM t GROUP BY user_id
+      |ORDER BY sum(term) DESC, user_id LIMIT 50""".stripMargin
+
   /** BM25 retrieval scoring (Robertson–Spärck Jones '76 / Robertson '94;
     * k1=1.2, b=0.75) — the relevance ranker a curation pipeline runs to
     * pull topical slices out of a corpus (and the scoring half of any
@@ -7618,6 +7764,8 @@ object Queries {
     "q194_stream_dedup" -> streamDedup,
     "q195_bm25_topk" -> bm25TopK,
     "q196_contrastive_triplets" -> contrastiveTriplets,
+    "q197_kmv_overlap_matrix" -> kmvOverlapMatrix,
+    "q198_decay_engagement" -> decayEngagement,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -7816,5 +7964,7 @@ object Queries {
     "q193_epoch_planner" -> epochPlannerSql,
     "q194_stream_dedup" -> streamDedupSql,
     "q195_bm25_topk" -> bm25TopKSql,
-    "q196_contrastive_triplets" -> contrastiveTripletsSql)
+    "q196_contrastive_triplets" -> contrastiveTripletsSql,
+    "q197_kmv_overlap_matrix" -> kmvOverlapMatrixSql,
+    "q198_decay_engagement" -> decayEngagementSql)
 }

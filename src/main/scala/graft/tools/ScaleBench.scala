@@ -170,7 +170,11 @@ object ScaleBench {
       graft.Queries.clusterSizeHistogram(s, d).count()),
     "bm25_topk" -> ((s, d) => graft.Queries.bm25TopK(s, d).count()),
     "contrastive_triplets" -> ((s, d) =>
-      graft.Queries.contrastiveTriplets(s, d).count()))
+      graft.Queries.contrastiveTriplets(s, d).count()),
+    "kmv_overlap_matrix" -> ((s, d) =>
+      graft.Queries.kmvOverlapMatrix(s, d).count()),
+    "decay_engagement" -> ((s, d) =>
+      graft.Queries.decayEngagement(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")

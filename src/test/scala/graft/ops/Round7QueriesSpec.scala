@@ -181,6 +181,37 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q197: overlap matrix is upper-triangular and non-negative") {
+    val rows = graft.Queries.all("q197_kmv_overlap_matrix")(spark, sfDir)
+      .collect()
+    val nSrc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(r.getAs[Double]("est_overlap") >= 0.0)
+      assert(r.getAs[Long]("exact_overlap") >= 0L)
+      // union of the pair can never estimate below the larger side by
+      // more than rounding: the union sketch's kth min <= either side's
+      assert(r.getAs[Double]("est_union") + 0.01
+        >= math.max(r.getAs[Double]("est_a"), r.getAs[Double]("est_b")))
+    }
+  }
+
+  test("q198: decay scores are rank-ordered and recency-bounded") {
+    val rows = graft.Queries.all("q198_decay_engagement")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sortBy(-_))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") > 0.0)
+      // decayed weight <= 1 per event: score can never exceed raw count
+      assert(r.getAs[Double]("score") <= r.getAs[Long]("n_events").toDouble)
+      assert(r.getAs[Long]("n_events") >= r.getAs[Long]("n_days"))
+    }
+  }
+
   test("simhashClusters: exact-fp collapse preserves components") {
     import spark.implicits._
     // two exact-dup groups bridged by a 1-bit neighbor, plus a singleton:
