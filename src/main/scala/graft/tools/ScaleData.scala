@@ -53,7 +53,8 @@ object ScaleData {
         (col("vec_id") + col("k") * maxVec).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, x + col("k").cast("float") * lit(0.001f))
-            .otherwise(x)).as("embedding"))
+            .otherwise(x)).as("embedding"),
+        col("label")) // carried per copy — label-keyed ops (q196) need it
     bigEmb.repartition(16).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
