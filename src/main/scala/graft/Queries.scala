@@ -7136,6 +7136,122 @@ object Queries {
       |FROM t GROUP BY user_id
       |ORDER BY sum(term) DESC, user_id LIMIT 50""".stripMargin
 
+  /** Join-key skew profiler — the pre-flight diagnostic for
+    * [[graft.ops.Skew]]: before a big keyed join/agg ships, measure how
+    * concentrated the key distribution is (orders per customer here).
+    * Reports the 5 hottest keys with their share plus the exact GINI
+    * coefficient of the per-key counts. The Gini runs on the
+    * COUNT-OF-COUNTS frame (m_c keys have count c — |distinct counts|
+    * rows, value-domain not key-domain, the q123/q181 discipline): with
+    * keys sorted by count, a tied block at count c spanning cumulative
+    * key positions (K_prev, K] contributes c·(K(K+1)/2 − K_prev(K_prev
+    * +1)/2) to Σi·xᵢ — INTEGER arithmetic end-to-end, then
+    * G = 2S/(nT) − (n+1)/n as two single divisions. Scale: one keyed
+    * count, one count-of-counts agg, windows over the tiny count grid;
+    * the top-5 via TakeOrdered.
+    */
+  val joinSkewProfile: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = Dedup.pin(t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n")))
+    val coc = perKey.groupBy(col("n").as("c")).agg(count(lit(1)).as("m"))
+    val wc = Window.partitionBy(lit(1)).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = coc
+      .withColumn("k_cum", sum(col("m")).over(wc))
+      .withColumn("k_prev", col("k_cum") - col("m"))
+      .withColumn("s_blk",
+        col("c") * expr("(k_cum * (k_cum + 1)) div 2 " +
+          "- (k_prev * (k_prev + 1)) div 2"))
+      .agg(sum(col("s_blk")).as("s"), sum(col("m")).as("n_keys"),
+        sum(col("c") * col("m")).as("n_rows"))
+      .select(round(lit(2.0) * col("s")
+          / (col("n_keys") * col("n_rows")).cast("double")
+          - (col("n_keys") + lit(1)).cast("double") / col("n_keys").cast("double"), 6)
+        .as("gini"), col("n_keys"), col("n_rows"))
+    perKey.orderBy(col("n").desc, col("o_custkey")).limit(5)
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("n").desc, col("o_custkey"))))
+      .crossJoin(broadcast(g))
+      .select(col("rank"), col("o_custkey"), col("n"),
+        round(col("n") / col("n_rows").cast("double") * 100, 6).as("share_pct"),
+        col("n_keys"), col("gini"))
+      .orderBy(col("rank"))
+  }
+
+  val joinSkewProfileSql: String =
+    """WITH pk AS (SELECT o_custkey, count(*) AS n FROM orders
+      |  GROUP BY o_custkey),
+      |coc AS (SELECT n AS c, count(*) AS m FROM pk GROUP BY n),
+      |cum AS (SELECT c, m,
+      |    CAST(sum(m) OVER (ORDER BY c) AS BIGINT) AS k_cum
+      |  FROM coc),
+      |blk AS (SELECT c, m, k_cum, k_cum - m AS k_prev,
+      |    c * ((k_cum * (k_cum + 1)) // 2
+      |      - ((k_cum - m) * ((k_cum - m) + 1)) // 2) AS s_blk
+      |  FROM cum),
+      |g AS (SELECT
+      |    round(2.0 * CAST(sum(s_blk) AS BIGINT)
+      |      / CAST(CAST(sum(m) AS BIGINT) * CAST(sum(c * m) AS BIGINT)
+      |        AS DOUBLE)
+      |      - CAST(CAST(sum(m) AS BIGINT) + 1 AS DOUBLE)
+      |        / CAST(sum(m) AS BIGINT), 6) AS gini,
+      |    CAST(sum(m) AS BIGINT) AS n_keys,
+      |    CAST(sum(c * m) AS BIGINT) AS n_rows
+      |  FROM blk),
+      |top AS (SELECT o_custkey, n,
+      |    row_number() OVER (ORDER BY n DESC, o_custkey) AS rank
+      |  FROM pk ORDER BY n DESC, o_custkey LIMIT 5)
+      |SELECT CAST(rank AS INTEGER) AS rank, o_custkey, n,
+      |  round(n / CAST(n_rows AS DOUBLE) * 100, 6) AS share_pct,
+      |  n_keys, gini
+      |FROM top CROSS JOIN g ORDER BY rank""".stripMargin
+
+  /** Benford first-digit audit (Newcomb 1881 / Benford '38 — the
+    * fabricated-data forensic every financial DQ suite runs): the
+    * distribution of the first significant digit of o_totalprice against
+    * log10(1 + 1/d), with per-digit χ² terms. The digit is extracted
+    * WITHOUT float formatting or float log10 (both engine-divergent):
+    * prices are 2-decimal values, so round(x·100) is an exact integer
+    * whose INTEGER-to-string first character is the digit — exact in
+    * both engines. Expected probabilities are 9 single-op log10
+    * derivations rounded to 8; χ² terms are single-expression doubles
+    * rounded per digit. Scale: row-local digit extraction fused into the
+    * scan; one 9-cell aggregation.
+    */
+  val benfordAudit: Q = (s, dir) => {
+    val digits = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n_tot"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("p_benford", round(log10(lit(1.0) + lit(1.0) / col("digit")), 8))
+      .withColumn("expected", col("n_tot") * col("p_benford"))
+      .select(col("digit"), col("n_obs"),
+        col("p_benford"),
+        round(col("n_obs") / col("n_tot").cast("double"), 8).as("p_obs"),
+        round((col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
+          / col("expected"), 6).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+      |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM c)
+      |SELECT digit, n_obs,
+      |  round(log10(1.0 + 1.0 / digit), 8) AS p_benford,
+      |  round(n_obs / CAST(n_tot AS DOUBLE), 8) AS p_obs,
+      |  round((n_obs - n_tot * round(log10(1.0 + 1.0 / digit), 8))
+      |    * (n_obs - n_tot * round(log10(1.0 + 1.0 / digit), 8))
+      |    / (n_tot * round(log10(1.0 + 1.0 / digit), 8)), 6) AS chi2_term
+      |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+
   /** BM25 retrieval scoring (Robertson–Spärck Jones '76 / Robertson '94;
     * k1=1.2, b=0.75) — the relevance ranker a curation pipeline runs to
     * pull topical slices out of a corpus (and the scoring half of any
@@ -7766,6 +7882,8 @@ object Queries {
     "q196_contrastive_triplets" -> contrastiveTriplets,
     "q197_kmv_overlap_matrix" -> kmvOverlapMatrix,
     "q198_decay_engagement" -> decayEngagement,
+    "q199_join_skew_profile" -> joinSkewProfile,
+    "q200_benford_audit" -> benfordAudit,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -7966,5 +8084,7 @@ object Queries {
     "q195_bm25_topk" -> bm25TopKSql,
     "q196_contrastive_triplets" -> contrastiveTripletsSql,
     "q197_kmv_overlap_matrix" -> kmvOverlapMatrixSql,
-    "q198_decay_engagement" -> decayEngagementSql)
+    "q198_decay_engagement" -> decayEngagementSql,
+    "q199_join_skew_profile" -> joinSkewProfileSql,
+    "q200_benford_audit" -> benfordAuditSql)
 }

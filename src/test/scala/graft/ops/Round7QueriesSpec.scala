@@ -212,6 +212,38 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q199: skew profile — gini in range, hot keys rank-ordered") {
+    val rows = graft.Queries.all("q199_join_skew_profile")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+    val ns = rows.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sortBy(-_))
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    }
+    // cross-check gini against a direct computation from per-key counts
+    val perKey = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey")).count().collect()
+      .map(_.getAs[Long]("count")).sorted
+    val n = perKey.length.toLong
+    val t = perKey.sum
+    val sIdx = perKey.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val expect = 2.0 * sIdx / (n * t).toDouble - (n + 1).toDouble / n
+    assert(math.abs(rows.head.getAs[Double]("gini") - expect) < 1e-5)
+  }
+
+  test("q200: Benford audit covers digits 1-9 with a proper distribution") {
+    val rows = graft.Queries.all("q200_benford_audit")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val pObs = rows.map(_.getAs[Double]("p_obs")).sum
+    assert(math.abs(pObs - 1.0) < 1e-4)
+    val pb = rows.map(_.getAs[Double]("p_benford")).toSeq
+    assert(pb == pb.sortBy(-_)) // log10(1+1/d) strictly decreasing
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
+  }
+
   test("simhashClusters: exact-fp collapse preserves components") {
     import spark.implicits._
     // two exact-dup groups bridged by a 1-bit neighbor, plus a singleton:
