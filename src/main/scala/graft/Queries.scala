@@ -7136,6 +7136,114 @@ object Queries {
       |FROM t GROUP BY user_id
       |ORDER BY sum(term) DESC, user_id LIMIT 50""".stripMargin
 
+  /** Event-type co-occurrence lift matrix (market-basket lift over the
+    * per-user event-type SET — the set-membership complement of q162's
+    * sequential transition census and q169's token-pair PMI): lift(a,b)
+    * = P(a,b ⊆ user's types) / (P(a)·P(b)), computed from distinct
+    * (user, type) memberships. Everything shrinks before any pair work:
+    * users×types memberships first, then a types²-bounded self-join on
+    * the USER key with map-side partial agg. The ratio is one exact
+    * integer cross-multiply rendered as a single double division
+    * (n_ab·n_users)/(n_a·n_b) — cross-engine-safe single op. Scale: the
+    * membership frame is |users|×|types|; pair output is types².
+    */
+  val eventLiftMatrix: Q = (s, dir) => {
+    val mem = Dedup.pin(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct())
+    val nUsers = mem.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val per = mem.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = mem.as("a").join(mem.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(per.select(col("event_type").as("type_a"), col("n_t").as("n_a")),
+        "type_a")
+      .join(per.select(col("event_type").as("type_b"), col("n_t").as("n_b")),
+        "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round((col("n_ab") * col("n_users")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val eventLiftMatrixSql: String =
+    """WITH mem AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM mem),
+      |per AS (SELECT event_type, count(*) AS n_t FROM mem
+      |  GROUP BY event_type),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_ab
+      |  FROM mem a JOIN mem b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY a.event_type, b.event_type)
+      |SELECT type_a, type_b, n_ab,
+      |  round(CAST(n_ab * n_users AS DOUBLE)
+      |    / CAST(pa.n_t * pb.n_t AS DOUBLE), 6) AS lift
+      |FROM p
+      |JOIN per pa ON pa.event_type = p.type_a
+      |JOIN per pb ON pb.event_type = p.type_b
+      |CROSS JOIN nu
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** Inter-arrival burstiness audit per event type (the Poisson check a
+    * stream-capacity planner runs: coefficient of variation of
+    * inter-arrival times ≈ 1 for a Poisson process, ≫ 1 for bursty
+    * traffic): gaps in EXACT INTEGER microseconds from one lead() pass
+    * in deterministic (ts, event_id) order, then per-type
+    * count/mean/cv, with variance from exact integer Σgap and Σgap²
+    * (algebraic identity — both sums exact in decimal, the q171
+    * discipline; the only floats are the final mean/cv divisions and a
+    * sqrt). Scale: one window pass partitioned by type, one keyed agg —
+    * nothing pairwise.
+    */
+  val burstinessAudit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("gap_us").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_us"),
+        sum(col("gap_us").cast("decimal(19,0)") * col("gap_us")
+          .cast("decimal(19,0)")).as("sum_sq"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("sum_us").cast("double") / col("n_gaps").cast("double"), 4)
+          .as("mean_us"),
+        round(
+          sqrt((col("sum_sq").cast("double")
+            - col("sum_us").cast("double") * col("sum_us").cast("double")
+              / col("n_gaps").cast("double")) / col("n_gaps").cast("double"))
+            / (col("sum_us").cast("double") / col("n_gaps").cast("double")), 6)
+          .as("cv"))
+      .orderBy(col("event_type"))
+  }
+
+  val burstinessAuditSql: String =
+    """WITH g AS (SELECT event_type,
+      |    CAST(epoch_us(lead(ts) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id)) - epoch_us(ts) AS BIGINT) AS gap_us
+      |  FROM events),
+      |f AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  round(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+      |    AS mean_us,
+      |  round(sqrt((CAST(sum(CAST(gap_us AS DECIMAL(19,0))
+      |        * CAST(gap_us AS DECIMAL(19,0))) AS DOUBLE)
+      |      - CAST(sum(gap_us) AS DOUBLE) * CAST(sum(gap_us) AS DOUBLE)
+      |        / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE))
+      |    / (CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+      |    AS cv
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Join-key skew profiler — the pre-flight diagnostic for
     * [[graft.ops.Skew]]: before a big keyed join/agg ships, measure how
     * concentrated the key distribution is (orders per customer here).
@@ -7884,6 +7992,8 @@ object Queries {
     "q198_decay_engagement" -> decayEngagement,
     "q199_join_skew_profile" -> joinSkewProfile,
     "q200_benford_audit" -> benfordAudit,
+    "q201_event_lift_matrix" -> eventLiftMatrix,
+    "q202_burstiness_audit" -> burstinessAudit,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -8086,5 +8196,7 @@ object Queries {
     "q197_kmv_overlap_matrix" -> kmvOverlapMatrixSql,
     "q198_decay_engagement" -> decayEngagementSql,
     "q199_join_skew_profile" -> joinSkewProfileSql,
-    "q200_benford_audit" -> benfordAuditSql)
+    "q200_benford_audit" -> benfordAuditSql,
+    "q201_event_lift_matrix" -> eventLiftMatrixSql,
+    "q202_burstiness_audit" -> burstinessAuditSql)
 }

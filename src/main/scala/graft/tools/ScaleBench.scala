@@ -174,7 +174,11 @@ object ScaleBench {
     "kmv_overlap_matrix" -> ((s, d) =>
       graft.Queries.kmvOverlapMatrix(s, d).count()),
     "decay_engagement" -> ((s, d) =>
-      graft.Queries.decayEngagement(s, d).count()))
+      graft.Queries.decayEngagement(s, d).count()),
+    "event_lift_matrix" -> ((s, d) =>
+      graft.Queries.eventLiftMatrix(s, d).count()),
+    "burstiness_audit" -> ((s, d) =>
+      graft.Queries.burstinessAudit(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")

@@ -244,6 +244,31 @@ class Round7QueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
   }
 
+  test("q201: lift matrix is upper-triangular over the type alphabet") {
+    val rows = graft.Queries.all("q201_event_lift_matrix")(spark, sfDir)
+      .collect()
+    val types = graft.Tables.events(spark, sfDir)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == types * (types - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(r.getAs[Double]("lift") > 0.0)
+      assert(r.getAs[Long]("n_ab") > 0L)
+    }
+  }
+
+  test("q202: burstiness stats are positive and near-Poisson-scaled") {
+    val rows = graft.Queries.all("q202_burstiness_audit")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_us") > 0.0)
+      val cv = r.getAs[Double]("cv")
+      assert(cv > 0.0 && !cv.isNaN && !cv.isInfinite)
+      assert(cv < 10.0, s"cv $cv implausibly bursty for the synth stream")
+    }
+  }
+
   test("simhashClusters: exact-fp collapse preserves components") {
     import spark.implicits._
     // two exact-dup groups bridged by a 1-bit neighbor, plus a singleton:
