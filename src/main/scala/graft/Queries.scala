@@ -7136,6 +7136,57 @@ object Queries {
       |FROM t GROUP BY user_id
       |ORDER BY sum(term) DESC, user_id LIMIT 50""".stripMargin
 
+  /** Stream-static enrichment join parity — the third oracle-gated
+    * Structured Streaming query, covering the remaining core streaming
+    * surface after q177 (windowed agg) and q194 (stateful dedup): a
+    * STREAM-STATIC JOIN, the shape every live enrichment pipeline runs
+    * (click stream ⋈ dimension table). Events stream through a 4-file
+    * source one file per micro-batch; each batch joins the STATIC
+    * customer dimension (user_id → nation key, a broadcast hash join
+    * re-planned per batch — the Spark contract for stream-static), and
+    * the complete-mode (nation, event_type) counts must hash-match the
+    * batch SQL oracle. The join key maps users onto customers by
+    * modulus so every SF binds. Scale: the static side is a broadcast
+    * dim; stream state is the |nations×types| aggregate, bounded.
+    */
+  val streamEnrich: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, StringType}
+    val srcDir = scratch("graft_stream_enrich_src")
+    Tables.events(s, dir).select(col("event_id"), col("user_id"), col("event_type"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nCust = cust.agg(max(col("c_custkey"))).head().getLong(0)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val qname = "graft_stream_enrich_sink"
+    val sq = raw
+      .withColumn("c_custkey", col("user_id") % nCust + 1)
+      .join(broadcast(cust), Seq("c_custkey"))
+      .groupBy(col("c_nationkey"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    s.table(qname)
+      .select(col("c_nationkey"), col("event_type"), col("n_events"))
+      .orderBy(col("c_nationkey"), col("event_type"))
+  }
+
+  val streamEnrichSql: String =
+    """WITH nc AS (SELECT max(c_custkey) AS n FROM customer)
+      |SELECT c.c_nationkey, e.event_type, count(*) AS n_events
+      |FROM events e CROSS JOIN nc
+      |JOIN customer c ON c.c_custkey = e.user_id % nc.n + 1
+      |GROUP BY c.c_nationkey, e.event_type
+      |ORDER BY c.c_nationkey, e.event_type""".stripMargin
+
   /** Event-type co-occurrence lift matrix (market-basket lift over the
     * per-user event-type SET — the set-membership complement of q162's
     * sequential transition census and q169's token-pair PMI): lift(a,b)
@@ -7994,6 +8045,7 @@ object Queries {
     "q200_benford_audit" -> benfordAudit,
     "q201_event_lift_matrix" -> eventLiftMatrix,
     "q202_burstiness_audit" -> burstinessAudit,
+    "q203_stream_enrich" -> streamEnrich,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -8198,5 +8250,6 @@ object Queries {
     "q199_join_skew_profile" -> joinSkewProfileSql,
     "q200_benford_audit" -> benfordAuditSql,
     "q201_event_lift_matrix" -> eventLiftMatrixSql,
-    "q202_burstiness_audit" -> burstinessAuditSql)
+    "q202_burstiness_audit" -> burstinessAuditSql,
+    "q203_stream_enrich" -> streamEnrichSql)
 }

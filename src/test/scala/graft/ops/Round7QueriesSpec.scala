@@ -269,6 +269,22 @@ class Round7QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q203: stream-static enrich counts equal the batch join") {
+    val rows = graft.Queries.all("q203_stream_enrich")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("c_nationkey"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n_events")).toMap
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nCust = cust.agg(max(col("c_custkey"))).head().getLong(0)
+    val batch = graft.Tables.events(spark, sfDir)
+      .withColumn("c_custkey", col("user_id") % nCust + 1)
+      .join(cust, Seq("c_custkey"))
+      .groupBy(col("c_nationkey"), col("event_type")).count()
+      .collect().map(r => (r.getAs[Long]("c_nationkey"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("count")).toMap
+    assert(rows == batch)
+  }
+
   test("simhashClusters: exact-fp collapse preserves components") {
     import spark.implicits._
     // two exact-dup groups bridged by a 1-bit neighbor, plus a singleton:
