@@ -7158,7 +7158,10 @@ object Queries {
       .write.mode("overwrite").parquet(srcDir.toString)
     val cust = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
-    val nCust = cust.agg(max(col("c_custkey"))).head().getLong(0)
+    // max() is NULL on an empty dimension; fall back to 1 so the modulus
+    // is defined (the join then simply matches nothing).
+    val nCustRow = cust.agg(max(col("c_custkey"))).head()
+    val nCust = if (nCustRow.isNullAt(0)) 1L else nCustRow.getLong(0)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType)))
@@ -7841,6 +7844,125 @@ object Queries {
       |WHERE cum * 2 >= tot
       |GROUP BY cum.flag ORDER BY cum.flag""".stripMargin
 
+  /** Reciprocal Rank Fusion of two retrieval lists (Cormack '09,
+    * k=60) — the standard hybrid-retrieval merge step (lexical ⊕
+    * semantic, or multi-probe semantic as here): each of two anchor
+    * vectors produces a cosine top-50 candidate list; RRF fuses them by
+    * Σ 1/(60+rank), rank-only so incomparable score scales never touch
+    * each other. Ranks come from raw-double cosine ordering with a
+    * vec_id tiebreak (the q24 precedent — ordered-summation cosines
+    * agree cross-engine); the fused score is ONE two-term expression
+    * `coalesce(1/(60+rₐ),0)+coalesce(1/(60+r_b),0)` evaluated
+    * left-to-right in both engines, so no cross-row float summation
+    * exists anywhere. Scale: each list is a TakeOrdered top-k off one
+    * corpus scan (anchors ride a 1-row broadcast); the rank windows run
+    * on k-bounded (≤50-row) frames; the fuse is a k×k outer join.
+    */
+  val rrfFusion: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val a0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("ae"))
+    val a1 = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").as("be"))
+    val scored = Dedup.pin(emb.filter(col("vec_id") > 1)
+      .crossJoin(broadcast(a0)).crossJoin(broadcast(a1))
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("embedding"), col("ae")).as("cos_a"),
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("embedding"), col("be")).as("cos_b")))
+    def top(c: String, rk: String) = {
+      val lim = scored.select(col("vec_id"), col(c))
+        .orderBy(col(c).desc, col("vec_id")).limit(50)
+      lim.withColumn(rk, row_number().over(
+          Window.orderBy(col(c).desc, col("vec_id"))))
+        .select(col("vec_id"), col(rk))
+    }
+    top("cos_a", "rank_a")
+      .join(top("cos_b", "rank_b"), Seq("vec_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)))
+      .orderBy(col("rrf_raw").desc, col("vec_id"))
+      .select(col("vec_id"), col("rank_a"), col("rank_b"),
+        round(col("rrf_raw"), 8).as("rrf"))
+  }
+
+  val rrfFusionSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |a AS (SELECT e AS ae FROM v WHERE vec_id = 0),
+      |b AS (SELECT e AS be FROM v WHERE vec_id = 1),
+      |sc AS (SELECT vec_id,
+      |    list_dot_product(e, ae) / (sqrt(list_dot_product(e, e))
+      |      * sqrt(list_dot_product(ae, ae))) AS cos_a,
+      |    list_dot_product(e, be) / (sqrt(list_dot_product(e, e))
+      |      * sqrt(list_dot_product(be, be))) AS cos_b
+      |  FROM v CROSS JOIN a CROSS JOIN b WHERE vec_id > 1),
+      |ra AS (SELECT vec_id, rank_a FROM (SELECT vec_id,
+      |    row_number() OVER (ORDER BY cos_a DESC, vec_id) AS rank_a
+      |  FROM sc) WHERE rank_a <= 50),
+      |rb AS (SELECT vec_id, rank_b FROM (SELECT vec_id,
+      |    row_number() OVER (ORDER BY cos_b DESC, vec_id) AS rank_b
+      |  FROM sc) WHERE rank_b <= 50)
+      |SELECT coalesce(ra.vec_id, rb.vec_id) AS vec_id, rank_a, rank_b,
+      |  round(coalesce(1.0 / (60 + rank_a), 0.0)
+      |    + coalesce(1.0 / (60 + rank_b), 0.0), 8) AS rrf
+      |FROM ra FULL JOIN rb ON ra.vec_id = rb.vec_id
+      |ORDER BY coalesce(1.0 / (60 + rank_a), 0.0)
+      |  + coalesce(1.0 / (60 + rank_b), 0.0) DESC,
+      |  coalesce(ra.vec_id, rb.vec_id)""".stripMargin
+
+  /** Rendezvous (highest-random-weight) shard assignment + balance
+    * audit (Thaler–Ravishankar '98) — the stateless document→shard map
+    * a training-data writer uses when shards must stay stable under
+    * shard-count changes (HRW moves only 1/S of keys on resize, vs
+    * ~all for mod-hash): every doc goes to argmax over 8 shards of
+    * md5(doc_id:shard), computed ROW-LOCALLY as an array_max over an
+    * 8-struct array — assignment costs zero shuffles; only the
+    * |shards|-row balance audit aggregates. The audit reports per-shard
+    * doc count, char mass, and doc share — the skew check run before a
+    * 1000-writer job is launched. Tiebreak (w, shard) struct-max =
+    * larger shard id, mirrored exactly in the oracle's ORDER BY.
+    */
+  val rendezvousShards: Q = (s, dir) => {
+    val S = 8
+    val weights = array((0 until S).map { i =>
+      struct(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":" + i))), 1, 15), 16, 10).cast("long").as("w"),
+        lit(i).as("shard"))
+    }: _*)
+    val assigned = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        array_max(weights).getField("shard").as("shard"))
+    val tot = assigned.agg(count(lit(1)).as("n_tot"))
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_tot"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_chars_tot"),
+        round(col("n_docs").cast("double") / col("n_tot").cast("double"), 8)
+          .as("doc_share"))
+      .orderBy(col("shard"))
+  }
+
+  val rendezvousShardsSql: String =
+    """WITH w AS (SELECT doc_id, n_chars, CAST(r.range AS INTEGER) AS shard,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'
+      |      ||CAST(r.range AS VARCHAR)), 1, 15))::BIGINT AS w
+      |  FROM documents CROSS JOIN range(8) r),
+      |pick AS (SELECT doc_id, n_chars, shard FROM (SELECT doc_id, n_chars,
+      |    shard, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY w DESC, shard DESC) AS rn FROM w) WHERE rn = 1),
+      |tot AS (SELECT count(*) AS n_tot FROM pick)
+      |SELECT shard, count(*) AS n_docs, sum(n_chars) AS n_chars_tot,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(n_tot AS DOUBLE), 8)
+      |    AS doc_share
+      |FROM pick CROSS JOIN tot
+      |GROUP BY shard, n_tot ORDER BY shard""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -8046,6 +8168,8 @@ object Queries {
     "q201_event_lift_matrix" -> eventLiftMatrix,
     "q202_burstiness_audit" -> burstinessAudit,
     "q203_stream_enrich" -> streamEnrich,
+    "q204_rrf_fusion" -> rrfFusion,
+    "q205_rendezvous_shards" -> rendezvousShards,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -8251,5 +8375,7 @@ object Queries {
     "q200_benford_audit" -> benfordAuditSql,
     "q201_event_lift_matrix" -> eventLiftMatrixSql,
     "q202_burstiness_audit" -> burstinessAuditSql,
-    "q203_stream_enrich" -> streamEnrichSql)
+    "q203_stream_enrich" -> streamEnrichSql,
+    "q204_rrf_fusion" -> rrfFusionSql,
+    "q205_rendezvous_shards" -> rendezvousShardsSql)
 }

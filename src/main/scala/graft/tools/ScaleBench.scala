@@ -178,7 +178,10 @@ object ScaleBench {
     "event_lift_matrix" -> ((s, d) =>
       graft.Queries.eventLiftMatrix(s, d).count()),
     "burstiness_audit" -> ((s, d) =>
-      graft.Queries.burstinessAudit(s, d).count()))
+      graft.Queries.burstinessAudit(s, d).count()),
+    "rrf_fusion" -> ((s, d) => graft.Queries.rrfFusion(s, d).count()),
+    "rendezvous_shards" -> ((s, d) =>
+      graft.Queries.rendezvousShards(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
