@@ -7963,6 +7963,112 @@ object Queries {
       |FROM pick CROSS JOIN tot
       |GROUP BY shard, n_tot ORDER BY shard""".stripMargin
 
+  /** Kendall tau-b rank agreement (Kendall '38; tau-b tie correction)
+    * between two per-source orderings — "do sources rank the same by
+    * total char mass as by peak document size?", the sanity check run
+    * before any rank-based mixture decision reuses one ranking as a
+    * proxy for another (Pearson on the VALUES is q85; tau is the
+    * rank-native complement, robust to monotone rescaling). Metrics
+    * chosen to BIND on this corpus: per-source doc counts are uniform
+    * by construction, so count-based ranks are all-ties — char mass and
+    * max length both vary. All comparisons are EXACT INTEGER;
+    * concordant/discordant/tied tallies are integer sums over the
+    * sources²-bounded pair frame; only the single final tau
+    * division+sqrt is float, and an all-ties axis (denominator 0)
+    * reports NULL rather than tripping ANSI divide-by-zero. Scale: the
+    * corpus collapses to |sources| rows before any pair work (the
+    * q165/q197 discipline).
+    */
+  val rankAgreement: Q = (s, dir) => {
+    val per = Dedup.pin(t(s, dir, "documents").groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("sc"), max(col("n_chars")).as("mx")))
+    def sign(a: Column, b: Column) =
+      when(a > b, 1).when(a < b, -1).otherwise(0)
+    val pairs = per.as("a").join(per.as("b"),
+        col("a.source") < col("b.source"))
+      .select(
+        sign(col("a.sc"), col("b.sc")).as("sx"),
+        sign(col("a.mx"), col("b.mx")).as("sy"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("sx") === 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ties_y"))
+      .select(col("n_pairs"), col("conc"), col("disc"),
+        col("ties_x"), col("ties_y"),
+        when(col("n_pairs") === col("ties_x")
+            || col("n_pairs") === col("ties_y"), lit(null).cast("double"))
+          .otherwise(round((col("conc") - col("disc")).cast("double")
+            / sqrt(((col("n_pairs") - col("ties_x"))
+              * (col("n_pairs") - col("ties_y"))).cast("double")), 8))
+          .as("tau_b"))
+  }
+
+  val rankAgreementSql: String =
+    """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sc,
+      |    CAST(max(n_chars) AS BIGINT) AS mx
+      |  FROM documents GROUP BY source),
+      |p AS (SELECT
+      |    CASE WHEN a.sc > b.sc THEN 1 WHEN a.sc < b.sc THEN -1 ELSE 0
+      |      END AS sx,
+      |    CASE WHEN a.mx > b.mx THEN 1 WHEN a.mx < b.mx THEN -1 ELSE 0
+      |      END AS sy
+      |  FROM per a JOIN per b ON a.source < b.source)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+      |  CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+      |  CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+      |  CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+      |  CASE WHEN count(*) = sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+      |      OR count(*) = sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+      |    THEN NULL
+      |    ELSE round(CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+      |        - sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / sqrt(CAST((count(*) - sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END))
+      |        * (count(*) - sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END))
+      |        AS DOUBLE)), 8) END AS tau_b
+      |FROM p""".stripMargin
+
+  /** Rolling 7-day distinct active users (the DAU/WAU curve every
+    * engagement dashboard draws — and a sliding-window DISTINCT, the
+    * aggregate Spark windows cannot express directly because distinct
+    * state doesn't decompose): the corpus first collapses to DISTINCT
+    * (user, day) memberships, then each membership fans out to the ≤7
+    * grid days it is visible from (a CONSTANT fan-out range join
+    * against the broadcast |days|-row grid — never a per-day rescan of
+    * the corpus), and each grid day counts distinct users. DAU rides
+    * the same membership frame with no fan-out. Scale: memberships are
+    * |users|×|days| at worst; the window length bounds the join
+    * multiplicity, so cost is 7·|memberships| regardless of corpus
+    * size.
+    */
+  val rollingActiveUsers: Q = (s, dir) => {
+    val mem = Dedup.pin(Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct())
+    val days = mem.select(col("d")).distinct()
+    val dau = mem.groupBy(col("d")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = broadcast(days).as("g")
+      .join(mem.as("m"),
+        col("m.d") >= date_sub(col("g.d"), 6) && col("m.d") <= col("g.d"))
+      .groupBy(col("g.d").as("d"))
+      .agg(countDistinct(col("m.user_id")).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d"), col("dau"), col("wau"))
+      .orderBy(col("d"))
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH mem AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT d FROM mem),
+      |dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM mem GROUP BY d),
+      |wau AS (SELECT g.d, count(DISTINCT m.user_id) AS wau
+      |  FROM days g JOIN mem m ON m.d >= g.d - 6 AND m.d <= g.d
+      |  GROUP BY g.d)
+      |SELECT dau.d, dau, wau FROM dau JOIN wau ON dau.d = wau.d
+      |ORDER BY dau.d""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -8170,6 +8276,8 @@ object Queries {
     "q203_stream_enrich" -> streamEnrich,
     "q204_rrf_fusion" -> rrfFusion,
     "q205_rendezvous_shards" -> rendezvousShards,
+    "q206_rank_agreement" -> rankAgreement,
+    "q207_rolling_active_users" -> rollingActiveUsers,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -8377,5 +8485,7 @@ object Queries {
     "q202_burstiness_audit" -> burstinessAuditSql,
     "q203_stream_enrich" -> streamEnrichSql,
     "q204_rrf_fusion" -> rrfFusionSql,
-    "q205_rendezvous_shards" -> rendezvousShardsSql)
+    "q205_rendezvous_shards" -> rendezvousShardsSql,
+    "q206_rank_agreement" -> rankAgreementSql,
+    "q207_rolling_active_users" -> rollingActiveUsersSql)
 }

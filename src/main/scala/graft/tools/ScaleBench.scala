@@ -181,7 +181,11 @@ object ScaleBench {
       graft.Queries.burstinessAudit(s, d).count()),
     "rrf_fusion" -> ((s, d) => graft.Queries.rrfFusion(s, d).count()),
     "rendezvous_shards" -> ((s, d) =>
-      graft.Queries.rendezvousShards(s, d).count()))
+      graft.Queries.rendezvousShards(s, d).count()),
+    "rank_agreement" -> ((s, d) =>
+      graft.Queries.rankAgreement(s, d).count()),
+    "rolling_active_users" -> ((s, d) =>
+      graft.Queries.rollingActiveUsers(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
