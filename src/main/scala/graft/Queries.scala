@@ -8069,6 +8069,158 @@ object Queries {
       |SELECT dau.d, dau, wau FROM dau JOIN wau ON dau.d = wau.d
       |ORDER BY dau.d""".stripMargin
 
+  /** Stream-stream interval join parity — the FOURTH oracle-gated
+    * Structured Streaming query, covering the last core streaming join
+    * shape after q177 (windowed agg), q194 (stateful dedup) and q203
+    * (stream-static join): view events joined to purchase events of the
+    * same user within 2 hours AFTER the view (click-to-conversion
+    * attribution), both sides watermarked, matches hash-checked against
+    * the batch interval-join oracle. The gate watermark is
+    * eviction-free (31 days > the corpus span) so stream ≡ batch
+    * EXACTLY regardless of file arrival order; production uses a tight
+    * watermark and accepts bounded lateness — the PLAN is identical,
+    * only the eviction horizon differs. Per-pair gaps are exact integer
+    * µs; the per-user rollup aggregates the memory-sink table in batch
+    * (one stateful op per stream — the Spark multi-stateful
+    * restriction).
+    */
+  val streamIntervalJoin: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    val srcDir = scratch("graft_stream_ssjoin_src")
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def side(tpe: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .filter(col("event_type") === tpe)
+    val joined = EventStreams.joinWithinWindow(
+      side("view"), side("purchase"), "user_id", "2 hours", "31 days")
+    val qname = "graft_stream_ssjoin_sink"
+    val sq = joined
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    s.table(qname)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamIntervalJoinSql: String =
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, count(*) AS n_pairs,
+      |  CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_gap_us
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+
+  /** Streaming sessionization parity — the FIFTH oracle-gated
+    * Structured Streaming query, and the first to gate CUSTOM state
+    * (`flatMapGroupsWithState`, event-time timeout — the §2.8 surface
+    * q177/q194/q203/q208 don't touch): 30-minute-gap user sessions
+    * computed by [[EventStreams.sessionize]] over a 5-batch file
+    * stream, hash-matched against the batch gaps-and-islands oracle.
+    * Parity engineering: (1) files are staged TIME-PARTITIONED (4
+    * disjoint event-time quarters, modtimes forced monotone) so
+    * cross-batch arrival order is event-time order and nothing is ever
+    * late past the 2 h watermark; (2) a far-future sentinel event
+    * (user −1) closes the stream — its watermark advance makes the
+    * trailing no-data batch fire every pending timeout, so OPEN
+    * sessions flush (append mode would otherwise withhold them); (3)
+    * session boundaries are exact event-time µs (EventStreams µs
+    * state), and values ride as exact CENTS (whole doubles sum exactly
+    * in any order) emitted as BIGINT — no float crosses a row
+    * boundary. Scale: state is one small struct per ACTIVE user,
+    * evicted by timeout; this is the production ingest-sessionizer
+    * shape.
+    */
+  val streamSessions: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = scratch("graft_stream_sess_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    // min/max are NULL on an empty corpus; any fixed span then stages
+    // four empty quarters plus the sentinel, and the gate returns 0 rows
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    def stageFile(df: DataFrame, i: Int): Unit = {
+      val tmp = scratch(s"graft_stream_sess_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = srcDir.resolve(f"part-$i%02d.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    (0 until 4).foreach { i =>
+      val a = lo + i * span / 4
+      val b = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
+      stageFile(ev.filter(unix_micros(col("ts")) >= a
+        && unix_micros(col("ts")) < b), i)
+    }
+    // sentinel: one far-future event advances the watermark past every
+    // pending session timeout so append-mode state flushes at end-of-stream
+    stageFile(s.range(1).select(lit(-1L).as("event_id"),
+      timestamp_micros(lit(hi + 30L * 86400L * 1000000L)).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value")), 4)
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    val sessions = graft.streaming.EventStreams.sessionize(stream)(s)
+    val qname = "graft_stream_sess_sink"
+    val sq = sessions.toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"), col("n_events"),
+        col("total_value").cast("long").as("total_cents"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  val streamSessionsSql: String =
+    """WITH e AS (SELECT user_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (SELECT user_id, ts, cents,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts)
+      |        - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0
+      |      END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (SELECT user_id, ts, cents,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM l)
+      |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+      |  CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+      |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -8278,6 +8430,8 @@ object Queries {
     "q205_rendezvous_shards" -> rendezvousShards,
     "q206_rank_agreement" -> rankAgreement,
     "q207_rolling_active_users" -> rollingActiveUsers,
+    "q208_stream_interval_join" -> streamIntervalJoin,
+    "q209_stream_sessions" -> streamSessions,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -8487,5 +8641,7 @@ object Queries {
     "q204_rrf_fusion" -> rrfFusionSql,
     "q205_rendezvous_shards" -> rendezvousShardsSql,
     "q206_rank_agreement" -> rankAgreementSql,
-    "q207_rolling_active_users" -> rollingActiveUsersSql)
+    "q207_rolling_active_users" -> rollingActiveUsersSql,
+    "q208_stream_interval_join" -> streamIntervalJoinSql,
+    "q209_stream_sessions" -> streamSessionsSql)
 }

@@ -33,13 +33,29 @@ object EventStreams {
                                session_end: Timestamp, n_events: Long,
                                total_value: Double)
 
+  // µs-fidelity Timestamp bridge: java.sql.Timestamp.getTime is MILLIS —
+  // session boundaries built from it would truncate the event-time µs the
+  // batch oracle keeps. State therefore carries epoch MICROS throughout.
+  private def tsToUs(t: Timestamp): Long = {
+    val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Sessionization with explicit state: a user's session closes after
     * `gapMs` of inactivity (event-time timeout). The canonical
-    * `flatMapGroupsWithState` shape for custom streaming state.
+    * `flatMapGroupsWithState` shape for custom streaming state. Session
+    * boundaries are exact event-time MICROSECONDS (see tsToUs) so the
+    * streamed sessions are value-identical to a batch gaps-and-islands
+    * computation over the same events.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
                 (implicit spark: SparkSession): Dataset[UserSession] = {
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
@@ -48,20 +64,20 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(UserSession(userId, new Timestamp(s.start),
-              new Timestamp(s.lastSeen), s.n, s.value))
+            Iterator.single(UserSession(userId, usToTs(s.start),
+              usToTs(s.lastSeen), s.n, s.value))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => tsToUs(e.ts))
             var closed = List.empty[UserSession]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsToUs(e.ts)
               cur match {
-                case Some(s) if t - s.lastSeen <= gapMs =>
+                case Some(s) if t - s.lastSeen <= gapUs =>
                   cur = Some(s.copy(lastSeen = t, n = s.n + 1, value = s.value + e.value))
                 case Some(s) =>
-                  closed ::= UserSession(userId, new Timestamp(s.start),
-                    new Timestamp(s.lastSeen), s.n, s.value)
+                  closed ::= UserSession(userId, usToTs(s.start),
+                    usToTs(s.lastSeen), s.n, s.value)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -69,7 +85,8 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+              // timeout API is millis; ceil so the µs deadline is never early
+              state.setTimeoutTimestamp(Math.floorDiv(s.lastSeen + gapUs + 999L, 1000L))
             }
             closed.reverseIterator
           }

@@ -185,7 +185,11 @@ object ScaleBench {
     "rank_agreement" -> ((s, d) =>
       graft.Queries.rankAgreement(s, d).count()),
     "rolling_active_users" -> ((s, d) =>
-      graft.Queries.rollingActiveUsers(s, d).count()))
+      graft.Queries.rollingActiveUsers(s, d).count()),
+    "stream_interval_join" -> ((s, d) =>
+      graft.Queries.streamIntervalJoin(s, d).count()),
+    "stream_sessions" -> ((s, d) =>
+      graft.Queries.streamSessions(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
