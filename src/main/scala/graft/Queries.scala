@@ -8221,6 +8221,144 @@ object Queries {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** Per-label embedding separability audit (Fisher '36 discriminant
+    * ratio, diagonal form) — the label-quality check run before
+    * embeddings are trusted for supervised mining (q196) or
+    * cluster-keyed dedup (q155): for each label, between-class scatter
+    * ‖μ_ℓ − μ_global‖² over within-class scatter (mean squared distance
+    * to the label centroid). Everything reduces to per-(label, dim)
+    * moment cells — n, Σx (decimal via the q68 float→STRING→decimal
+    * route), Σx² (decimal product) — so the corpus is touched once and
+    * all scatter algebra runs on the |labels|×dims moment frame.
+    * Centroids are rounded to 6 dp FIRST (single exact-decimal→double
+    * division + round, both engines), then re-enter decimal so the
+    * dim-sums of squared components stay exact — no cross-row float
+    * addition anywhere. Scale: moment cells are |labels|·dims rows.
+    */
+  val labelSeparability: Q = (s, dir) => {
+    val cells = Dedup.pin(t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vd", col("v").cast("string").cast("decimal(18,9)"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("sx"),
+        sum(col("vd") * col("vd")).as("sxx")))
+    val mu = cells.withColumn("mu",
+      round(col("sx").cast("double") / col("n"), 6).cast("decimal(18,6)"))
+    val glob = cells.groupBy(col("pos"))
+      .agg(sum(col("sx")).as("gx"), sum(col("n")).as("gn"))
+      .withColumn("gmu",
+        round(col("gx").cast("double") / col("gn"), 6).cast("decimal(18,6)"))
+      .select(col("pos"), col("gmu"))
+    mu.join(broadcast(glob), Seq("pos"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("sxx")).as("q"),
+        sum(col("mu") * col("mu")).as("smu2"),
+        sum((col("mu") - col("gmu")) * (col("mu") - col("gmu"))).as("sbet"))
+      .select(col("label"), col("n_vecs"),
+        round(col("q").cast("double") / col("n_vecs")
+          - col("smu2").cast("double"), 6).as("within"),
+        round(col("sbet").cast("double"), 6).as("between"),
+        round(col("sbet").cast("double")
+          / (col("q").cast("double") / col("n_vecs")
+            - col("smu2").cast("double")), 6).as("fisher"))
+      .orderBy(col("label"))
+  }
+
+  val labelSeparabilitySql: String =
+    """WITH cells AS (SELECT label, d.dim AS pos, count(*) AS n,
+      |    sum(CAST(CAST(embedding[d.dim] AS VARCHAR) AS DECIMAL(18,9)))
+      |      AS sx,
+      |    sum(CAST(CAST(embedding[d.dim] AS VARCHAR) AS DECIMAL(18,9))
+      |      * CAST(CAST(embedding[d.dim] AS VARCHAR) AS DECIMAL(18,9)))
+      |      AS sxx
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
+      |  GROUP BY 1, 2),
+      |mu AS (SELECT *, CAST(round(CAST(sx AS DOUBLE) / n, 6)
+      |    AS DECIMAL(18,6)) AS mu FROM cells),
+      |gc AS (SELECT pos, CAST(round(CAST(sum(sx) AS DOUBLE)
+      |      / CAST(sum(n) AS BIGINT), 6) AS DECIMAL(18,6)) AS gmu
+      |  FROM cells GROUP BY pos)
+      |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+      |  round(CAST(sum(sxx) AS DOUBLE) / max(n)
+      |    - CAST(sum(mu * mu) AS DOUBLE), 6) AS within,
+      |  round(CAST(sum((mu - gmu) * (mu - gmu)) AS DOUBLE), 6) AS between,
+      |  round(CAST(sum((mu - gmu) * (mu - gmu)) AS DOUBLE)
+      |    / (CAST(sum(sxx) AS DOUBLE) / max(n)
+      |      - CAST(sum(mu * mu) AS DOUBLE)), 6) AS fisher
+      |FROM mu JOIN gc USING (pos)
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  /** Retrieval-quality evaluation: nDCG@20 (Järvelin–Kekäläinen '02)
+    * of a cosine ranking against label relevance — the eval harness a
+    * similarity-search deployment (q24/q25/q40) runs on labeled probes:
+    * anchor = vec 0, relevant = same label, ranking = raw-double cosine
+    * with id tiebreak (the q24 ordered-summation precedent). Every DCG
+    * term is round(rel/log₂(rank+1), 8) → DECIMAL before summation —
+    * the discount constants are data-independent and verified
+    * bit-equal between JVM `Math.log` and DuckDB `ln` for all ranks
+    * used — so no float ever crosses a row boundary. iDCG reuses the
+    * same 20-rank frame gated by the corpus-wide relevant count
+    * (broadcast 1-row). Scale: one corpus scan, TakeOrdered top-20,
+    * all scoring on the 20-row frame.
+    */
+  val ndcgEval: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val anchor = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("ae"), col("label").as("albl"))
+    val scored = emb.crossJoin(broadcast(anchor))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (col("label") === col("albl")).cast("int").as("rel"),
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("embedding"), col("ae")).as("cos"))
+    val nRel = scored.agg(sum(col("rel")).as("n_rel"))
+    val top = Dedup.pin(scored.orderBy(col("cos").desc, col("vec_id")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id")))))
+    val disc = lit(1.0) / (log(col("rk") + 1) / log(lit(2.0)))
+    top.crossJoin(broadcast(nRel))
+      .agg(max(col("n_rel")).as("n_rel"),
+        sum(round(col("rel") * disc, 8).cast("decimal(18,8)")).as("dcgd"),
+        sum(when(col("rk") <= col("n_rel"),
+          round(disc, 8).cast("decimal(18,8)"))
+          .otherwise(lit(0).cast("decimal(18,8)"))).as("idcgd"))
+      .select(col("n_rel"),
+        round(col("dcgd").cast("double"), 8).as("dcg"),
+        round(col("idcgd").cast("double"), 8).as("idcg"),
+        round(col("dcgd").cast("double") / col("idcgd").cast("double"), 6)
+          .as("ndcg"))
+  }
+
+  val ndcgEvalSql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |a AS (SELECT e AS ae, label AS albl FROM v WHERE vec_id = 0),
+      |sc AS (SELECT vec_id,
+      |    CASE WHEN label = albl THEN 1 ELSE 0 END AS rel,
+      |    list_dot_product(e, ae) / (sqrt(list_dot_product(e, e))
+      |      * sqrt(list_dot_product(ae, ae))) AS cos
+      |  FROM v CROSS JOIN a WHERE vec_id <> 0),
+      |nr AS (SELECT CAST(sum(rel) AS BIGINT) AS n_rel FROM sc),
+      |top AS (SELECT rel, rk FROM (SELECT rel,
+      |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+      |  FROM sc) WHERE rk <= 20)
+      |SELECT n_rel,
+      |  round(CAST(sum(CAST(round(rel * (1.0 / (ln(rk + 1) / ln(2))), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE), 8) AS dcg,
+      |  round(CAST(sum(CASE WHEN rk <= n_rel
+      |    THEN CAST(round(1.0 / (ln(rk + 1) / ln(2)), 8) AS DECIMAL(18,8))
+      |    ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE), 8) AS idcg,
+      |  round(CAST(sum(CAST(round(rel * (1.0 / (ln(rk + 1) / ln(2))), 8)
+      |      AS DECIMAL(18,8))) AS DOUBLE)
+      |    / CAST(sum(CASE WHEN rk <= n_rel
+      |      THEN CAST(round(1.0 / (ln(rk + 1) / ln(2)), 8) AS DECIMAL(18,8))
+      |      ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS ndcg
+      |FROM top CROSS JOIN nr GROUP BY n_rel""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -8432,6 +8570,8 @@ object Queries {
     "q207_rolling_active_users" -> rollingActiveUsers,
     "q208_stream_interval_join" -> streamIntervalJoin,
     "q209_stream_sessions" -> streamSessions,
+    "q210_label_separability" -> labelSeparability,
+    "q211_ndcg_eval" -> ndcgEval,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -8643,5 +8783,7 @@ object Queries {
     "q206_rank_agreement" -> rankAgreementSql,
     "q207_rolling_active_users" -> rollingActiveUsersSql,
     "q208_stream_interval_join" -> streamIntervalJoinSql,
-    "q209_stream_sessions" -> streamSessionsSql)
+    "q209_stream_sessions" -> streamSessionsSql,
+    "q210_label_separability" -> labelSeparabilitySql,
+    "q211_ndcg_eval" -> ndcgEvalSql)
 }

@@ -189,7 +189,10 @@ object ScaleBench {
     "stream_interval_join" -> ((s, d) =>
       graft.Queries.streamIntervalJoin(s, d).count()),
     "stream_sessions" -> ((s, d) =>
-      graft.Queries.streamSessions(s, d).count()))
+      graft.Queries.streamSessions(s, d).count()),
+    "label_separability" -> ((s, d) =>
+      graft.Queries.labelSeparability(s, d).count()),
+    "ndcg_eval" -> ((s, d) => graft.Queries.ndcgEval(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
