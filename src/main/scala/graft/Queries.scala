@@ -8359,6 +8359,235 @@ object Queries {
       |      ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS ndcg
       |FROM top CROSS JOIN nr GROUP BY n_rel""".stripMargin
 
+  /** Graph modularity of an attribute partition (Newman–Girvan '04,
+    * Q = Σ_c [e_c/m − (d_c/2m)²]) — the assortativity audit run before
+    * trusting a metadata column as a clustering proxy: does the
+    * co-purchase part graph (q143's edge set, max-basket-guarded)
+    * actually cluster by manufacturer? All inputs are exact integers
+    * (within-class edge count e_c, class degree sum d_c, edge total m)
+    * computed on the DISTINCT undirected edge list; each class term is
+    * one compound float expression rounded to 8 places → DECIMAL, so
+    * the cross-class sum is exact (the q126/q163 entropy-term
+    * discipline). Scale: edges are basket²-bounded per order (capped),
+    * degrees one keyed agg, class terms |classes| rows.
+    */
+  val modularityAudit: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+    val und = Dedup.pin(graft.ops.Graph
+      .coOccurrenceEdges(li, "okey", "pk", 64)
+      .filter(col("src") < col("dst")).distinct())
+    val cls = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("src").as("pk"))
+      .unionAll(und.select(col("dst").as("pk")))
+      .groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+    val dSum = deg.join(cls, col("pk") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(sum(col("deg")).as("d_c"),
+        count(lit(1)).as("n_nodes"))
+    val eIn = und
+      .join(cls.select(col("p_partkey").as("src"), col("p_brand").as("ma")), "src")
+      .join(cls.select(col("p_partkey").as("dst"), col("p_brand").as("mb")), "dst")
+      .filter(col("ma") === col("mb"))
+      .groupBy(col("ma").as("p_brand")).agg(count(lit(1)).as("e_c"))
+    dSum.join(eIn, Seq("p_brand"), "left")
+      .select(col("p_brand"), col("n_nodes"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .crossJoin(broadcast(m))
+      .select(col("p_brand"), col("m"),
+        round(col("e_c").cast("double") / col("m")
+          - (col("d_c").cast("double") / (lit(2) * col("m")))
+            * (col("d_c").cast("double") / (lit(2) * col("m"))), 8)
+          .cast("decimal(18,8)").as("term"))
+      .agg(count(lit(1)).as("n_classes"), max(col("m")).as("m_edges"),
+        round(sum(col("term")).cast("double"), 8).as("modularity"))
+  }
+
+  val modularityAuditSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+      |  FROM lineitem),
+      |cap AS (SELECT okey, pk FROM (SELECT okey, pk, row_number()
+      |    OVER (PARTITION BY okey ORDER BY pk) AS rn FROM b)
+      |  WHERE rn <= 64),
+      |und AS (SELECT DISTINCT a.pk AS src, b2.pk AS dst
+      |  FROM cap a JOIN cap b2 ON a.okey = b2.okey AND a.pk < b2.pk),
+      |m AS (SELECT count(*) AS m FROM und),
+      |deg AS (SELECT pk, count(*) AS deg FROM (
+      |    SELECT src AS pk FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY pk),
+      |ds AS (SELECT p_brand, CAST(sum(deg) AS BIGINT) AS d_c,
+      |    count(*) AS n_nodes
+      |  FROM deg JOIN part ON pk = p_partkey GROUP BY p_brand),
+      |ei AS (SELECT pa.p_brand, count(*) AS e_c
+      |  FROM und JOIN part pa ON und.src = pa.p_partkey
+      |  JOIN part pb ON und.dst = pb.p_partkey
+      |  WHERE pa.p_brand = pb.p_brand GROUP BY pa.p_brand),
+      |terms AS (SELECT ds.p_brand, n_nodes, coalesce(e_c, 0) AS e_c, d_c,
+      |    CAST(round(CAST(coalesce(e_c, 0) AS DOUBLE) / m
+      |      - (CAST(d_c AS DOUBLE) / (2 * m))
+      |        * (CAST(d_c AS DOUBLE) / (2 * m)), 8) AS DECIMAL(18,8))
+      |      AS term
+      |  FROM ds LEFT JOIN ei ON ds.p_brand = ei.p_brand CROSS JOIN m)
+      |SELECT count(*) AS n_classes, CAST(max(m) AS BIGINT) AS m_edges,
+      |  round(CAST(sum(term) AS DOUBLE), 8) AS modularity
+      |FROM terms CROSS JOIN m""".stripMargin
+
+  /** First-order Markov next-event prediction accuracy — q162's
+    * transition census turned into the eval a sequence-model baseline
+    * ships with: per current event type, predict the most frequent
+    * successor (tiebreak: lexicographic) and measure the hit rate over
+    * all observed transitions. Everything is exact integers off one
+    * window pass + one types²-bounded count frame; accuracy is a single
+    * long/long division. Scale: identical to q162 — one lead() pass,
+    * types² counts, |types|-row output.
+    */
+  val markovAccuracy: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = Dedup.pin(steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n")))
+    val pred = counts.withColumn("rk", row_number().over(
+        Window.partitionBy(col("from_type"))
+          .orderBy(col("n").desc, col("to_type"))))
+      .filter(col("rk") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"),
+        col("n").as("n_hits"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("n_total"))
+    pred.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("predicted"), col("n_total"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_total").cast("double"), 6)
+          .as("acc"))
+      .orderBy(col("from_type"))
+  }
+
+  val markovAccuracySql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s AS (SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |p AS (SELECT from_type, to_type AS predicted, n AS n_hits
+      |  FROM (SELECT c.*, row_number() OVER (PARTITION BY from_type
+      |      ORDER BY n DESC, to_type) AS rk FROM c) WHERE rk = 1),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_total
+      |  FROM c GROUP BY 1)
+      |SELECT p.from_type, predicted, n_total, n_hits,
+      |  round(CAST(n_hits AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS acc
+      |FROM p JOIN t ON p.from_type = t.from_type
+      |ORDER BY p.from_type""".stripMargin
+
+  /** Replay-idempotent streaming sink parity — the SIXTH oracle-gated
+    * streaming query, gating the exactly-once DELIVERY story the
+    * in-engine gates (q177–q209) don't touch: events stream through
+    * [[EventStreams.idempotentAppendSink]] (foreachBatch anti-join
+    * append — the portable MERGE onto plain parquet) TWICE, the second
+    * run with a FRESH checkpoint so every micro-batch is re-delivered
+    * from scratch — the worst-case duplicate-delivery failure a real
+    * pipeline recovers through. The target must still hash-match the
+    * batch oracle exactly (no duplicated event survives). Values ride
+    * as exact cents so the rollup is all-integer. Scale: the anti-join
+    * reads only the id column of the target (column pruning); at 100 TB
+    * the existing-ids side is a bucketed key index, same plan.
+    */
+  val streamReplaySink: Q = (s, dir) => {
+    val srcDir = scratch("graft_stream_replay_src")
+    val tgtDir = scratch("graft_stream_replay_tgt")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    def deliverOnce(cpName: String): Unit = {
+      val cp = scratch(cpName)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val sq = EventStreams.idempotentAppendSink(
+        stream, tgtDir.toString, cp.toString, "event_id", availableNow = true)
+      sq.awaitTermination()
+    }
+    deliverOnce("graft_stream_replay_cp1")
+    // fresh checkpoint: the source replays every batch from zero —
+    // duplicate delivery end to end; the sink must absorb it
+    deliverOnce("graft_stream_replay_cp2")
+    s.read.parquet(tgtDir.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamReplaySinkSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS total_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Content-addressed shard manifest (the corpus-sync etag: rsync for
+    * training shards — compose with q152/q154's CDC and q205's HRW
+    * assignment): every doc's md5 fingerprint rolls up into a
+    * per-shard digest two levels deep — fingerprints sort and hash
+    * within a (shard, first-hex-digit) bucket, bucket digests sort and
+    * hash into the shard etag. Two writers that produce the same doc
+    * set produce the same etag REGARDLESS of row order (sorted
+    * concatenation), and a one-doc change flips exactly one bucket
+    * digest — the property a sync planner diffs on. The hierarchy is
+    * the scale path: per-group state is \|bucket\|-bounded, and deeper
+    * prefix levels bound it at any corpus size (vs one flat
+    * sort-concat per shard). Scale: zero-shuffle HRW assignment (q205),
+    * two keyed aggs.
+    */
+  val shardManifest: Q = (s, dir) => {
+    val S = 8
+    val weights = array((0 until S).map { i =>
+      struct(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":" + i))), 1, 15), 16, 10).cast("long").as("w"),
+        lit(i).as("shard"))
+    }: _*)
+    val assigned = t(s, dir, "documents")
+      .select(array_max(weights).getField("shard").as("shard"),
+        md5(col("text").cast("binary")).as("fp"))
+    val buckets = assigned
+      .withColumn("bucket", substring(col("fp"), 1, 1))
+      .groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        md5(array_join(sort_array(collect_list(col("fp"))), "")
+          .cast("binary")).as("digest"))
+    buckets.groupBy(col("shard"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_buckets"),
+        md5(array_join(sort_array(collect_list(col("digest"))), "")
+          .cast("binary")).as("etag"))
+      .orderBy(col("shard"))
+  }
+
+  val shardManifestSql: String =
+    """WITH w AS (SELECT doc_id, md5(text) AS fp,
+      |    CAST(r.range AS INTEGER) AS shard,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'
+      |      ||CAST(r.range AS VARCHAR)), 1, 15))::BIGINT AS wt
+      |  FROM documents CROSS JOIN range(8) r),
+      |pick AS (SELECT fp, shard FROM (SELECT fp, shard, row_number()
+      |    OVER (PARTITION BY doc_id ORDER BY wt DESC, shard DESC) AS rn
+      |  FROM w) WHERE rn = 1),
+      |b AS (SELECT shard, substr(fp, 1, 1) AS bucket, count(*) AS n,
+      |    md5(string_agg(fp, '' ORDER BY fp)) AS digest
+      |  FROM pick GROUP BY shard, bucket)
+      |SELECT shard, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  count(*) AS n_buckets,
+      |  md5(string_agg(digest, '' ORDER BY digest)) AS etag
+      |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -8572,6 +8801,10 @@ object Queries {
     "q209_stream_sessions" -> streamSessions,
     "q210_label_separability" -> labelSeparability,
     "q211_ndcg_eval" -> ndcgEval,
+    "q212_modularity_audit" -> modularityAudit,
+    "q213_markov_accuracy" -> markovAccuracy,
+    "q214_stream_replay_sink" -> streamReplaySink,
+    "q215_shard_manifest" -> shardManifest,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -8785,5 +9018,9 @@ object Queries {
     "q208_stream_interval_join" -> streamIntervalJoinSql,
     "q209_stream_sessions" -> streamSessionsSql,
     "q210_label_separability" -> labelSeparabilitySql,
-    "q211_ndcg_eval" -> ndcgEvalSql)
+    "q211_ndcg_eval" -> ndcgEvalSql,
+    "q212_modularity_audit" -> modularityAuditSql,
+    "q213_markov_accuracy" -> markovAccuracySql,
+    "q214_stream_replay_sink" -> streamReplaySinkSql,
+    "q215_shard_manifest" -> shardManifestSql)
 }

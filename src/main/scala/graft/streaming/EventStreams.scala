@@ -143,10 +143,16 @@ object EventStreams {
     * read narrows to `idCol` only (column pruning) or a key index table.
     */
   def idempotentAppendSink(events: DataFrame, targetDir: String,
-                           checkpointDir: String, idCol: String = "event_id")
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+                           checkpointDir: String, idCol: String = "event_id",
+                           availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = events.writeStream
       .option("checkpointLocation", checkpointDir)
+    val withTrigger =
+      if (availableNow)
+        base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else base
+    withTrigger
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         val deduped = batch.dropDuplicates(idCol)
@@ -159,4 +165,5 @@ object EventStreams {
         ()
       }
       .start()
+  }
 }

@@ -192,7 +192,15 @@ object ScaleBench {
       graft.Queries.streamSessions(s, d).count()),
     "label_separability" -> ((s, d) =>
       graft.Queries.labelSeparability(s, d).count()),
-    "ndcg_eval" -> ((s, d) => graft.Queries.ndcgEval(s, d).count()))
+    "ndcg_eval" -> ((s, d) => graft.Queries.ndcgEval(s, d).count()),
+    "modularity_audit" -> ((s, d) =>
+      graft.Queries.modularityAudit(s, d).count()),
+    "markov_accuracy" -> ((s, d) =>
+      graft.Queries.markovAccuracy(s, d).count()),
+    "stream_replay_sink" -> ((s, d) =>
+      graft.Queries.streamReplaySink(s, d).count()),
+    "shard_manifest" -> ((s, d) =>
+      graft.Queries.shardManifest(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
