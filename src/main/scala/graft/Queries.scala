@@ -46,6 +46,21 @@ object Queries {
     p
   }
 
+  /** Run `body` with a reduced shuffle-partition count, restoring the
+    * session value after. Streaming gates use this: a stateful query
+    * instantiates one state store per shuffle partition PER micro-batch
+    * (checkpoint fsync each), so 32 partitions over gate-sized state is
+    * pure per-batch overhead — 8 cuts the constant without touching
+    * results (all gates end in deterministic sorts/aggs; outputs are
+    * checked value-identical across parallelism). Production sizes this
+    * to state volume, not to the batch default.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** Exact order-independent sum of a money-ish double column: per-row
     * decimal cast → decimal sum → double.
     */
@@ -6134,7 +6149,7 @@ object Queries {
     * feed uses — the lambda-architecture unification argument, here
     * verified by hash equality instead of asserted.
     */
-  val streamHourly: Q = (s, dir) => {
+  val streamHourly: Q = (s, dir) => withShufflePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
     val srcDir = scratch("graft_stream_src")
@@ -6959,7 +6974,7 @@ object Queries {
     * cluster ingest keeps in RocksDB; a 100 TB backfill drains through
     * the identical pipeline via AvailableNow.
     */
-  val streamDedup: Q = (s, dir) => {
+  val streamDedup: Q = (s, dir) => withShufflePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val srcDir = scratch("graft_stream_dedup_src")
@@ -7149,7 +7164,7 @@ object Queries {
     * modulus so every SF binds. Scale: the static side is a broadcast
     * dim; stream state is the |nations×types| aggregate, bounded.
     */
-  val streamEnrich: Q = (s, dir) => {
+  val streamEnrich: Q = (s, dir) => withShufflePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{LongType, StructField, StructType, StringType}
     val srcDir = scratch("graft_stream_enrich_src")
@@ -8084,7 +8099,7 @@ object Queries {
     * (one stateful op per stream — the Spark multi-stateful
     * restriction).
     */
-  val streamIntervalJoin: Q = (s, dir) => {
+  val streamIntervalJoin: Q = (s, dir) => withShufflePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
     val srcDir = scratch("graft_stream_ssjoin_src")
@@ -8145,7 +8160,7 @@ object Queries {
     * evicted by timeout; this is the production ingest-sessionizer
     * shape.
     */
-  val streamSessions: Q = (s, dir) => {
+  val streamSessions: Q = (s, dir) => withShufflePartitions(s, 8) {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     val srcDir = scratch("graft_stream_sess_src")
@@ -8497,7 +8512,7 @@ object Queries {
     * reads only the id column of the target (column pruning); at 100 TB
     * the existing-ids side is a bucketed key index, same plan.
     */
-  val streamReplaySink: Q = (s, dir) => {
+  val streamReplaySink: Q = (s, dir) => withShufflePartitions(s, 8) {
     val srcDir = scratch("graft_stream_replay_src")
     val tgtDir = scratch("graft_stream_replay_tgt")
     Tables.events(s, dir)
