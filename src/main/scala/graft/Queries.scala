@@ -8603,6 +8603,258 @@ object Queries {
       |  md5(string_agg(digest, '' ORDER BY digest)) AS etag
       |FROM b GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** CCNet-style perplexity bucketing (Wenzek '20 §4.3: split the
+    * corpus into head/middle/tail thirds by LM perplexity; the head
+    * feeds training, the tail is reviewed): q126's unigram surprisal
+    * stands in for the LM, and the tertile cuts are EXACT order
+    * statistics computed over the VALUE DOMAIN — distinct 6-dp
+    * surprisal values → cumulative counts → first value with
+    * 3·cum ≥ k·n (pure integer rank tests, the q123/q181/q199
+    * discipline; never a corpus-sized global sort). Docs AT a cut go to
+    * the lower bucket (≤, deterministic under ties). Per-bucket mean
+    * surprisal re-enters DECIMAL (values are already 6-dp-rounded, so
+    * the cast is exact). Scale: one token join (q126), then all
+    * bucketing work on the |distinct values| grid.
+    */
+  val perplexityBuckets: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.pin(t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextStats.tokens(lower(col("text")))).as("tok")))
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freqs.agg(sum(col("c")).as("total"))
+    val scored = freqs.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(-log(col("c").cast("double") / col("total").cast("double")), 8)
+          .cast("decimal(18,8)").as("sp"))
+    val perDoc = Dedup.pin(toks.join(scored, Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(round(sum(col("sp")).cast("double") / count(lit(1)), 6).as("surp")))
+    val n1 = perDoc.agg(count(lit(1)).as("n"))
+    val wv = Window.partitionBy(lit(1)).orderBy(col("surp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perDoc.groupBy(col("surp")).agg(count(lit(1)).as("m"))
+      .withColumn("cum", sum(col("m")).over(wv))
+      .crossJoin(broadcast(n1))
+    val cut1 = cum.filter(col("cum") * 3 >= col("n")).agg(min(col("surp")).as("c1"))
+    val cut2 = cum.filter(col("cum") * 3 >= col("n") * 2).agg(min(col("surp")).as("c2"))
+    perDoc.crossJoin(broadcast(cut1)).crossJoin(broadcast(cut2))
+      .select(col("source"),
+        when(col("surp") <= col("c1"), "head")
+          .when(col("surp") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("surp").cast("decimal(18,6)").as("sd"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("sd")).cast("double") / count(lit(1)), 6)
+          .as("mean_surprisal"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val perplexityBucketsSql: String =
+    """WITH tk AS (SELECT doc_id, source,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |f AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+      |tt AS (SELECT sum(c) AS total FROM f),
+      |sc AS (SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+      |    / CAST(total AS DOUBLE)), 8) AS DECIMAL(18,8)) AS sp FROM f, tt),
+      |pd AS (SELECT doc_id, source,
+      |    round(CAST(sum(sp) AS DOUBLE) / count(*), 6) AS surp
+      |  FROM tk JOIN sc USING (tok) GROUP BY doc_id, source),
+      |n1 AS (SELECT count(*) AS n FROM pd),
+      |cumt AS (SELECT surp, sum(count(*)) OVER (ORDER BY surp) AS cum
+      |  FROM pd GROUP BY surp),
+      |c1 AS (SELECT min(surp) AS c1 FROM cumt, n1 WHERE cum * 3 >= n),
+      |c2 AS (SELECT min(surp) AS c2 FROM cumt, n1 WHERE cum * 3 >= n * 2)
+      |SELECT source,
+      |  CASE WHEN surp <= c1 THEN 'head' WHEN surp <= c2 THEN 'middle'
+      |    ELSE 'tail' END AS bucket,
+      |  count(*) AS n_docs,
+      |  round(CAST(sum(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+      |    AS mean_surprisal
+      |FROM pd CROSS JOIN c1 CROSS JOIN c2
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Language-ID confusion matrix (the eval for q28's n-gram
+    * classifier against the labeled lang column — the audit run before
+    * trusting a detector to route a multilingual crawl): (labeled,
+    * predicted) counts plus per-labeled-language recall shares.
+    * Everything integer until the single share division; the frame is
+    * langs²-bounded after one classification scan.
+    */
+  val langidConfusion: Q = (s, dir) => {
+    val cm = Dedup.pin(t(s, dir, "documents")
+      .select(col("lang").as("labeled"),
+        TextStats.languageId(col("text")).as("predicted"))
+      .groupBy(col("labeled"), col("predicted")).agg(count(lit(1)).as("n")))
+    val tot = cm.groupBy(col("labeled")).agg(sum(col("n")).as("n_labeled"))
+    cm.join(broadcast(tot), Seq("labeled"))
+      .select(col("labeled"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("n_labeled").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("labeled"), col("predicted"))
+  }
+
+  val langidConfusionSql: String = {
+    val packs = TextStats.defaultProfiles.toSeq.sortBy(_._1).map {
+      case (lang, grams) =>
+        s"lpad(CAST(length(regexp_extract_all(lower(text), '${grams.mkString("|")}')) " +
+          s"AS VARCHAR), 10, '0') || '$lang'"
+    }.mkString(", ")
+    s"""WITH p AS (SELECT lang AS labeled,
+       |    substr(greatest($packs), 11) AS predicted FROM documents),
+       |cm AS (SELECT labeled, predicted, count(*) AS n FROM p
+       |  GROUP BY 1, 2),
+       |tt AS (SELECT labeled, CAST(sum(n) AS BIGINT) AS n_labeled
+       |  FROM cm GROUP BY 1)
+       |SELECT cm.labeled, predicted, n,
+       |  round(CAST(n AS DOUBLE) / CAST(n_labeled AS DOUBLE), 6) AS share
+       |FROM cm JOIN tt ON cm.labeled = tt.labeled
+       |ORDER BY cm.labeled, predicted""".stripMargin
+  }
+
+  /** Memorization-risk coverage: the share of each source's characters
+    * covered by CROSS-DOCUMENT 13-grams (grams appearing in ≥ 2
+    * distinct docs) — the statistic behind verbatim-memorization audits
+    * (Lee '22 §5 measures dup-substring mass; this is its coverage
+    * form). Interval union is computed WITHOUT interval logic: with
+    * equal-length K intervals sorted by start, each covered position
+    * adds exactly min(K, i − i_prev) new chars (first adds K) — one
+    * lag() per doc, all integer. Per-source ratio is a ratio of integer
+    * SUMS (covered / total chars), never an average of per-doc floats.
+    * Scale: the position explode is the winnowing cost (q132/q145 —
+    * ~n_chars rows per doc); gram hashes shuffle, text never does.
+    */
+  val memorizationCoverage: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = 13
+    val docs = Dedup.pin(t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("text"), length(col("text")).cast("long").as("len")))
+    val pos = Dedup.pin(docs.filter(col("len") >= K)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), (col("len") - (K - 1)).cast("int"))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("source"), col("i"),
+        conv(substring(md5(col("text").substr(col("i"), lit(K))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("h")))
+    val freq = pos.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val perDoc = pos.join(freq.select(col("h")), Seq("h"), "left_semi")
+      .withColumn("prev", lag(col("i"), 1).over(w))
+      .select(col("doc_id"),
+        when(col("prev").isNull, lit(K.toLong))
+          .otherwise(least(lit(K.toLong), (col("i") - col("prev")).cast("long")))
+          .as("add"))
+      .groupBy(col("doc_id")).agg(sum(col("add")).as("covered"))
+    docs.select(col("doc_id"), col("source"), col("len"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("source"), coalesce(col("covered"), lit(0L)).as("cov"),
+        col("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cov")).as("covered_chars"),
+        sum(col("len")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("covered_chars"),
+        col("total_chars"),
+        round(col("covered_chars").cast("double")
+          / col("total_chars").cast("double"), 6).as("cov_share"))
+      .orderBy(col("source"))
+  }
+
+  val memorizationCoverageSql: String =
+    """WITH d AS (SELECT doc_id, source, text,
+      |    CAST(length(text) AS BIGINT) AS len FROM documents),
+      |pos AS (SELECT doc_id, source, i,
+      |    ('0x'||substr(md5(substr(text, i, 13)), 1, 15))::BIGINT AS h
+      |  FROM d, unnest(generate_series(1, CAST(len - 12 AS INTEGER)))
+      |    AS t(i)
+      |  WHERE len >= 13),
+      |freq AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM pos)
+      |  GROUP BY h HAVING count(*) >= 2),
+      |cov AS (SELECT doc_id, i FROM pos WHERE h IN (SELECT h FROM freq)),
+      |contrib AS (SELECT doc_id,
+      |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+      |      THEN 13 ELSE least(13,
+      |        i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)) END AS a
+      |  FROM cov),
+      |pd AS (SELECT doc_id, CAST(sum(a) AS BIGINT) AS covered
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(coalesce(covered, 0)) AS BIGINT) AS covered_chars,
+      |  CAST(sum(len) AS BIGINT) AS total_chars,
+      |  round(CAST(sum(coalesce(covered, 0)) AS DOUBLE)
+      |    / CAST(sum(len) AS DOUBLE), 6) AS cov_share
+      |FROM d LEFT JOIN pd USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Pairwise Jensen–Shannon divergence matrix between source language
+    * models (Lin '91; the symmetric, bounded complement of q166's
+    * per-source-vs-corpus KL — the matrix a mixture designer clusters
+    * sources by): smoothed hashed-bigram distributions over B=1024
+    * buckets (the q156/q166 model), densified per source, then one
+    * bucket-keyed self-join gives every (i<j, b) cell. Each JS term is
+    * ONE compound float expression rounded to 8 places → DECIMAL (the
+    * q126 ln discipline) so the per-pair sum is exact. Scale: the
+    * matrix costs |sources|²·B/2 cells INDEPENDENT of corpus size —
+    * the corpus is touched once to build the B-bounded models.
+    */
+  val jsDivergenceMatrix: Q = (s, dir) => {
+    val B = 1024
+    val feats = Dedup.pin(t(s, dir, "documents")
+      .select(col("source"), TextStats.tokens(lower(col("text"))).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(col("source"), explode(TextStats.wordBigrams(col("tok"))).as("g"))
+      .select(col("source"),
+        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % B)
+          .as("b")))
+    val srcCounts = feats.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("cs"))
+    val srcTotals = feats.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val dense = srcTotals
+      .select(col("source"), col("ns"),
+        explode(sequence(lit(0L), lit((B - 1).toLong))).as("b"))
+      .join(srcCounts, Seq("source", "b"), "left")
+      .select(col("source"), col("b"),
+        ((coalesce(col("cs"), lit(0L)) + 1).cast("double")
+          / (col("ns") + B).cast("double")).as("p"))
+    def jsTerm(pa: Column, pb: Column): Column =
+      lit(0.5) * (pa * log(pa / ((pa + pb) / 2))
+        + pb * log(pb / ((pa + pb) / 2)))
+    dense.as("a").join(dense.as("c"),
+        col("a.b") === col("c.b") && col("a.source") < col("c.source"))
+      .select(col("a.source").as("source_a"), col("c.source").as("source_b"),
+        round(jsTerm(col("a.p"), col("c.p")), 8).cast("decimal(18,8)")
+          .as("term"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(sum(col("term")).cast("double"), 8).as("js"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val jsDivergenceMatrixSql: String =
+    """WITH toks AS (SELECT source,
+      |    regexp_extract_all(lower(text), '\S+') AS tok FROM documents
+      |  WHERE length(regexp_extract_all(lower(text), '\S+')) >= 2),
+      |g AS (SELECT source, unnest(list_transform(generate_series(1, len(tok)-1),
+      |    i -> tok[i] || ' ' || tok[i+1])) AS g FROM toks),
+      |f AS (SELECT source,
+      |    ('0x'||substr(md5(g),1,15))::BIGINT % 1024 AS b FROM g),
+      |sc AS (SELECT source, b, count(*) AS cs FROM f GROUP BY 1, 2),
+      |st AS (SELECT source, count(*) AS ns FROM f GROUP BY 1),
+      |dense AS (SELECT st.source, gs.b,
+      |    CAST(coalesce(cs, 0) + 1 AS DOUBLE) / CAST(ns + 1024 AS DOUBLE)
+      |      AS p
+      |  FROM st CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS b) gs
+      |  LEFT JOIN sc ON sc.source = st.source AND sc.b = gs.b)
+      |SELECT a.source AS source_a, c.source AS source_b,
+      |  round(CAST(sum(CAST(round(0.5 * (a.p * ln(a.p / ((a.p + c.p) / 2))
+      |    + c.p * ln(c.p / ((a.p + c.p) / 2))), 8) AS DECIMAL(18,8)))
+      |    AS DOUBLE), 8) AS js
+      |FROM dense a JOIN dense c ON a.b = c.b AND a.source < c.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -8820,6 +9072,10 @@ object Queries {
     "q213_markov_accuracy" -> markovAccuracy,
     "q214_stream_replay_sink" -> streamReplaySink,
     "q215_shard_manifest" -> shardManifest,
+    "q216_perplexity_buckets" -> perplexityBuckets,
+    "q217_langid_confusion" -> langidConfusion,
+    "q218_memorization_coverage" -> memorizationCoverage,
+    "q219_js_divergence_matrix" -> jsDivergenceMatrix,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -9037,5 +9293,9 @@ object Queries {
     "q212_modularity_audit" -> modularityAuditSql,
     "q213_markov_accuracy" -> markovAccuracySql,
     "q214_stream_replay_sink" -> streamReplaySinkSql,
-    "q215_shard_manifest" -> shardManifestSql)
+    "q215_shard_manifest" -> shardManifestSql,
+    "q216_perplexity_buckets" -> perplexityBucketsSql,
+    "q217_langid_confusion" -> langidConfusionSql,
+    "q218_memorization_coverage" -> memorizationCoverageSql,
+    "q219_js_divergence_matrix" -> jsDivergenceMatrixSql)
 }

@@ -200,7 +200,15 @@ object ScaleBench {
     "stream_replay_sink" -> ((s, d) =>
       graft.Queries.streamReplaySink(s, d).count()),
     "shard_manifest" -> ((s, d) =>
-      graft.Queries.shardManifest(s, d).count()))
+      graft.Queries.shardManifest(s, d).count()),
+    "perplexity_buckets" -> ((s, d) =>
+      graft.Queries.perplexityBuckets(s, d).count()),
+    "langid_confusion" -> ((s, d) =>
+      graft.Queries.langidConfusion(s, d).count()),
+    "memorization_coverage" -> ((s, d) =>
+      graft.Queries.memorizationCoverage(s, d).count()),
+    "js_divergence_matrix" -> ((s, d) =>
+      graft.Queries.jsDivergenceMatrix(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
