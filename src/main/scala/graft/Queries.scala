@@ -8813,13 +8813,15 @@ object Queries {
     val srcCounts = feats.groupBy(col("source"), col("b"))
       .agg(count(lit(1)).as("cs"))
     val srcTotals = feats.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val dense = srcTotals
+    // pin the |sources|·B model frame: the self-join would otherwise
+    // re-derive the corpus-sized bigram aggregation once per side
+    val dense = Dedup.pin(srcTotals
       .select(col("source"), col("ns"),
         explode(sequence(lit(0L), lit((B - 1).toLong))).as("b"))
       .join(srcCounts, Seq("source", "b"), "left")
       .select(col("source"), col("b"),
         ((coalesce(col("cs"), lit(0L)) + 1).cast("double")
-          / (col("ns") + B).cast("double")).as("p"))
+          / (col("ns") + B).cast("double")).as("p")))
     def jsTerm(pa: Column, pb: Column): Column =
       lit(0.5) * (pa * log(pa / ((pa + pb) / 2))
         + pb * log(pb / ((pa + pb) / 2)))
