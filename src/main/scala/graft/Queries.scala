@@ -8857,6 +8857,189 @@ object Queries {
       |FROM dense a JOIN dense c ON a.b = c.b AND a.source < c.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Tokenizer-vocabulary OOV audit: share of token instances per
+    * source falling outside the top-500 corpus vocabulary — the
+    * coverage check run before freezing a vocab (the fixed-vocab
+    * complement of q122's vocab-growth curve and q129's BPE). Vocab
+    * selection is a TakeOrdered top-V on (count desc, token) — total
+    * order, boundary ties resolved lexicographically, identical in the
+    * oracle's ORDER BY/LIMIT. OOV tally via one broadcast join of the
+    * V-row vocab; the rate is a single long/long division. Scale: one
+    * token-keyed count, top-V never materializes the tail.
+    */
+  val oovRate: Q = (s, dir) => {
+    val toks = Dedup.pin(t(s, dir, "documents")
+      .select(col("source"), explode(TextStats.tokens(lower(col("text")))).as("tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(500)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  val oovRateSql: String =
+    """WITH tk AS (SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk GROUP BY tok
+      |  ORDER BY c DESC, tok LIMIT 500))
+      |SELECT source, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN tk.tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS n_oov,
+      |  round(CAST(sum(CASE WHEN tk.tok IN (SELECT tok FROM v) THEN 0
+      |      ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+      |FROM tk GROUP BY source ORDER BY source""".stripMargin
+
+  /** Type–token ratio at a FIXED token budget per source (lexical
+    * diversity, Templin '57 — raw TTR is length-biased, so every
+    * source is measured on exactly 200 deterministically-sampled token
+    * instances): two-phase deterministic sample (q57/q186 discipline) —
+    * an md5-u threshold keeps an expected 3× budget, then an exact
+    * row_number over (u, doc_id, pos) takes the first 200 — so the
+    * sample is a pure function of the data, identical in both engines,
+    * and the per-source rank window runs over the THRESHOLDED stream
+    * (~3·budget rows), never the corpus. TTR = distinct/sampled, one
+    * division. Scale: budget is constant, so per-source work is
+    * constant past the threshold scan.
+    */
+  val ttrBudget: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val N = 200
+    val toks = Dedup.pin(t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(TextStats.tokens(lower(col("text")))).as(Seq("pos", "tok"))))
+    val perSrc = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("pos").cast("string"))), 1, 15), 16, 10).cast("long")
+    val thresholded = toks.join(broadcast(perSrc), Seq("source"))
+      .withColumn("u", u)
+      // keep expected 3N of n_s (double compare, the q186 idiom —
+      // integer cross-multiply would overflow Long at 2^60 · n_s)
+      .filter(col("u").cast("double") / lit(math.pow(2, 60)) <
+        least(lit(1.0), lit(3.0 * N) / col("n_s").cast("double")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("u"), col("doc_id"), col("pos"))
+    thresholded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= N)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("tok")).as("n_types"))
+      .select(col("source"), col("n_sampled"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_sampled").cast("double"), 6)
+          .as("ttr"))
+      .orderBy(col("source"))
+  }
+
+  val ttrBudgetSql: String =
+    """WITH tk AS (SELECT doc_id, source, i - 1 AS pos, tok[i] AS tok
+      |  FROM (SELECT doc_id, source,
+      |      regexp_extract_all(lower(text), '\S+') AS tok FROM documents),
+      |    unnest(generate_series(1, len(tok))) AS t(i)),
+      |ps AS (SELECT source, count(*) AS n_s FROM tk GROUP BY source),
+      |th AS (SELECT tk.*, ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'
+      |      ||CAST(pos AS VARCHAR)), 1, 15))::BIGINT AS u, n_s
+      |  FROM tk JOIN ps USING (source)
+      |  WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'
+      |      ||CAST(pos AS VARCHAR)), 1, 15))::BIGINT
+      |      / CAST(pow(2, 60) AS DOUBLE)
+      |    < least(1.0, 600.0 / CAST(n_s AS DOUBLE))),
+      |rk AS (SELECT source, tok, row_number() OVER (PARTITION BY source
+      |    ORDER BY u, doc_id, pos) AS rn FROM th)
+      |SELECT source, count(*) AS n_sampled,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+      |  round(CAST(count(DISTINCT tok) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS ttr
+      |FROM rk WHERE rn <= 200 GROUP BY source ORDER BY source""".stripMargin
+
+  /** Deterministic Poisson bootstrap CI for per-source mean document
+    * length (Chamandy '12, "Estimating uncertainty for massive data
+    * streams" — the Google large-scale bootstrap: per-replicate
+    * Poisson(1) weights instead of resampling, so one pass computes all
+    * B replicates): weights come from an md5-keyed uniform pushed
+    * through the Poisson(1) inverse CDF at 60-bit integer thresholds —
+    * the thresholds are computed ONCE in the builder and inlined
+    * IDENTICALLY into both engines, so the "randomness" is a pure
+    * function of (doc_id, replicate). Replicate means are exact-integer
+    * ratios (Σw·x / Σw, single double division); the 5%/95% CI bounds
+    * are order statistics (ranks 2 and B−1 of B=40) — no float
+    * accumulates anywhere. Scale: explode ×B multiplies row count, but
+    * state is |sources|·B cells — the textbook scalable bootstrap.
+    */
+  val bootstrapCi: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val B = 40
+    val cum = { // Poisson(1) CDF at k = 0..4
+      var c = 0.0; var fact = 1.0
+      (0 to 4).map { k => if (k > 0) fact *= k; c += math.exp(-1.0) / fact; c }
+    }
+    val th = cum.map(c => (c * math.pow(2, 60)).toLong)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("b").cast("string"))), 1, 15), 16, 10).cast("long")
+    val weighted = docs.withColumn("w",
+      when(u < th(0), 0L).when(u < th(1), 1L).when(u < th(2), 2L)
+        .when(u < th(3), 3L).when(u < th(4), 4L).otherwise(5L))
+    val cells = weighted.groupBy(col("source"), col("b"))
+      .agg(sum(col("w")).as("sw"),
+        sum(col("w") * col("n_chars")).as("swx"))
+      .filter(col("sw") > 0)
+      .select(col("source"), col("b"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("m"))
+    val wr = Window.partitionBy(col("source")).orderBy(col("m"), col("b"))
+    val ranked = cells.withColumn("rn", row_number().over(wr))
+    val lo = ranked.filter(col("rn") === 2)
+      .select(col("source"), round(col("m"), 6).as("ci_lo"))
+    val hi = ranked.filter(col("rn") === B - 1)
+      .select(col("source"), round(col("m"), 6).as("ci_hi"))
+    val obs = t(s, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+          .as("mean_chars"))
+    obs.join(lo, Seq("source")).join(hi, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_chars"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy(col("source"))
+  }
+
+  val bootstrapCiSql: String = {
+    val cum = {
+      var c = 0.0; var fact = 1.0
+      (0 to 4).map { k => if (k > 0) fact *= k; c += math.exp(-1.0) / fact; c }
+    }
+    val th = cum.map(c => (c * math.pow(2, 60)).toLong)
+    s"""WITH r AS (SELECT doc_id, source, n_chars,
+       |    CAST(rep.range AS INTEGER) AS b,
+       |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'
+       |      ||CAST(rep.range AS VARCHAR)), 1, 15))::BIGINT AS u
+       |  FROM documents CROSS JOIN range(40) rep),
+       |wtd AS (SELECT source, b, n_chars,
+       |    CASE WHEN u < ${th(0)} THEN 0 WHEN u < ${th(1)} THEN 1
+       |      WHEN u < ${th(2)} THEN 2 WHEN u < ${th(3)} THEN 3
+       |      WHEN u < ${th(4)} THEN 4 ELSE 5 END AS w FROM r),
+       |cells AS (SELECT source, b,
+       |    CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+       |  FROM wtd GROUP BY source, b HAVING sum(w) > 0),
+       |rk AS (SELECT source, b, m, row_number() OVER (PARTITION BY source
+       |    ORDER BY m, b) AS rn FROM cells),
+       |lo AS (SELECT source, round(m, 6) AS ci_lo FROM rk WHERE rn = 2),
+       |hi AS (SELECT source, round(m, 6) AS ci_hi FROM rk WHERE rn = 39),
+       |obs AS (SELECT source, count(*) AS n_docs,
+       |    round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+       |  FROM documents GROUP BY source)
+       |SELECT obs.source, n_docs, mean_chars, ci_lo, ci_hi
+       |FROM obs JOIN lo ON obs.source = lo.source
+       |JOIN hi ON obs.source = hi.source
+       |ORDER BY obs.source""".stripMargin
+  }
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -9078,6 +9261,9 @@ object Queries {
     "q217_langid_confusion" -> langidConfusion,
     "q218_memorization_coverage" -> memorizationCoverage,
     "q219_js_divergence_matrix" -> jsDivergenceMatrix,
+    "q220_oov_rate" -> oovRate,
+    "q221_ttr_budget" -> ttrBudget,
+    "q222_bootstrap_ci" -> bootstrapCi,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -9299,5 +9485,8 @@ object Queries {
     "q216_perplexity_buckets" -> perplexityBucketsSql,
     "q217_langid_confusion" -> langidConfusionSql,
     "q218_memorization_coverage" -> memorizationCoverageSql,
-    "q219_js_divergence_matrix" -> jsDivergenceMatrixSql)
+    "q219_js_divergence_matrix" -> jsDivergenceMatrixSql,
+    "q220_oov_rate" -> oovRateSql,
+    "q221_ttr_budget" -> ttrBudgetSql,
+    "q222_bootstrap_ci" -> bootstrapCiSql)
 }

@@ -208,7 +208,10 @@ object ScaleBench {
     "memorization_coverage" -> ((s, d) =>
       graft.Queries.memorizationCoverage(s, d).count()),
     "js_divergence_matrix" -> ((s, d) =>
-      graft.Queries.jsDivergenceMatrix(s, d).count()))
+      graft.Queries.jsDivergenceMatrix(s, d).count()),
+    "oov_rate" -> ((s, d) => graft.Queries.oovRate(s, d).count()),
+    "ttr_budget" -> ((s, d) => graft.Queries.ttrBudget(s, d).count()),
+    "bootstrap_ci" -> ((s, d) => graft.Queries.bootstrapCi(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
