@@ -9040,6 +9040,126 @@ object Queries {
        |ORDER BY obs.source""".stripMargin
   }
 
+  /** Group-aware (leakage-safe) train/test split — the fix for q179's
+    * measured failure mode: folds assigned per NEAR-DUP CLUSTER, not
+    * per document, so a near-duplicate can never straddle train and
+    * eval (the contamination channel q179 audits). Clusters come from
+    * the q65 operator (blocked Jaccard + min-label components);
+    * singletons are their own cluster; fold = md5(cluster_id) % 5 —
+    * BY CONSTRUCTION a function of the cluster, so "no cluster spans
+    * folds" is structural, and the audit reports the per-fold balance a
+    * split consumer actually checks. Scale: q65's cost + one hash.
+    */
+  val groupSplit: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.blockedJaccardPairs(docs, "text", "doc_id",
+      Seq("lang", "n_chars"), threshold = 0.5)
+    val cl = Dedup.clusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+      .withColumn("fold",
+        (conv(substring(md5(col("cid").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 5).cast("int"))
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("cid")).as("n_clusters"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_tot"))
+      .orderBy(col("fold"))
+  }
+
+  val groupSplitSql: String =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, lang, n_chars,
+      |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS tok
+      | FROM documents WHERE length(regexp_extract_all(lower(text), '\S+')) > 0),
+      |edges AS (
+      | SELECT l.doc_id AS a, r.doc_id AS b
+      | FROM toks l JOIN toks r
+      |   ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+      | WHERE CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |       length(list_distinct(list_concat(l.tok, r.tok))) >= 0.5),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach AS (SELECT a, b FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+      |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |  FROM reach GROUP BY a),
+      |f AS (SELECT d.doc_id, d.n_chars,
+      |    coalesce(cluster_id, d.doc_id) AS cid
+      |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+      |SELECT CAST(('0x'||substr(md5(CAST(cid AS VARCHAR)), 1, 15))::BIGINT
+      |    % 5 AS INTEGER) AS fold,
+      |  CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_tot
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Position-based (U-shaped) multi-touch attribution — the 40/20/40
+    * credit model between q172's last-touch and a full Shapley: a
+    * user's purchase value credits 40% to the first touch, 40% to the
+    * last, 20% split over middles. Credit is EXACT-INTEGER basis
+    * points: middles get 2000 div (n−2) bp each and the remainder goes
+    * one bp apiece to the EARLIEST middles (deterministic water-fill,
+    * the q193 discipline) — so Σcredit ≡ 10000 bp per converting user
+    * by construction, and the only float is the final /10⁴ rendering.
+    * Value rides as exact cents. Scale: one window pass per user + a
+    * types-bounded rollup.
+    */
+  val positionAttribution: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("v"))
+      .filter(col("v") > 0)
+    val seq_ = ev.join(purch, Seq("user_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+    val bp = when(col("n") === 1, lit(10000L))
+      .when(col("n") === 2,
+        when(col("rn") === 1, 5000L).otherwise(5000L))
+      .when(col("rn") === 1, 4000L)
+      .when(col("rn") === col("n"), 4000L)
+      .otherwise(expr("2000 div (n - 2)")
+        + when(col("rn") - 1 <= expr("2000 % (n - 2)"), 1L).otherwise(0L))
+    seq_.select(col("event_type"), (bp * col("v")).as("credit"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("bp_cents"))
+      .select(col("event_type"), col("n_touches"),
+        round(col("bp_cents").cast("double") / 1000000.0, 2)
+          .as("attributed_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val positionAttributionSql: String =
+    """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS v FROM ev
+      |  WHERE event_type = 'purchase' GROUP BY user_id HAVING sum(cents) > 0),
+      |sq AS (SELECT ev.*, v,
+      |    row_number() OVER (PARTITION BY ev.user_id
+      |      ORDER BY ts, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY ev.user_id) AS n
+      |  FROM ev JOIN p ON ev.user_id = p.user_id),
+      |cr AS (SELECT event_type,
+      |    CASE WHEN n = 1 THEN 10000
+      |      WHEN n = 2 THEN 5000
+      |      WHEN rn = 1 THEN 4000
+      |      WHEN rn = n THEN 4000
+      |      ELSE 2000 // (n - 2)
+      |        + CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+      |      END * v AS credit
+      |  FROM sq)
+      |SELECT event_type, count(*) AS n_touches,
+      |  round(CAST(sum(credit) AS DOUBLE) / 1000000.0, 2)
+      |    AS attributed_value
+      |FROM cr GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -9264,6 +9384,8 @@ object Queries {
     "q220_oov_rate" -> oovRate,
     "q221_ttr_budget" -> ttrBudget,
     "q222_bootstrap_ci" -> bootstrapCi,
+    "q223_group_split" -> groupSplit,
+    "q224_position_attribution" -> positionAttribution,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -9488,5 +9610,7 @@ object Queries {
     "q219_js_divergence_matrix" -> jsDivergenceMatrixSql,
     "q220_oov_rate" -> oovRateSql,
     "q221_ttr_budget" -> ttrBudgetSql,
-    "q222_bootstrap_ci" -> bootstrapCiSql)
+    "q222_bootstrap_ci" -> bootstrapCiSql,
+    "q223_group_split" -> groupSplitSql,
+    "q224_position_attribution" -> positionAttributionSql)
 }

@@ -211,7 +211,10 @@ object ScaleBench {
       graft.Queries.jsDivergenceMatrix(s, d).count()),
     "oov_rate" -> ((s, d) => graft.Queries.oovRate(s, d).count()),
     "ttr_budget" -> ((s, d) => graft.Queries.ttrBudget(s, d).count()),
-    "bootstrap_ci" -> ((s, d) => graft.Queries.bootstrapCi(s, d).count()))
+    "bootstrap_ci" -> ((s, d) => graft.Queries.bootstrapCi(s, d).count()),
+    "group_split" -> ((s, d) => graft.Queries.groupSplit(s, d).count()),
+    "position_attribution" -> ((s, d) =>
+      graft.Queries.positionAttribution(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
