@@ -9160,6 +9160,111 @@ object Queries {
       |    AS attributed_value
       |FROM cr GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Dedup savings report — the business case a dedup pipeline ships
+    * with: per source, raw vs post-dedup (q20 exact keeper: min doc_id
+    * per content fingerprint) document and TOKEN counts and the token
+    * savings share. Composes the exact-dedup operator end-to-end and
+    * reports the number storage/training budgets are planned on.
+    * All integer; one division per source. Scale: fingerprints shuffle
+    * (16 bytes), tokens counted row-local before the keeper semi-join.
+    */
+  val dedupSavings: Q = (s, dir) => {
+    val docs = Dedup.pin(t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextStats.fingerprint(col("text")).as("fp"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tok")))
+    val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = docs.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("raw_docs"), sum(col("n_tok")).as("raw_tokens"))
+      .join(kept, Seq("source"))
+      .select(col("source"), col("raw_docs"), col("kept_docs"),
+        col("raw_tokens"), col("kept_tokens"),
+        round((col("raw_tokens") - col("kept_tokens")).cast("double")
+          / col("raw_tokens").cast("double"), 6).as("savings"))
+      .orderBy(col("source"))
+  }
+
+  val dedupSavingsSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    CAST(length(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+      |      AS n_tok
+      |  FROM documents),
+      |k AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+      |kept AS (SELECT source, count(*) AS kept_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+      |  FROM d JOIN k USING (fp, doc_id) GROUP BY source),
+      |raw AS (SELECT source, count(*) AS raw_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS raw_tokens FROM d GROUP BY source)
+      |SELECT raw.source, raw_docs, kept_docs, raw_tokens, kept_tokens,
+      |  round(CAST(raw_tokens - kept_tokens AS DOUBLE)
+      |    / CAST(raw_tokens AS DOUBLE), 6) AS savings
+      |FROM raw JOIN kept ON raw.source = kept.source
+      |ORDER BY raw.source""".stripMargin
+
+  /** Grouped exact OLS (per-source least-squares of char count on
+    * token count — the scaling-law-style fit every corpus report draws,
+    * done EXACTLY): all five sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx²) are exact integers off one scan, so slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) and intercept are single compound float expressions
+    * over exact inputs — grouped regression with zero cross-row float
+    * accumulation (q85's correlation discipline extended to the fit
+    * itself). r² from the same partials. Scale: |sources| rows of
+    * state; nothing leaves the keyed agg.
+    */
+  val groupedOls: Q = (s, dir) => {
+    val pts = t(s, dir, "documents")
+      .select(col("source"),
+        TextStats.tokenCount(col("text")).cast("long").as("x"),
+        col("n_chars").as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double")
+          - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r2"))
+      .orderBy(col("source"))
+  }
+
+  val groupedOlsSql: String =
+    """WITH p AS (SELECT source,
+      |    CAST(length(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+      |      AS x,
+      |    n_chars AS y FROM documents),
+      |st AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM p GROUP BY source)
+      |SELECT source, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE), 6) AS intercept,
+      |  round((CAST(n * sxy - sx * sy AS DOUBLE)
+      |    * CAST(n * sxy - sx * sy AS DOUBLE))
+      |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM st ORDER BY source""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -9386,6 +9491,8 @@ object Queries {
     "q222_bootstrap_ci" -> bootstrapCi,
     "q223_group_split" -> groupSplit,
     "q224_position_attribution" -> positionAttribution,
+    "q225_dedup_savings" -> dedupSavings,
+    "q226_grouped_ols" -> groupedOls,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -9612,5 +9719,7 @@ object Queries {
     "q221_ttr_budget" -> ttrBudgetSql,
     "q222_bootstrap_ci" -> bootstrapCiSql,
     "q223_group_split" -> groupSplitSql,
-    "q224_position_attribution" -> positionAttributionSql)
+    "q224_position_attribution" -> positionAttributionSql,
+    "q225_dedup_savings" -> dedupSavingsSql,
+    "q226_grouped_ols" -> groupedOlsSql)
 }

@@ -214,7 +214,9 @@ object ScaleBench {
     "bootstrap_ci" -> ((s, d) => graft.Queries.bootstrapCi(s, d).count()),
     "group_split" -> ((s, d) => graft.Queries.groupSplit(s, d).count()),
     "position_attribution" -> ((s, d) =>
-      graft.Queries.positionAttribution(s, d).count()))
+      graft.Queries.positionAttribution(s, d).count()),
+    "dedup_savings" -> ((s, d) => graft.Queries.dedupSavings(s, d).count()),
+    "grouped_ols" -> ((s, d) => graft.Queries.groupedOls(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
