@@ -9265,6 +9265,62 @@ object Queries {
       |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
       |FROM st ORDER BY source""".stripMargin
 
+  /** Sorted-neighborhood near-dup detection (Hernández–Stolfo '95 — the
+    * classic ALTERNATIVE to hash blocking (q128) and LSH banding (q21):
+    * sort on a discriminating key and compare each record only with its
+    * w−1 successors, O(n·w) comparisons total): docs sort within lang by
+    * (n_chars, doc_id); each pairs with its next 2 neighbors via lead()
+    * over DISTINCT-token arrays (no self-join at all — the window IS
+    * the candidate generator), then exact token-Jaccard ≥ 0.5 verifies.
+    * The Jaccard is one integer/integer division. Scale: one sort per
+    * lang partition + constant fan-out; the known failure mode (a dup
+    * whose key differs sorts far away) is why production composes this
+    * WITH q21's LSH — complementary recall. */
+  val sortedNeighborhood: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(TextStats.tokens(lower(col("text")))).as("tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val withNb = docs
+      .withColumn("nb1_id", lead(col("doc_id"), 1).over(w))
+      .withColumn("nb1_tok", lead(col("tok"), 1).over(w))
+      .withColumn("nb2_id", lead(col("doc_id"), 2).over(w))
+      .withColumn("nb2_tok", lead(col("tok"), 2).over(w))
+    def pairOf(idC: String, tokC: String) = withNb
+      .filter(col(idC).isNotNull)
+      .select(col("doc_id").as("id_a"), col(idC).as("id_b"),
+        (size(array_intersect(col("tok"), col(tokC))).cast("double")
+          / size(array_union(col("tok"), col(tokC))).cast("double")).as("j"))
+    pairOf("nb1_id", "nb1_tok").unionAll(pairOf("nb2_id", "nb2_tok"))
+      .filter(col("j") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val sortedNeighborhoodSql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars,
+      |    list_distinct(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |nb AS (SELECT doc_id, tok,
+      |    lead(doc_id, 1) OVER w AS nb1_id, lead(tok, 1) OVER w AS nb1_tok,
+      |    lead(doc_id, 2) OVER w AS nb2_id, lead(tok, 2) OVER w AS nb2_tok
+      |  FROM d WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+      |p AS (
+      |  SELECT doc_id AS id_a, nb1_id AS id_b,
+      |    CAST(length(list_intersect(tok, nb1_tok)) AS DOUBLE)
+      |      / CAST(length(list_distinct(list_concat(tok, nb1_tok)))
+      |        AS DOUBLE) AS j
+      |  FROM nb WHERE nb1_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, nb2_id,
+      |    CAST(length(list_intersect(tok, nb2_tok)) AS DOUBLE)
+      |      / CAST(length(list_distinct(list_concat(tok, nb2_tok)))
+      |        AS DOUBLE)
+      |  FROM nb WHERE nb2_id IS NOT NULL)
+      |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -9493,6 +9549,7 @@ object Queries {
     "q224_position_attribution" -> positionAttribution,
     "q225_dedup_savings" -> dedupSavings,
     "q226_grouped_ols" -> groupedOls,
+    "q227_sorted_neighborhood" -> sortedNeighborhood,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -9721,5 +9778,6 @@ object Queries {
     "q223_group_split" -> groupSplitSql,
     "q224_position_attribution" -> positionAttributionSql,
     "q225_dedup_savings" -> dedupSavingsSql,
-    "q226_grouped_ols" -> groupedOlsSql)
+    "q226_grouped_ols" -> groupedOlsSql,
+    "q227_sorted_neighborhood" -> sortedNeighborhoodSql)
 }

@@ -216,7 +216,9 @@ object ScaleBench {
     "position_attribution" -> ((s, d) =>
       graft.Queries.positionAttribution(s, d).count()),
     "dedup_savings" -> ((s, d) => graft.Queries.dedupSavings(s, d).count()),
-    "grouped_ols" -> ((s, d) => graft.Queries.groupedOls(s, d).count()))
+    "grouped_ols" -> ((s, d) => graft.Queries.groupedOls(s, d).count()),
+    "sorted_neighborhood" -> ((s, d) =>
+      graft.Queries.sortedNeighborhood(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
