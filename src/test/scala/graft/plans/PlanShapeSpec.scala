@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the round-7 operators — the
+  * scaladoc scale claims pinned by name so a regression in plan choice
+  * (broadcast → sort-merge, window → self-join, stray cartesian) fails
+  * a targeted test instead of only showing up as a bench delta.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.Queries.all(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q227 sorted-neighborhood generates candidates with NO join") {
+    val p = plan("q227_sorted_neighborhood")
+    assert(!p.contains("Join"), "the window is the candidate generator")
+    assert(p.contains("Window"), "lead() window expected")
+  }
+
+  test("q205 rendezvous assignment is join-free and sort-merge-free") {
+    val p = plan("q205_rendezvous_shards")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q220 vocab membership goes through a broadcast join") {
+    val p = plan("q220_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "500-row vocab must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q204 RRF lists come from TakeOrdered, anchors broadcast") {
+    val p = plan("q204_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(p.contains("Broadcast"), "1-row anchors must broadcast")
+  }
+
+  test("q207 rolling-active grid fans out via broadcast, not cartesian") {
+    val p = plan("q207_rolling_active_users")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "day-grid range join should broadcast the tiny grid side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q218 memorization coverage: hash joins only, no nested loop") {
+    val p = plan("q218_memorization_coverage")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"))
+  }
+
+  test("q212 modularity: class lookups broadcast at gate scale") {
+    val p = plan("q212_modularity_audit")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
