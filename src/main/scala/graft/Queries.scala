@@ -9321,6 +9321,135 @@ object Queries {
       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Pareto concentration audit — "how few sources carry 80% of the
+    * tokens?": the concentration number a mixture designer reads before
+    * deciding whether source-level weights matter at all (complement of
+    * q199's key-level Gini). Sources sort by token mass (desc, name
+    * tiebreak), the cumulative runs over the |sources|-row frame, and
+    * the 80% test is exact integer (5·cum ≥ 4·total). Output one row:
+    * how many sources reach 80%, the top source's share, totals.
+    */
+  val paretoCoverage: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = Dedup.pin(t(s, dir, "documents")
+      .select(col("source"), TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("tok")))
+    val tot = per.agg(sum(col("tok")).as("total"), count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col("tok").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("tok").desc, col("source"))))
+      .crossJoin(broadcast(tot))
+      .select(col("rk"), col("cum"), col("tok"), col("total"), col("n_sources"))
+      .filter(col("cum") * 5 >= col("total") * 4)
+      .agg(min(col("rk")).as("n_sources_80"),
+        max(col("n_sources")).as("n_sources"),
+        max(col("total")).as("total_tokens"),
+        round(max(when(col("rk") === 1, col("tok"))).cast("double")
+          / max(col("total")).cast("double"), 6).as("top_share"))
+  }
+
+  val paretoCoverageSql: String =
+    """WITH per AS (SELECT source,
+      |    CAST(sum(length(regexp_extract_all(lower(text), '\S+')))
+      |      AS BIGINT) AS tok
+      |  FROM documents GROUP BY source),
+      |tt AS (SELECT CAST(sum(tok) AS BIGINT) AS total,
+      |    count(*) AS n_sources FROM per),
+      |c AS (SELECT source, tok,
+      |    sum(tok) OVER (ORDER BY tok DESC, source) AS cum,
+      |    row_number() OVER (ORDER BY tok DESC, source) AS rk FROM per)
+      |SELECT CAST(min(rk) AS INTEGER) AS n_sources_80,
+      |  max(n_sources) AS n_sources, max(total) AS total_tokens,
+      |  round(CAST(max(CASE WHEN rk = 1 THEN tok END) AS DOUBLE)
+      |    / CAST(max(total) AS DOUBLE), 6) AS top_share
+      |FROM c CROSS JOIN tt WHERE cum * 5 >= total * 4""".stripMargin
+
+  /** Shuffle-partition balance audit — q199's key-skew profiler taken
+    * to PARTITION granularity: documents hashed to 32 partitions by a
+    * portable md5 partitioner (what the fp-keyed dedup shuffle would
+    * do), then per-partition row/char loads and a χ² against uniform.
+    * Each χ² term is exact-integer-derived ((P·n_b − N)²/(P·N), one
+    * float division) and rounded → DECIMAL before the 32-term sum (the
+    * q200 Benford discipline). The pre-flight answer to "will this
+    * shuffle hot-spot an executor?". Scale: one keyed count over P
+    * cells.
+    */
+  val partitionBalance: Q = (s, dir) => {
+    val P = 32
+    val cells = t(s, dir, "documents")
+      .select(col("n_chars"),
+        (conv(substring(md5(TextStats.fingerprint(col("text"))), 1, 15),
+          16, 10).cast("long") % P).as("p"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("n"), col("chars"), col("nt"),
+        round(((lit(P) * col("n") - col("nt"))
+          * (lit(P) * col("n") - col("nt"))).cast("double")
+          / (lit(P) * col("nt")).cast("double"), 8)
+          .cast("decimal(18,8)").as("term"))
+      .agg(count(lit(1)).as("n_partitions"), max(col("nt")).as("n_rows"),
+        max(col("n")).as("max_part"), min(col("n")).as("min_part"),
+        round(sum(col("term")).cast("double"), 8).as("chi2"))
+  }
+
+  val partitionBalanceSql: String =
+    """WITH cells AS (SELECT
+      |    ('0x'||substr(md5(md5(trim(regexp_replace(lower(text), '\s+',
+      |      ' ', 'g')))), 1, 15))::BIGINT % 32 AS p,
+      |    count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+      |SELECT count(*) AS n_partitions, max(nt) AS n_rows,
+      |  CAST(max(n) AS BIGINT) AS max_part, CAST(min(n) AS BIGINT) AS min_part,
+      |  round(CAST(sum(CAST(round(CAST((32 * n - nt) * (32 * n - nt)
+      |    AS DOUBLE) / CAST(32 * nt AS DOUBLE), 8) AS DECIMAL(18,8)))
+      |    AS DOUBLE), 8) AS chi2
+      |FROM cells CROSS JOIN tt""".stripMargin
+
+  /** Cross-modality link-integrity audit: does every document have an
+    * embedding, and every embedding a document? The join-coverage
+    * hygiene check a multimodal pipeline runs after every ingest (the
+    * referential-integrity q137 story, applied across modality tables):
+    * full outer join on the id space, per-source matched/missing
+    * counts (embedding-only ids have no source — reported in the
+    * '_orphan_vectors' row). All integer; one id-keyed join where only
+    * ids and the source string travel.
+    */
+  val modalityCoverage: Q = (s, dir) => {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"))
+    d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        when(col("doc_id").isNotNull, col("source"))
+          .otherwise(lit("_orphan_vectors")).as("source"),
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+          .otherwise(0L).as("m"),
+        when(col("doc_id").isNotNull && col("vec_id").isNull, 1L)
+          .otherwise(0L).as("d_only"),
+        when(col("doc_id").isNull, 1L).otherwise(0L).as("v_only"))
+      .groupBy(col("source"))
+      .agg(sum(col("m")).as("n_matched"), sum(col("d_only")).as("n_doc_only"),
+        sum(col("v_only")).as("n_vec_only"))
+      .orderBy(col("source"))
+  }
+
+  val modalityCoverageSql: String =
+    """SELECT CASE WHEN doc_id IS NOT NULL THEN source
+      |    ELSE '_orphan_vectors' END AS source,
+      |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only,
+      |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_vec_only
+      |FROM documents d FULL JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -9550,6 +9679,9 @@ object Queries {
     "q225_dedup_savings" -> dedupSavings,
     "q226_grouped_ols" -> groupedOls,
     "q227_sorted_neighborhood" -> sortedNeighborhood,
+    "q228_pareto_coverage" -> paretoCoverage,
+    "q229_partition_balance" -> partitionBalance,
+    "q230_modality_coverage" -> modalityCoverage,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -9779,5 +9911,8 @@ object Queries {
     "q224_position_attribution" -> positionAttributionSql,
     "q225_dedup_savings" -> dedupSavingsSql,
     "q226_grouped_ols" -> groupedOlsSql,
-    "q227_sorted_neighborhood" -> sortedNeighborhoodSql)
+    "q227_sorted_neighborhood" -> sortedNeighborhoodSql,
+    "q228_pareto_coverage" -> paretoCoverageSql,
+    "q229_partition_balance" -> partitionBalanceSql,
+    "q230_modality_coverage" -> modalityCoverageSql)
 }

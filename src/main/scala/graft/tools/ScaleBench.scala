@@ -218,7 +218,13 @@ object ScaleBench {
     "dedup_savings" -> ((s, d) => graft.Queries.dedupSavings(s, d).count()),
     "grouped_ols" -> ((s, d) => graft.Queries.groupedOls(s, d).count()),
     "sorted_neighborhood" -> ((s, d) =>
-      graft.Queries.sortedNeighborhood(s, d).count()))
+      graft.Queries.sortedNeighborhood(s, d).count()),
+    "pareto_coverage" -> ((s, d) =>
+      graft.Queries.paretoCoverage(s, d).count()),
+    "partition_balance" -> ((s, d) =>
+      graft.Queries.partitionBalance(s, d).count()),
+    "modality_coverage" -> ((s, d) =>
+      graft.Queries.modalityCoverage(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
