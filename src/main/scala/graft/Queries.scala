@@ -9450,6 +9450,181 @@ object Queries {
       |FROM documents d FULL JOIN embeddings e ON d.doc_id = e.vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ML feature-store assembly — the wide per-user training frame a
+    * churn/propensity model reads, built by JOINING four feature
+    * families the engine already computes: recency/frequency/monetary
+    * (q174's base), inter-arrival mean (q202's partials), activity-day
+    * count and max streak (q184's islands), and event-type breadth. One
+    * keyed join tree over |users|-sized frames; every feature is exact
+    * integer/decimal until its one rendering division. The point is the
+    * COMPOSITION: feature pipelines are joins of audited parts, not a
+    * monolith. Scale: all frames key on user_id — one shuffle key, AQE
+    * coalesces the small ones to broadcasts.
+    */
+  val featureAssembly: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Dedup.pin(Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value")))
+    val rfm = ev.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        coalesce(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).cast("double").as("monetary"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_gap"))
+      .select(col("user_id"),
+        round(col("sum_gap").cast("double") / col("n_gaps") / 1000000.0, 2)
+          .as("mean_gap_s"))
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val wD = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val streaks = days
+      .withColumn("rn", row_number().over(wD))
+      .withColumn("grp", date_sub(col("d"), col("rn")))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"), max(col("len")).as("max_streak"))
+    rfm.join(gaps, Seq("user_id"), "left")
+      .join(streaks, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("n_purchases"), round(col("monetary"), 2).as("monetary"),
+        col("last_us"), col("mean_gap_s"), col("active_days"),
+        col("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val featureAssemblySql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type, value FROM events),
+      |rfm AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchases,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+      |      AS monetary,
+      |    count(*) AS n_events,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      |  FROM ev GROUP BY user_id),
+      |g AS (SELECT user_id, epoch_us(ts)
+      |      - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id)) AS gap_us FROM ev),
+      |gaps AS (SELECT user_id,
+      |    round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 2)
+      |      AS mean_gap_s
+      |  FROM g WHERE gap_us IS NOT NULL GROUP BY user_id),
+      |days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM ev),
+      |isl AS (SELECT user_id, d - CAST(row_number() OVER (PARTITION BY
+      |    user_id ORDER BY d) AS INTEGER) AS grp FROM days),
+      |st AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+      |    CAST(max(len) AS BIGINT) AS max_streak
+      |  FROM (SELECT user_id, grp, count(*) AS len FROM isl
+      |    GROUP BY user_id, grp) GROUP BY user_id)
+      |SELECT rfm.user_id, n_events, n_types, n_purchases,
+      |  round(monetary, 2) AS monetary, last_us, mean_gap_s,
+      |  active_days, max_streak
+      |FROM rfm LEFT JOIN gaps ON rfm.user_id = gaps.user_id
+      |LEFT JOIN st ON rfm.user_id = st.user_id
+      |ORDER BY rfm.user_id""".stripMargin
+
+  /** Deterministic negative sampling for recommender/contrastive
+    * training (the corpus-side half of q196's triplet mining, on the
+    * interaction graph): for each purchasing user, K=4 candidate
+    * negatives drawn by md5(user:k) over the part key space, then
+    * positives removed by an anti-join — a candidate that collides with
+    * a positive is DROPPED, not resampled (documented bias ≤ K·|pos|/N,
+    * negligible at catalog scale; resampling would need a loop).
+    * Everything is a pure function of the data; the positives anti-join
+    * is the only shuffle. Output is the per-user negative count
+    * histogram — |users|-bounded.
+    */
+  val negativeSampling: Q = (s, dir) => {
+    val K = 4
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pos = Dedup.pin(li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .distinct())
+    val nParts = t(s, dir, "part").agg(max(col("p_partkey")).as("np"))
+    val cands = pos.select(col("user")).distinct()
+      .crossJoin(broadcast(nParts))
+      .select(col("user"), col("np"),
+        explode(sequence(lit(0), lit(K - 1))).as("k"))
+      .select(col("user"),
+        (conv(substring(md5(concat(col("user").cast("string"), lit(":"),
+          col("k").cast("string"))), 1, 15), 16, 10).cast("long")
+          % col("np") + 1).as("item"))
+      .distinct()
+    cands.join(pos, Seq("user", "item"), "left_anti")
+      .groupBy(col("user")).agg(count(lit(1)).as("n_negatives"))
+      .groupBy(col("n_negatives")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_negatives"))
+  }
+
+  val negativeSamplingSql: String =
+    """WITH pos AS (SELECT DISTINCT o_custkey AS usr, l_partkey AS item
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |np AS (SELECT max(p_partkey) AS np FROM part),
+      |c AS (SELECT DISTINCT usr,
+      |    ('0x'||substr(md5(CAST(usr AS VARCHAR)||':'
+      |      ||CAST(k.range AS VARCHAR)), 1, 15))::BIGINT % np + 1 AS item
+      |  FROM (SELECT DISTINCT usr FROM pos) CROSS JOIN np
+      |  CROSS JOIN range(4) k),
+      |neg AS (SELECT c.usr, c.item FROM c
+      |  WHERE NOT EXISTS (SELECT 1 FROM pos
+      |    WHERE pos.usr = c.usr AND pos.item = c.item)),
+      |per AS (SELECT usr, count(*) AS n_negatives FROM neg GROUP BY usr)
+      |SELECT n_negatives, count(*) AS n_users FROM per
+      |GROUP BY n_negatives ORDER BY n_negatives""".stripMargin
+
+  /** Per-user behavioral entropy (how PREDICTABLE is each user's event
+    * mix — the personalization-readiness score; the user-level
+    * complement of q163's corpus language entropy): Shannon entropy of
+    * the per-user event-type distribution, each −p·ln p term rounded →
+    * DECIMAL before the ≤|types|-term sum (the q126 ln discipline),
+    * then a users-bounded histogram of entropy deciles. Scale: one
+    * (user, type) count, terms on the |users|×|types| frame.
+    */
+  val behaviorEntropy: Q = (s, dir) => {
+    val ut = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = ut.groupBy(col("user_id")).agg(sum(col("n")).as("nt"))
+    val ent = ut.join(tot, Seq("user_id"))
+      .select(col("user_id"),
+        round(-(col("n").cast("double") / col("nt").cast("double"))
+          * log(col("n").cast("double") / col("nt").cast("double")), 8)
+          .cast("decimal(18,8)").as("term"))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("entropy"))
+    ent.select(col("user_id"),
+        floor(col("entropy") * 10).cast("int").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("decile"))
+  }
+
+  val behaviorEntropySql: String =
+    """WITH ut AS (SELECT user_id, event_type, count(*) AS n FROM events
+      |  GROUP BY 1, 2),
+      |tt AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS nt FROM ut
+      |  GROUP BY 1),
+      |ent AS (SELECT ut.user_id,
+      |    round(CAST(sum(CAST(round(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+      |      * ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)), 8)
+      |      AS DECIMAL(18,8))) AS DOUBLE), 6) AS entropy
+      |  FROM ut JOIN tt ON ut.user_id = tt.user_id GROUP BY ut.user_id)
+      |SELECT CAST(floor(entropy * 10) AS INTEGER) AS decile,
+      |  count(*) AS n_users
+      |FROM ent GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -9682,6 +9857,9 @@ object Queries {
     "q228_pareto_coverage" -> paretoCoverage,
     "q229_partition_balance" -> partitionBalance,
     "q230_modality_coverage" -> modalityCoverage,
+    "q231_feature_assembly" -> featureAssembly,
+    "q232_negative_sampling" -> negativeSampling,
+    "q233_behavior_entropy" -> behaviorEntropy,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -9914,5 +10092,8 @@ object Queries {
     "q227_sorted_neighborhood" -> sortedNeighborhoodSql,
     "q228_pareto_coverage" -> paretoCoverageSql,
     "q229_partition_balance" -> partitionBalanceSql,
-    "q230_modality_coverage" -> modalityCoverageSql)
+    "q230_modality_coverage" -> modalityCoverageSql,
+    "q231_feature_assembly" -> featureAssemblySql,
+    "q232_negative_sampling" -> negativeSamplingSql,
+    "q233_behavior_entropy" -> behaviorEntropySql)
 }

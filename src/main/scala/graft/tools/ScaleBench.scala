@@ -224,7 +224,11 @@ object ScaleBench {
     "partition_balance" -> ((s, d) =>
       graft.Queries.partitionBalance(s, d).count()),
     "modality_coverage" -> ((s, d) =>
-      graft.Queries.modalityCoverage(s, d).count()))
+      graft.Queries.modalityCoverage(s, d).count()),
+    "feature_assembly" -> ((s, d) =>
+      graft.Queries.featureAssembly(s, d).count()),
+    "behavior_entropy" -> ((s, d) =>
+      graft.Queries.behaviorEntropy(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
