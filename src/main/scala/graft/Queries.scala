@@ -9625,6 +9625,102 @@ object Queries {
       |  count(*) AS n_users
       |FROM ent GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Signed-random-projection (SRP) calibration audit — q189's
+    * estimator-under-hash-check discipline applied to the COSINE sketch
+    * family (Charikar '02 §3: P[sign collision] = 1 − θ/π, the bound
+    * q102's embedding LSH relies on): H=16 Rademacher hyperplanes whose
+    * ±1 entries come from md5(h:d) — built as a 16×64 TABLE in both
+    * engines, no literal matrix (the r6 janino lesson) — project every
+    * vector (projection sums go float→STRING→decimal, the q68 route),
+    * and for 20 anchors × md5-u-sampled candidates compare the
+    * estimated angle (hamming/H) against the exact acos(cosine)/π.
+    * Output: per-anchor mean |error| with each per-pair error rounded →
+    * DECIMAL before averaging. Scale: projections are N·dims·H
+    * row-local work; the pair frame is anchors × sample — both budgets
+    * constant.
+    */
+  val srpCalibration: Q = (s, dir) => {
+    val H = 16
+    val emb = t(s, dir, "embeddings")
+    // ±1 hyperplane entries from md5(h:d) — identical construction in SQL
+    val planes = s.range(H.toLong).select(col("id").cast("int").as("h"))
+      .crossJoin(s.range(64L).select((col("id") + 1).cast("int").as("d")))
+      .select(col("h"), col("d"),
+        when(conv(substring(md5(concat(col("h").cast("string"), lit(":"),
+          col("d").cast("string"))), 1, 15), 16, 10).cast("long") % 2 === 0,
+          1).otherwise(-1).as("sgn"))
+    val comps = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("d"),
+        col("x").cast("string").cast("decimal(18,9)").as("xd"))
+    val sig = Dedup.pin(comps.join(broadcast(planes), Seq("d"))
+      .groupBy(col("vec_id"), col("h"))
+      .agg(sum(col("sgn") * col("xd")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), h)")).otherwise(0L)).as("sg")))
+    val anchors = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("aid"), col("embedding").as("av"))
+    val cands = emb
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("double") / lit(math.pow(2, 60)) < 0.1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val pairs = anchors.join(cands, col("aid") < col("cid"))
+      .withColumn("cos", graft.functions.VectorExpressions
+        .cosine_similarity(col("av"), col("cv")))
+      .join(sig.select(col("vec_id").as("aid"), col("sg").as("sa")), "aid")
+      .join(sig.select(col("vec_id").as("cid"), col("sg").as("sc2")), "cid")
+    pairs
+      .select(col("aid"),
+        round(abs(
+          bit_count(col("sa").bitwiseXOR(col("sc2"))).cast("double") / H
+            - acos(greatest(lit(-1.0), least(lit(1.0), col("cos"))))
+              / math.Pi), 8).cast("decimal(18,8)").as("err"))
+      .groupBy(col("aid"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("err")).cast("double") / count(lit(1)), 6)
+          .as("mean_abs_err"))
+      .orderBy(col("aid"))
+  }
+
+  val srpCalibrationSql: String =
+    """WITH planes AS (SELECT CAST(h.range AS INTEGER) AS h,
+      |    CAST(d.range + 1 AS INTEGER) AS d,
+      |    CASE WHEN ('0x'||substr(md5(CAST(h.range AS VARCHAR)||':'
+      |      ||CAST(d.range + 1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM range(16) h CROSS JOIN range(64) d),
+      |comps AS (SELECT vec_id, CAST(dd.range + 1 AS INTEGER) AS d,
+      |    CAST(CAST(embedding[dd.range + 1] AS VARCHAR) AS DECIMAL(18,9))
+      |      AS xd
+      |  FROM embeddings CROSS JOIN range(64) dd),
+      |proj AS (SELECT vec_id, h, sum(sgn * xd) AS proj
+      |  FROM comps JOIN planes USING (d) GROUP BY vec_id, h),
+      |sig AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN proj >= 0 THEN 1::BIGINT << h ELSE 0 END)
+      |      AS BIGINT) AS sg
+      |  FROM proj GROUP BY vec_id),
+      |v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |cands AS (SELECT vec_id, e FROM v
+      |  WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+      |    / CAST(pow(2, 60) AS DOUBLE) < 0.1),
+      |pr AS (SELECT a.vec_id AS aid, c.vec_id AS cid,
+      |    list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e))
+      |      * sqrt(list_dot_product(c.e, c.e))) AS cos
+      |  FROM v a JOIN cands c ON a.vec_id < 20 AND a.vec_id < c.vec_id),
+      |err AS (SELECT aid,
+      |    CAST(round(abs(
+      |      CAST(bit_count(xor(sa.sg, sc.sg)) AS DOUBLE) / 16
+      |      - acos(greatest(-1.0, least(1.0, cos))) / pi()), 8)
+      |      AS DECIMAL(18,8)) AS err
+      |  FROM pr JOIN sig sa ON pr.aid = sa.vec_id
+      |  JOIN sig sc ON pr.cid = sc.vec_id)
+      |SELECT aid, count(*) AS n_pairs,
+      |  round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mean_abs_err
+      |FROM err GROUP BY aid ORDER BY aid""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -9860,6 +9956,7 @@ object Queries {
     "q231_feature_assembly" -> featureAssembly,
     "q232_negative_sampling" -> negativeSampling,
     "q233_behavior_entropy" -> behaviorEntropy,
+    "q234_srp_calibration" -> srpCalibration,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -10095,5 +10192,6 @@ object Queries {
     "q230_modality_coverage" -> modalityCoverageSql,
     "q231_feature_assembly" -> featureAssemblySql,
     "q232_negative_sampling" -> negativeSamplingSql,
-    "q233_behavior_entropy" -> behaviorEntropySql)
+    "q233_behavior_entropy" -> behaviorEntropySql,
+    "q234_srp_calibration" -> srpCalibrationSql)
 }

@@ -228,7 +228,9 @@ object ScaleBench {
     "feature_assembly" -> ((s, d) =>
       graft.Queries.featureAssembly(s, d).count()),
     "behavior_entropy" -> ((s, d) =>
-      graft.Queries.behaviorEntropy(s, d).count()))
+      graft.Queries.behaviorEntropy(s, d).count()),
+    "srp_calibration" -> ((s, d) =>
+      graft.Queries.srpCalibration(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
