@@ -9661,9 +9661,13 @@ object Queries {
         expr("shiftleft(CAST(1 AS BIGINT), h)")).otherwise(0L)).as("sg")))
     val anchors = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("aid"), col("embedding").as("av"))
-    val cands = emb
+    // constant-TARGET candidate stratum (q186 discipline): expected 500
+    // candidates at any corpus size, so the pair frame never grows
+    val nv = emb.agg(count(lit(1)).cast("double").as("n_vecs"))
+    val cands = emb.crossJoin(broadcast(nv))
       .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
-        .cast("double") / lit(math.pow(2, 60)) < 0.1)
+        .cast("double") / lit(math.pow(2, 60))
+        < least(lit(1.0), lit(500.0) / col("n_vecs")))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val pairs = anchors.join(cands, col("aid") < col("cid"))
       .withColumn("cos", graft.functions.VectorExpressions
@@ -9703,9 +9707,10 @@ object Queries {
       |v AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),
-      |cands AS (SELECT vec_id, e FROM v
+      |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n_vecs FROM embeddings),
+      |cands AS (SELECT vec_id, e FROM v CROSS JOIN nv
       |  WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-      |    / CAST(pow(2, 60) AS DOUBLE) < 0.1),
+      |    / CAST(pow(2, 60) AS DOUBLE) < least(1.0, 500.0 / n_vecs)),
       |pr AS (SELECT a.vec_id AS aid, c.vec_id AS cid,
       |    list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e))
       |      * sqrt(list_dot_product(c.e, c.e))) AS cos
