@@ -9726,6 +9726,175 @@ object Queries {
       |  round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mean_abs_err
       |FROM err GROUP BY aid ORDER BY aid""".stripMargin
 
+  /** Workload seasonality profile — the hour-of-week heat map capacity
+    * planning reads (and the seasonal baseline q141's anomaly z-scores
+    * normalize against): events bucketed into the 168-cell
+    * (day-of-week, hour) grid with per-cell counts and the cell's
+    * share of its day. dayofweek is normalized to the ISO convention
+    * explicitly (Spark 1=Sunday vs DuckDB 0=Sunday — the q69 lesson).
+    * All integer until the share division; the grid is fixed-size at
+    * any scale.
+    */
+  val seasonalityProfile: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(dayofweek(col("ts")).as("dow_spark"), hour(col("ts")).as("hod"))
+      .select((col("dow_spark") - 1).as("dow"), col("hod"))
+    val cells = ev.groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n"))
+    val perDay = cells.groupBy(col("dow")).agg(sum(col("n")).as("day_tot"))
+    cells.join(broadcast(perDay), Seq("dow"))
+      .select(col("dow"), col("hod"), col("n"),
+        round(col("n").cast("double") / col("day_tot").cast("double"), 6)
+          .as("day_share"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  val seasonalityProfileSql: String =
+    """WITH e AS (SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER)
+      |    AS dow, CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod
+      |  FROM events),
+      |c AS (SELECT dow, hod, count(*) AS n FROM e GROUP BY 1, 2),
+      |d AS (SELECT dow, CAST(sum(n) AS BIGINT) AS day_tot FROM c
+      |  GROUP BY 1)
+      |SELECT c.dow, hod, n,
+      |  round(CAST(n AS DOUBLE) / CAST(day_tot AS DOUBLE), 6) AS day_share
+      |FROM c JOIN d ON c.dow = d.dow
+      |ORDER BY c.dow, hod""".stripMargin
+
+  /** Per-source scorecard — the "which sources do we keep" composite a
+    * curation review reads, assembled (q231's composition discipline,
+    * source-side) from three audited families: exact-dup token savings
+    * (q225's keeper), mean quality score (decSum contract), and mean
+    * doc length. The composite rank is integer: sources order by
+    * (low dup savings, high quality) via exact sort keys, no weighted
+    * float blend — a blend would demand a justified weighting; the
+    * lexicographic rank is the audit-grade default. Scale: three
+    * |sources|-row frames joined on one key.
+    */
+  val sourceScorecard: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Dedup.pin(t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextStats.fingerprint(col("text")).as("fp"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextStats.qualityScore(col("text")).as("q"),
+        col("n_chars")))
+    val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = docs.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("kept_tok"))
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("raw_tok"),
+        sum(col("n_chars")).as("chars"),
+        sum(round(col("q"), 6).cast("decimal(18,6)")).as("qsum"))
+    val joined = base.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"),
+        (col("raw_tok") - col("kept_tok")).as("dup_tok"),
+        round(col("qsum").cast("double") / col("n_docs"), 6).as("mean_q"),
+        round(col("chars").cast("double") / col("n_docs"), 2)
+          .as("mean_chars"),
+        col("qsum"))
+    joined
+      .withColumn("rank", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("dup_tok"), col("qsum").desc, col("source"))))
+      .select(col("rank"), col("source"), col("n_docs"), col("dup_tok"),
+        col("mean_q"), col("mean_chars"))
+      .orderBy(col("rank"))
+  }
+
+  val sourceScorecardSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    CAST(length(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+      |      AS n_tok,
+      |    round(
+      |      least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE)
+      |        / 50.0, 1.0) * 0.4
+      |    + (1.0 - least(CAST(length(regexp_extract_all(text,
+      |        '[[:punct:]]')) AS DOUBLE)
+      |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0))
+      |        * 0.3
+      |    + least(CAST(length(regexp_extract_all(lower(text),
+      |        '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |        / greatest(CAST(length(regexp_extract_all(text, '\S+'))
+      |          AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3, 6) AS q,
+      |    n_chars FROM documents),
+      |k AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+      |kept AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS kept_tok
+      |  FROM d JOIN k USING (fp, doc_id) GROUP BY source),
+      |base AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS raw_tok,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    sum(CAST(q AS DECIMAL(18,6))) AS qsum
+      |  FROM d GROUP BY source),
+      |j AS (SELECT base.source, n_docs, raw_tok - kept_tok AS dup_tok,
+      |    round(CAST(qsum AS DOUBLE) / n_docs, 6) AS mean_q,
+      |    round(CAST(chars AS DOUBLE) / n_docs, 2) AS mean_chars, qsum
+      |  FROM base JOIN kept ON base.source = kept.source)
+      |SELECT CAST(row_number() OVER (ORDER BY dup_tok, qsum DESC, source)
+      |    AS INTEGER) AS rank,
+      |  source, n_docs, dup_tok, mean_q, mean_chars
+      |FROM j ORDER BY rank""".stripMargin
+
+  /** Watermark-lateness audit under backfill replay — the batch
+    * analysis that SIZES the streaming gates' watermarks
+    * (q177/q208/q209) for the WORST realistic arrival order: a backfill
+    * that replays events md5-shuffled (live ingest is near-ordered —
+    * measured lateness 0 on this corpus — but replay/backfill is not,
+    * and that is the case a watermark must survive). Arrival order =
+    * md5(event_id); each event's lateness is the running max event-time
+    * seen so far minus its own — exact integer µs off one window pass —
+    * bucketed into power-of-4-minute classes with cumulative share. The
+    * report reads directly as "a W-minute watermark passes X% of a
+    * shuffled replay". Scale: one arrival-order window — at 100 TB this
+    * runs per replay partition (arrival order is only defined within
+    * one), which is exactly how the production question is posed.
+    */
+  val latenessAudit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val arrival = conv(substring(md5(col("event_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val w = Window.partitionBy(lit(1))
+      .orderBy(arrival, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("run_max", max(col("us")).over(w))
+      // integer div — `/` is double division in BOTH engines, and the
+      // double→int cast then TRUNCATES in Spark but ROUNDS in DuckDB
+      .select(expr("(run_max - us) div 60000000").as("late_min"))
+      .select(
+        when(col("late_min") === 0, 0)
+          .when(col("late_min") <= 4, 1)
+          .when(col("late_min") <= 16, 2)
+          .when(col("late_min") <= 64, 3)
+          .when(col("late_min") <= 256, 4).otherwise(5).as("bucket"))
+    val cells = late.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    val wc = Window.partitionBy(lit(1)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum", sum(col("n")).over(wc))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"),
+        round(col("cum").cast("double") / col("nt").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("bucket"))
+  }
+
+  val latenessAuditSql: String =
+    """WITH l AS (SELECT (max(epoch_us(CAST(ts AS TIMESTAMP)))
+      |      OVER (ORDER BY ('0x'||substr(md5(CAST(event_id AS VARCHAR)),
+      |        1, 15))::BIGINT, event_id)
+      |      - epoch_us(CAST(ts AS TIMESTAMP))) // 60000000 AS late_min
+      |  FROM events),
+      |b AS (SELECT CASE WHEN late_min = 0 THEN 0 WHEN late_min <= 4 THEN 1
+      |    WHEN late_min <= 16 THEN 2 WHEN late_min <= 64 THEN 3
+      |    WHEN late_min <= 256 THEN 4 ELSE 5 END AS bucket FROM l),
+      |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+      |SELECT bucket, n,
+      |  round(CAST(sum(n) OVER (ORDER BY bucket) AS DOUBLE)
+      |    / CAST(nt AS DOUBLE), 6) AS cum_share
+      |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -9962,6 +10131,9 @@ object Queries {
     "q232_negative_sampling" -> negativeSampling,
     "q233_behavior_entropy" -> behaviorEntropy,
     "q234_srp_calibration" -> srpCalibration,
+    "q235_seasonality_profile" -> seasonalityProfile,
+    "q236_source_scorecard" -> sourceScorecard,
+    "q237_lateness_audit" -> latenessAudit,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -10198,5 +10370,8 @@ object Queries {
     "q231_feature_assembly" -> featureAssemblySql,
     "q232_negative_sampling" -> negativeSamplingSql,
     "q233_behavior_entropy" -> behaviorEntropySql,
-    "q234_srp_calibration" -> srpCalibrationSql)
+    "q234_srp_calibration" -> srpCalibrationSql,
+    "q235_seasonality_profile" -> seasonalityProfileSql,
+    "q236_source_scorecard" -> sourceScorecardSql,
+    "q237_lateness_audit" -> latenessAuditSql)
 }

@@ -230,7 +230,13 @@ object ScaleBench {
     "behavior_entropy" -> ((s, d) =>
       graft.Queries.behaviorEntropy(s, d).count()),
     "srp_calibration" -> ((s, d) =>
-      graft.Queries.srpCalibration(s, d).count()))
+      graft.Queries.srpCalibration(s, d).count()),
+    "seasonality_profile" -> ((s, d) =>
+      graft.Queries.seasonalityProfile(s, d).count()),
+    "source_scorecard" -> ((s, d) =>
+      graft.Queries.sourceScorecard(s, d).count()),
+    "lateness_audit" -> ((s, d) =>
+      graft.Queries.latenessAudit(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
