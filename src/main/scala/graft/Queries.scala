@@ -9895,6 +9895,214 @@ object Queries {
       |    / CAST(nt AS DOUBLE), 6) AS cum_share
       |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin
 
+  /** Split-balance KS audit — the acceptance test for q223's
+    * group-aware folds: the max pairwise two-sample KS distance between
+    * fold length-distributions (all 10 fold pairs). A leakage-SAFE
+    * split can still be length-SKEWED (big near-dup clusters drag whole
+    * mass into one fold); this is the check that catches it. Same
+    * value-domain discipline as q181: per-(len, fold) counts, dense
+    * grid, per-fold cumulative windows — the KS sup runs over distinct
+    * lens, never docs. Folds² = 10 pairs, output one row per pair.
+    */
+  val foldBalance: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.blockedJaccardPairs(docs, "text", "doc_id",
+      Seq("lang", "n_chars"), threshold = 0.5)
+    val cl = Dedup.clusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val folded = Dedup.pin(docs.select(col("doc_id"), col("n_chars").as("len"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("len"),
+        (conv(substring(md5(coalesce(col("cluster_id"), col("doc_id"))
+          .cast("string")), 1, 15), 16, 10).cast("long") % 5).cast("int")
+          .as("fold")))
+    val c = folded.groupBy(col("len"), col("fold")).agg(count(lit(1)).as("cnt"))
+    val grid = folded.select(col("len")).distinct()
+      .crossJoin(broadcast(folded.select(col("fold")).distinct()))
+    val cum = grid.join(c, Seq("len", "fold"), "left")
+      .select(col("len"), col("fold"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("fold")).orderBy(col("len"))))
+    val ns = folded.groupBy(col("fold")).agg(count(lit(1)).as("n"))
+    val withN = cum.join(broadcast(ns), Seq("fold"))
+    withN.as("a").join(withN.as("b"),
+        col("a.len") === col("b.len") && col("a.fold") < col("b.fold"))
+      .groupBy(col("a.fold").as("fold_a"), col("b.fold").as("fold_b"))
+      .agg(round(max(abs(
+        col("a.cum").cast("double") / col("a.n")
+          - col("b.cum").cast("double") / col("b.n"))), 6).as("ks"))
+      .orderBy(col("fold_a"), col("fold_b"))
+  }
+
+  val foldBalanceSql: String =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, lang, n_chars,
+      |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS tok
+      | FROM documents WHERE length(regexp_extract_all(lower(text), '\S+')) > 0),
+      |edges AS (
+      | SELECT l.doc_id AS a, r.doc_id AS b
+      | FROM toks l JOIN toks r
+      |   ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+      | WHERE CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |       length(list_distinct(list_concat(l.tok, r.tok))) >= 0.5),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach AS (SELECT a, b FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+      |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |  FROM reach GROUP BY a),
+      |f AS (SELECT d.n_chars AS len,
+      |    CAST(('0x'||substr(md5(CAST(coalesce(cluster_id, d.doc_id)
+      |      AS VARCHAR)), 1, 15))::BIGINT % 5 AS INTEGER) AS fold
+      |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+      |c AS (SELECT len, fold, count(*) AS cnt FROM f GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT l.len, fo.fold FROM
+      |  (SELECT DISTINCT len FROM f) l
+      |  CROSS JOIN (SELECT DISTINCT fold FROM f) fo),
+      |cum AS (SELECT grid.len, grid.fold,
+      |    sum(coalesce(cnt, 0)) OVER (PARTITION BY grid.fold
+      |      ORDER BY grid.len) AS cum
+      |  FROM grid LEFT JOIN c ON grid.len = c.len AND grid.fold = c.fold),
+      |ns AS (SELECT fold, count(*) AS n FROM f GROUP BY fold),
+      |wn AS (SELECT cum.*, n FROM cum JOIN ns ON cum.fold = ns.fold)
+      |SELECT a.fold AS fold_a, b.fold AS fold_b,
+      |  round(max(abs(CAST(a.cum AS DOUBLE) / a.n
+      |    - CAST(b.cum AS DOUBLE) / b.n)), 6) AS ks
+      |FROM wn a JOIN wn b ON a.len = b.len AND a.fold < b.fold
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Quality-keeper selection within near-dup clusters — the keeper
+    * POLICY layer over q65's components (exact-dup groups can't
+    * disagree on content policies — identical text — but near-dup
+    * clusters can, and "keep the best, not the first" is the Gopher/
+    * RefinedWeb practice): per cluster, the argmax of (quality-decimal,
+    * −doc_id) via one struct-max, reported against the min-id baseline
+    * with the per-cluster quality delta. Quality enters as
+    * round→DECIMAL so the argmax key is exact. Output clusters-bounded.
+    */
+  val clusterKeeper: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.blockedJaccardPairs(docs, "text", "doc_id",
+      Seq("lang", "n_chars"), threshold = 0.5)
+    val cl = Dedup.clusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val members = docs.join(cl, Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id"),
+        round(TextStats.qualityScore(col("text")), 6)
+          .cast("decimal(18,6)").as("q"))
+    members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("first_keeper"),
+        max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+        min(col("q")).as("q_min"))
+      .select(col("cluster_id"), col("n_members"), col("first_keeper"),
+        (-col("m.nid")).as("best_keeper"), col("m.q").as("q_best"),
+        (col("m.q") - col("q_min")).cast("double").as("q_spread"),
+        (col("first_keeper") =!= -col("m.nid")).as("policy_differs"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val clusterKeeperSql: String =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, lang, n_chars,
+      |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS tok
+      | FROM documents WHERE length(regexp_extract_all(lower(text), '\S+')) > 0),
+      |edges AS (
+      | SELECT l.doc_id AS a, r.doc_id AS b
+      | FROM toks l JOIN toks r
+      |   ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+      | WHERE CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |       length(list_distinct(list_concat(l.tok, r.tok))) >= 0.5),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach AS (SELECT a, b FROM sym
+      |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+      |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |  FROM reach GROUP BY a),
+      |m AS (SELECT cluster_id, d.doc_id,
+      |    CAST(round(
+      |      least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE)
+      |        / 50.0, 1.0) * 0.4
+      |    + (1.0 - least(CAST(length(regexp_extract_all(text,
+      |        '[[:punct:]]')) AS DOUBLE)
+      |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0))
+      |        * 0.3
+      |    + least(CAST(length(regexp_extract_all(lower(text),
+      |        '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |        / greatest(CAST(length(regexp_extract_all(text, '\S+'))
+      |          AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3, 6) AS DECIMAL(18,6))
+      |      AS q
+      |  FROM documents d JOIN cl ON d.doc_id = cl.doc_id),
+      |pick AS (SELECT cluster_id, doc_id AS best_keeper, q AS q_best
+      |  FROM (SELECT m.*, row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY q DESC, doc_id) AS rn FROM m) WHERE rn = 1)
+      |SELECT m.cluster_id, count(*) AS n_members,
+      |  CAST(min(m.doc_id) AS BIGINT) AS first_keeper,
+      |  CAST(max(best_keeper) AS BIGINT) AS best_keeper,
+      |  max(q_best) AS q_best,
+      |  CAST(max(q_best) - min(q) AS DOUBLE) AS q_spread,
+      |  min(m.doc_id) <> max(best_keeper) AS policy_differs
+      |FROM m JOIN pick ON m.cluster_id = pick.cluster_id
+      |GROUP BY m.cluster_id ORDER BY m.cluster_id""".stripMargin
+
+  /** Layout-pruning comparison: WHY z-order beats linear clustering for
+    * multi-dimensional range scans, measured analytically (the scan-IO
+    * model behind q111's morton key): for a 2-D box predicate on
+    * (p_size band, key band), count how many 256-row "files" contain at
+    * least one matching row under (a) key-sorted layout and (b)
+    * morton-sorted layout. Fewer touched files = more row groups
+    * skipped by min/max stats at scan time. File ids are row_number
+    * div 256 under each ordering — exact integers; the result is the
+    * pruning argument as a hash-checked number, not prose. Scale: two
+    * global sorts at gate size; at 100 TB the same comparison runs per
+    * partition on sampled keys.
+    */
+  val layoutPruning: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Dedup.pin(t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        (col("p_partkey") % 1024).cast("int").as("pk_lo"))
+      .withColumn("z", graft.functions.VectorExpressions
+        .morton_interleave(col("p_size"), col("pk_lo"))))
+    val hit = col("p_size").between(10, 20) && col("pk_lo").between(100, 300)
+    def touched(order: Column, label: String) = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(order, col("p_partkey"))))
+      .withColumn("file_id", expr("(rn - 1) div 256"))
+      .filter(hit)
+      .agg(lit(label).as("layout"),
+        countDistinct(col("file_id")).as("files_touched"),
+        count(lit(1)).as("rows_matched"))
+    touched(col("p_partkey"), "linear_key")
+      .unionAll(touched(col("z"), "morton"))
+      .orderBy(col("layout"))
+  }
+
+  val layoutPruningSql: String =
+    """WITH b AS (SELECT p_partkey, p_size,
+      |    CAST(p_partkey % 1024 AS INTEGER) AS pk_lo,
+      |    CAST(list_sum(list_transform(generate_series(0, 15),
+      |      i -> ((p_size >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+      |        + (((p_partkey % 1024) >> i) & 1)
+      |          * (CAST(1 AS BIGINT) << (2*i + 1)))) AS BIGINT) AS z
+      |  FROM part),
+      |lin AS (SELECT *, (row_number() OVER (ORDER BY p_partkey, p_partkey)
+      |    - 1) // 256 AS file_id FROM b),
+      |mor AS (SELECT *, (row_number() OVER (ORDER BY z, p_partkey)
+      |    - 1) // 256 AS file_id FROM b),
+      |u AS (
+      |  SELECT 'linear_key' AS layout,
+      |    CAST(count(DISTINCT file_id) AS BIGINT) AS files_touched,
+      |    count(*) AS rows_matched
+      |  FROM lin WHERE p_size BETWEEN 10 AND 20
+      |    AND pk_lo BETWEEN 100 AND 300
+      |  UNION ALL
+      |  SELECT 'morton',
+      |    CAST(count(DISTINCT file_id) AS BIGINT), count(*)
+      |  FROM mor WHERE p_size BETWEEN 10 AND 20
+      |    AND pk_lo BETWEEN 100 AND 300)
+      |SELECT layout, files_touched, rows_matched FROM u
+      |ORDER BY layout""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -10134,6 +10342,9 @@ object Queries {
     "q235_seasonality_profile" -> seasonalityProfile,
     "q236_source_scorecard" -> sourceScorecard,
     "q237_lateness_audit" -> latenessAudit,
+    "q238_fold_balance" -> foldBalance,
+    "q239_cluster_keeper" -> clusterKeeper,
+    "q240_layout_pruning" -> layoutPruning,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -10373,5 +10584,8 @@ object Queries {
     "q234_srp_calibration" -> srpCalibrationSql,
     "q235_seasonality_profile" -> seasonalityProfileSql,
     "q236_source_scorecard" -> sourceScorecardSql,
-    "q237_lateness_audit" -> latenessAuditSql)
+    "q237_lateness_audit" -> latenessAuditSql,
+    "q238_fold_balance" -> foldBalanceSql,
+    "q239_cluster_keeper" -> clusterKeeperSql,
+    "q240_layout_pruning" -> layoutPruningSql)
 }

@@ -236,7 +236,10 @@ object ScaleBench {
     "source_scorecard" -> ((s, d) =>
       graft.Queries.sourceScorecard(s, d).count()),
     "lateness_audit" -> ((s, d) =>
-      graft.Queries.latenessAudit(s, d).count()))
+      graft.Queries.latenessAudit(s, d).count()),
+    "fold_balance" -> ((s, d) => graft.Queries.foldBalance(s, d).count()),
+    "cluster_keeper" -> ((s, d) =>
+      graft.Queries.clusterKeeper(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
