@@ -10103,6 +10103,92 @@ object Queries {
       |SELECT layout, files_touched, rows_matched FROM u
       |ORDER BY layout""".stripMargin
 
+  /** Join-cardinality estimation under hash-check — the optimizer-style
+    * pre-flight ("how big will this join be?") that decides broadcast
+    * vs sort-merge vs salting BEFORE the shuffle ships: a deterministic
+    * md5-u key sample (rate 1/8) of the orders⋈lineitem key space
+    * estimates |A⋈B| as 8·Σ_sampled n_a(k)·n_b(k) — sampling KEYS (not
+    * rows) keeps per-key frequency products unbiased. The gate reports
+    * estimate, exact, and signed relative error — the estimator itself
+    * under oracle check (q189/q234 discipline, applied to the
+    * optimizer's statistic). All integer except the one error division.
+    * Scale: per-key counts are the join's own keyed aggs at 1/8 key
+    * mass; the estimate never materializes the join.
+    */
+  val joinCardEstimate: Q = (s, dir) => {
+    val ka = Dedup.pin(t(s, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("na")))
+    val kb = Dedup.pin(t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("nb")))
+    val sampled = ka.join(kb, Seq("k"))
+      .filter(conv(substring(md5(col("k").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 8 === 0)
+      .agg(sum(col("na") * col("nb")).as("s"))
+      .select((col("s") * 8).as("estimate"))
+    val exact = ka.join(kb, Seq("k"))
+      .agg(sum(col("na") * col("nb")).as("exact_rows"))
+    sampled.crossJoin(exact)
+      .select(col("estimate"), col("exact_rows"),
+        round((col("estimate") - col("exact_rows")).cast("double")
+          / col("exact_rows").cast("double"), 6).as("rel_err"))
+  }
+
+  val joinCardEstimateSql: String =
+    """WITH ka AS (SELECT o_orderkey AS k, count(*) AS na FROM orders
+      |  GROUP BY 1),
+      |kb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem
+      |  GROUP BY 1),
+      |j AS (SELECT ka.k, na, nb FROM ka JOIN kb ON ka.k = kb.k),
+      |est AS (SELECT CAST(sum(na * nb) * 8 AS BIGINT) AS estimate FROM j
+      |  WHERE ('0x'||substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+      |    % 8 = 0),
+      |ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_rows FROM j)
+      |SELECT estimate, exact_rows,
+      |  round(CAST(estimate - exact_rows AS DOUBLE)
+      |    / CAST(exact_rows AS DOUBLE), 6) AS rel_err
+      |FROM est CROSS JOIN ex""".stripMargin
+
+  /** Incremental JOIN-view maintenance — the delta-join algebra that
+    * completes q171's aggregate-IVM story: a materialized
+    * orders⋈customer view updated for a day-2 delta batch as
+    * V' = V ∪ (ΔA⋈B) (customer dimension static here; the general form
+    * adds A⋈ΔB ∪ ΔA⋈ΔB — same plan shape, delta-keyed joins only).
+    * Day-1 view = orders with o_orderkey % 10 ≠ 0; the delta = the
+    * held-out tenth. The gate hash-checks the MAINTAINED view against a
+    * full recompute — maintenance ≡ recompute, the IVM contract, per
+    * (nation, status) rollup with decimal money. Scale: day-2 cost is
+    * |Δ|-keyed work only — the full fact table is never rescanned.
+    */
+  val joinIvm: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    def viewOf(o: org.apache.spark.sql.DataFrame) =
+      o.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+    val day1 = viewOf(orders.filter(col("o_orderkey") % 10 =!= 0))
+    val deltaV = viewOf(orders.filter(col("o_orderkey") % 10 === 0))
+    // maintenance: merge the delta view into the materialized partials
+    val maintained = day1
+      .unionByName(deltaV)
+      .groupBy(col("c_nationkey"), col("o_orderstatus"))
+      .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+    maintained
+      .select(col("c_nationkey"), col("o_orderstatus"), col("n"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy(col("c_nationkey"), col("o_orderstatus"))
+  }
+
+  val joinIvmSql: String =
+    """SELECT c_nationkey, o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -10345,6 +10431,8 @@ object Queries {
     "q238_fold_balance" -> foldBalance,
     "q239_cluster_keeper" -> clusterKeeper,
     "q240_layout_pruning" -> layoutPruning,
+    "q241_join_card_estimate" -> joinCardEstimate,
+    "q242_join_ivm" -> joinIvm,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -10587,5 +10675,7 @@ object Queries {
     "q237_lateness_audit" -> latenessAuditSql,
     "q238_fold_balance" -> foldBalanceSql,
     "q239_cluster_keeper" -> clusterKeeperSql,
-    "q240_layout_pruning" -> layoutPruningSql)
+    "q240_layout_pruning" -> layoutPruningSql,
+    "q241_join_card_estimate" -> joinCardEstimateSql,
+    "q242_join_ivm" -> joinIvmSql)
 }

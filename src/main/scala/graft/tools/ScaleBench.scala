@@ -239,7 +239,10 @@ object ScaleBench {
       graft.Queries.latenessAudit(s, d).count()),
     "fold_balance" -> ((s, d) => graft.Queries.foldBalance(s, d).count()),
     "cluster_keeper" -> ((s, d) =>
-      graft.Queries.clusterKeeper(s, d).count()))
+      graft.Queries.clusterKeeper(s, d).count()),
+    "join_card_estimate" -> ((s, d) =>
+      graft.Queries.joinCardEstimate(s, d).count()),
+    "join_ivm" -> ((s, d) => graft.Queries.joinIvm(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
