@@ -10189,6 +10189,52 @@ object Queries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Dedup-threshold sensitivity sweep — the tuning curve read before
+    * committing a near-dup threshold fleet-wide ("how many pairs does
+    * each threshold admit?"): the blocked exact-Jaccard pair frame is
+    * computed ONCE at the lowest threshold of interest (0.3) and each
+    * candidate threshold's admitted-pair count and mean similarity come
+    * from bucketing that single frame — never one pair pass per
+    * threshold. Mean similarity re-enters DECIMAL from per-pair rounded
+    * values. Output |thresholds| rows; scale = one q23-shaped blocked
+    * pair computation.
+    */
+  val thresholdSweep: Q = (s, dir) => {
+    val pairs = Dedup.pin(Dedup.blockedJaccardPairs(
+        t(s, dir, "documents"), "text", "doc_id",
+        Seq("lang", "n_chars"), threshold = 0.3)
+      .select(round(col("jaccard"), 6).cast("decimal(18,6)").as("j")))
+    val th = Seq(0.3, 0.5, 0.7, 0.9)
+    th.map { t0 =>
+      pairs.filter(col("j") >= t0)
+        .agg(lit(t0).as("threshold"), count(lit(1)).as("n_pairs"),
+          round(coalesce(sum(col("j")).cast("double")
+            / count(lit(1)), lit(0.0)), 6).as("mean_j"))
+    }.reduce(_ unionAll _).orderBy(col("threshold"))
+  }
+
+  val thresholdSweepSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, lang, n_chars,
+      |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS tok
+      | FROM documents WHERE length(regexp_extract_all(lower(text), '\S+')) > 0),
+      |p AS (
+      | SELECT CAST(round(
+      |     CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |     length(list_distinct(list_concat(l.tok, r.tok))), 6)
+      |   AS DECIMAL(18,6)) AS j
+      | FROM toks l JOIN toks r
+      |   ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+      | WHERE CAST(length(list_intersect(l.tok, r.tok)) AS DOUBLE) /
+      |       length(list_distinct(list_concat(l.tok, r.tok))) >= 0.3),
+      |th AS (SELECT CAST(unnest([0.3, 0.5, 0.7, 0.9]) AS DOUBLE)
+      |  AS threshold)
+      |SELECT threshold, count(j) AS n_pairs,
+      |  round(coalesce(CAST(sum(j) AS DOUBLE) / count(j), 0.0), 6)
+      |    AS mean_j
+      |FROM th LEFT JOIN p ON j >= threshold
+      |GROUP BY threshold ORDER BY threshold""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -10433,6 +10479,7 @@ object Queries {
     "q240_layout_pruning" -> layoutPruning,
     "q241_join_card_estimate" -> joinCardEstimate,
     "q242_join_ivm" -> joinIvm,
+    "q243_threshold_sweep" -> thresholdSweep,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -10677,5 +10724,6 @@ object Queries {
     "q239_cluster_keeper" -> clusterKeeperSql,
     "q240_layout_pruning" -> layoutPruningSql,
     "q241_join_card_estimate" -> joinCardEstimateSql,
-    "q242_join_ivm" -> joinIvmSql)
+    "q242_join_ivm" -> joinIvmSql,
+    "q243_threshold_sweep" -> thresholdSweepSql)
 }

@@ -242,7 +242,9 @@ object ScaleBench {
       graft.Queries.clusterKeeper(s, d).count()),
     "join_card_estimate" -> ((s, d) =>
       graft.Queries.joinCardEstimate(s, d).count()),
-    "join_ivm" -> ((s, d) => graft.Queries.joinIvm(s, d).count()))
+    "join_ivm" -> ((s, d) => graft.Queries.joinIvm(s, d).count()),
+    "threshold_sweep" -> ((s, d) =>
+      graft.Queries.thresholdSweep(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
