@@ -10235,6 +10235,105 @@ object Queries {
       |FROM th LEFT JOIN p ON j >= threshold
       |GROUP BY threshold ORDER BY threshold""".stripMargin
 
+  /** Cohort LTV curves — q139's retention matrix upgraded to MONEY (the
+    * curve an acquisition budget is set against): users cohorted by
+    * first-activity week, cumulative purchase value per cohort at each
+    * week-age. Money rides DECIMAL cents end-to-end; the cumulative is
+    * a window over the cohorts×ages grid (≤ 5×5 here), never over
+    * events; ages derive from exact integer week arithmetic on
+    * epoch-days (no float date math). Scale: one per-user min, one
+    * (cohort, age) rollup, windows on the tiny grid.
+    */
+  val ltvCurves: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // anchor weeks at the DATA's min date (no wall clock, no hardcoded
+    // corpus date — the q198 recency-anchor discipline)
+    val anchor = raw.agg(min(to_date(col("ts"))).as("d0"))
+    val ev = raw.crossJoin(broadcast(anchor))
+      .withColumn("week",
+        expr("CAST(datediff(to_date(ts), d0) AS INT) div 7"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("age"))
+      .agg(sum(col("cents")).as("cents"),
+        countDistinct(col("user_id")).as("n_buyers"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .withColumn("cum_cents", sum(col("cents")).over(
+        Window.partitionBy(col("cohort")).orderBy(col("age"))))
+      .select(col("cohort"), col("age"), col("n_users"), col("n_buyers"),
+        round(col("cum_cents").cast("double")
+          / (col("n_users") * 100).cast("double"), 4).as("ltv_per_user"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
+  val ltvCurvesSql: String =
+    """WITH a AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      |ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(datediff('day', d0, CAST(ts AS DATE))
+      |      AS INTEGER) // 7 AS week
+      |  FROM events CROSS JOIN a),
+      |f AS (SELECT user_id, CAST(min(week) AS INTEGER) AS cohort FROM ev
+      |  GROUP BY user_id),
+      |c AS (SELECT cohort, CAST(week - cohort AS INTEGER) AS age,
+      |    CAST(sum(cents) AS BIGINT) AS cents,
+      |    CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_buyers
+      |  FROM ev JOIN f ON ev.user_id = f.user_id
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |sz AS (SELECT cohort, count(*) AS n_users FROM f GROUP BY 1)
+      |SELECT c.cohort, age, n_users, n_buyers,
+      |  round(CAST(sum(cents) OVER (PARTITION BY c.cohort ORDER BY age)
+      |    AS DOUBLE) / CAST(n_users * 100 AS DOUBLE), 4) AS ltv_per_user
+      |FROM c JOIN sz ON c.cohort = sz.cohort
+      |ORDER BY c.cohort, age""".stripMargin
+
+  /** Hill tail-index estimator (Hill '75) for the document-length
+    * distribution — the heavy-tail diagnostic that decides whether
+    * max-length truncation budgets can be set from means or must use
+    * quantiles (q130's Zipf slope is the RANK law; Hill is the TAIL
+    * law): α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k=100 largest lengths.
+    * The top-(k+1) order statistics come from one TakeOrdered; each ln
+    * ratio is rounded → DECIMAL before the k-term sum (the q126 ln
+    * discipline), so the estimator is bit-stable. Output one row with
+    * the implied tail exponent. Scale: TakeOrdered never sorts the
+    * corpus; all arithmetic on k+1 rows.
+    */
+  val hillTail: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val top = t(s, dir, "documents")
+      .select(col("n_chars").cast("double").as("x"), col("doc_id"))
+      .orderBy(col("x").desc, col("doc_id")).limit(k + 1)
+    val ranked = top.withColumn("rn", row_number().over(
+      Window.partitionBy(lit(1)).orderBy(col("x").desc, col("doc_id"))))
+    val xk1 = ranked.filter(col("rn") === k + 1)
+      .select(col("x").as("xk"))
+    ranked.filter(col("rn") <= k).crossJoin(broadcast(xk1))
+      .select(round(log(col("x") / col("xk")), 8)
+        .cast("decimal(18,8)").as("term"))
+      .agg(count(lit(1)).as("k"),
+        round(sum(col("term")).cast("double"), 8).as("sum_ln"),
+        round(lit(k.toDouble) / sum(col("term")).cast("double"), 6)
+          .as("alpha_hat"))
+  }
+
+  val hillTailSql: String =
+    """WITH top AS (SELECT CAST(n_chars AS DOUBLE) AS x, doc_id,
+      |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents),
+      |xk AS (SELECT x AS xk FROM top WHERE rn = 101),
+      |terms AS (SELECT CAST(round(ln(x / xk), 8) AS DECIMAL(18,8)) AS term
+      |  FROM top CROSS JOIN xk WHERE rn <= 100)
+      |SELECT count(*) AS k,
+      |  round(CAST(sum(term) AS DOUBLE), 8) AS sum_ln,
+      |  round(100.0 / CAST(sum(term) AS DOUBLE), 6) AS alpha_hat
+      |FROM terms""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -10480,6 +10579,8 @@ object Queries {
     "q241_join_card_estimate" -> joinCardEstimate,
     "q242_join_ivm" -> joinIvm,
     "q243_threshold_sweep" -> thresholdSweep,
+    "q244_ltv_curves" -> ltvCurves,
+    "q245_hill_tail" -> hillTail,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -10725,5 +10826,7 @@ object Queries {
     "q240_layout_pruning" -> layoutPruningSql,
     "q241_join_card_estimate" -> joinCardEstimateSql,
     "q242_join_ivm" -> joinIvmSql,
-    "q243_threshold_sweep" -> thresholdSweepSql)
+    "q243_threshold_sweep" -> thresholdSweepSql,
+    "q244_ltv_curves" -> ltvCurvesSql,
+    "q245_hill_tail" -> hillTailSql)
 }

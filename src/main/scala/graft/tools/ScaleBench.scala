@@ -244,7 +244,9 @@ object ScaleBench {
       graft.Queries.joinCardEstimate(s, d).count()),
     "join_ivm" -> ((s, d) => graft.Queries.joinIvm(s, d).count()),
     "threshold_sweep" -> ((s, d) =>
-      graft.Queries.thresholdSweep(s, d).count()))
+      graft.Queries.thresholdSweep(s, d).count()),
+    "ltv_curves" -> ((s, d) => graft.Queries.ltvCurves(s, d).count()),
+    "hill_tail" -> ((s, d) => graft.Queries.hillTail(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
