@@ -10334,6 +10334,58 @@ object Queries {
       |  round(100.0 / CAST(sum(term) AS DOUBLE), 6) AS alpha_hat
       |FROM terms""".stripMargin
 
+  /** Week-over-week event-mix drift (χ² homogeneity of each week's
+    * event-type distribution against the pooled corpus — the
+    * weekly-cadence complement of q181's KS and q166's KL: the alarm a
+    * pipeline owner pages on when a release shifts the event mix):
+    * weeks anchor at the data's min date (q198 discipline), the
+    * weeks×types cell grid is fixed-size, and each χ² term
+    * (n_wt − E)²/E with E = n_w·n_t/N derives from exact integers as
+    * ((N·n_wt − n_w·n_t)²)/(N·n_w·n_t) — one float division per cell,
+    * rounded → DECIMAL before the per-week sum (the q200/q229
+    * discipline). Scale: one keyed count over the grid.
+    */
+  val typeDrift: Q = (s, dir) => {
+    val raw = Tables.events(s, dir).select(col("ts"), col("event_type"))
+    val anchor = raw.agg(min(to_date(col("ts"))).as("d0"))
+    val cells = Dedup.pin(raw.crossJoin(broadcast(anchor))
+      .withColumn("week", expr("CAST(datediff(to_date(ts), d0) AS INT) div 7"))
+      .groupBy(col("week"), col("event_type")).agg(count(lit(1)).as("n")))
+    val perW = cells.groupBy(col("week")).agg(sum(col("n")).as("nw"))
+    val perT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    val tot = cells.agg(sum(col("n")).as("ntot"))
+    cells.join(broadcast(perW), Seq("week"))
+      .join(broadcast(perT), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("week"),
+        round(((col("ntot") * col("n") - col("nw") * col("nt"))
+          * (col("ntot") * col("n") - col("nw") * col("nt"))).cast("double")
+          / (col("ntot") * col("nw") * col("nt")).cast("double"), 8)
+          .cast("decimal(18,8)").as("term"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_types"),
+        round(sum(col("term")).cast("double"), 8).as("chi2"))
+      .orderBy(col("week"))
+  }
+
+  val typeDriftSql: String =
+    """WITH a AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      |c AS (SELECT CAST(datediff('day', d0, CAST(ts AS DATE)) AS INTEGER)
+      |    // 7 AS week, event_type, count(*) AS n
+      |  FROM events CROSS JOIN a GROUP BY 1, 2),
+      |pw AS (SELECT week, CAST(sum(n) AS BIGINT) AS nw FROM c GROUP BY 1),
+      |pt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM c
+      |  GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM c)
+      |SELECT c.week, count(*) AS n_types,
+      |  round(CAST(sum(CAST(round(CAST((ntot * n - nw * nt)
+      |    * (ntot * n - nw * nt) AS DOUBLE)
+      |    / CAST(ntot * nw * nt AS DOUBLE), 8) AS DECIMAL(18,8)))
+      |    AS DOUBLE), 8) AS chi2
+      |FROM c JOIN pw ON c.week = pw.week
+      |JOIN pt ON c.event_type = pt.event_type CROSS JOIN tt
+      |GROUP BY c.week ORDER BY c.week""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -10581,6 +10633,7 @@ object Queries {
     "q243_threshold_sweep" -> thresholdSweep,
     "q244_ltv_curves" -> ltvCurves,
     "q245_hill_tail" -> hillTail,
+    "q246_type_drift" -> typeDrift,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -10828,5 +10881,6 @@ object Queries {
     "q242_join_ivm" -> joinIvmSql,
     "q243_threshold_sweep" -> thresholdSweepSql,
     "q244_ltv_curves" -> ltvCurvesSql,
-    "q245_hill_tail" -> hillTailSql)
+    "q245_hill_tail" -> hillTailSql,
+    "q246_type_drift" -> typeDriftSql)
 }

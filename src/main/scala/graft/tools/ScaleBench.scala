@@ -246,7 +246,8 @@ object ScaleBench {
     "threshold_sweep" -> ((s, d) =>
       graft.Queries.thresholdSweep(s, d).count()),
     "ltv_curves" -> ((s, d) => graft.Queries.ltvCurves(s, d).count()),
-    "hill_tail" -> ((s, d) => graft.Queries.hillTail(s, d).count()))
+    "hill_tail" -> ((s, d) => graft.Queries.hillTail(s, d).count()),
+    "type_drift" -> ((s, d) => graft.Queries.typeDrift(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")
