@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.{Readers, Writers}
-import graft.ops.{Dedup, Multimodal, SimSearch, Skew, TextStats, TopK}
+import graft.ops.{Dedup, Multimodal, Ranks, SimSearch, Skew, TextStats, TopK}
 import graft.transform.{Canonicalize, Enrich, Harmonize, Normalize}
 import graft.quality.Expectations._
 import graft.streaming.EventStreams
@@ -3847,17 +3847,16 @@ object Queries {
     */
   val winnowOverlap: Q = (s, dir) => {
     val K = 20; val W = 8
-    val withH = Dedup.pin(
+    // fused native md5-winnow (same VALUES as the composed
+    // transform/md5/conv/array_min formulation — Md5WinnowSpec proves
+    // the equivalence; the DuckDB oracle below is that spec verbatim):
+    // the 59.8 s r7 bench row was expression-tree overhead around the
+    // inherent md5 work, not the join (VERDICT r7 perf audit)
+    val fps = Dedup.pin(
       t(s, dir, "documents").filter(length(col("text")) >= K + W - 1)
         .select(col("doc_id"),
-          transform(sequence(lit(1), length(col("text")) - (K - 1)),
-            i => conv(substring(md5(col("text").substr(i, lit(K)).cast("binary")),
-              1, 15), 16, 10).cast("long")).as("h")))
-    val fps = Dedup.pin(withH
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(1), size(col("h")) - (W - 1)),
-            j => array_min(slice(col("h"), j, lit(W)))))).as("fp")))
+          explode(graft.functions.WinnowFingerprints
+            .md5_winnow_set(col("text"), K, W)).as("fp")))
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -5954,15 +5953,16 @@ object Queries {
     * triple (last-activity time, purchase count, DECIMAL purchase
     * value), each dimension is cut into quintiles by ntile(5) in a
     * deterministic total order (metric desc, user_id tiebreak), and the
-    * 125-cell grid reports population and value per segment. The ntile
-    * windows rank the USER table (corpus-sublinear; the events table
-    * itself is reduced first), but each is still a single-partition
-    * sort at this size — at 100 TB the same cuts come from
-    * percentile thresholds against the user aggregate instead, an
-    * exchange-free plan the scaladoc pins so the swap is mechanical.
+    * 125-cell grid reports population and value per segment. The
+    * quintile cuts rank the USER table (corpus-sublinear; the events
+    * table itself is reduced first) through the two-phase
+    * [[Ranks.globalRowNumber]] + [[Ranks.ntileFromRank]] arithmetic —
+    * exact SQL-ntile semantics (including deterministic tie-splitting
+    * by user_id, which percentile thresholds could NOT reproduce)
+    * with NO single-partition window: each dimension is a P-way range
+    * shuffle, spill-safe at billions of users (r7 verdict item #5).
     */
   val rfmSegments: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val per = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
@@ -5971,13 +5971,16 @@ object Queries {
         coalesce(sum(when(col("event_type") === "purchase",
             col("value").cast("decimal(18,2)"))),
           lit(0).cast("decimal(18,2)")).as("mon"))
-    per
-      .withColumn("r",
-        ntile(5).over(Window.orderBy(col("last_us").desc, col("user_id"))))
-      .withColumn("f",
-        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
-      .withColumn("m",
-        ntile(5).over(Window.orderBy(col("mon").desc, col("user_id"))))
+    val nTot = per.agg(count(lit(1)).as("n_tot"))
+    val base = per.crossJoin(broadcast(nTot))
+    val ranked = Seq(
+      ("r", "last_us"), ("f", "freq"), ("m", "mon")
+    ).foldLeft(base) { case (df, (out, metric)) =>
+      Ranks.globalRowNumber(df, Seq(col(metric).desc, col("user_id")), "__g")
+        .withColumn(out, Ranks.ntileFromRank(col("__g"), col("n_tot"), 5))
+        .drop("__g")
+    }
+    ranked
       .groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("mon")).cast("double").as("total_mon"),
@@ -6216,9 +6219,10 @@ object Queries {
     * boundaries), the report means go through DECIMAL sums, and ranks
     * tie-break on doc_id. Scale shape: shuffles carry (source, score,
     * id) triples and the rank-keyed join probes integers — text never
-    * moves; the global rank window is single-partition at gate scale,
-    * with the 100 TB swap (range-partitioned global rank via
-    * `zipWithIndex`-style partition offsets) pinned here.
+    * moves; the global rank is the TWO-PHASE [[Ranks.globalRowNumber]]
+    * (range partitions + broadcast prefix offsets, the `zipWithIndex`
+    * pattern) — no corpus-sized single-partition window anywhere in the
+    * plan (r7 verdict item #4).
     */
   val quantileNorm: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
@@ -6231,9 +6235,12 @@ object Queries {
       .withColumn("rs", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))))
       .join(broadcast(counts), Seq("source"))
-    val globalIdx = scored
-      .select(col("q").as("gq"),
-        row_number().over(Window.orderBy(col("q"), col("doc_id"))).as("gk"))
+    // two-phase global rank (range partitions + broadcast prefix
+    // offsets) — no corpus-sized single-partition window; see Ranks.
+    val globalIdx = Ranks.globalRowNumber(
+      scored.select(col("q"), col("doc_id")),
+      Seq(col("q"), col("doc_id")), "gk")
+      .select(col("q").as("gq"), col("gk"))
     ranked.crossJoin(broadcast(total))
       // integer ceil: Spark's `/` on integers is true division (double)
       .withColumn("gk",
@@ -7716,14 +7723,21 @@ object Queries {
     * the emitted set is deterministic on both engines.
     */
   val tokenKeyness: Q = (s, dir) => {
-    val toks = Dedup.pin(t(s, dir, "documents")
+    // focus comes from the (tiny) documents table, so the exploded
+    // corpus×token frame has exactly ONE consumer and is NOT cached —
+    // pinning it was a memory hazard at full-catalog JVM scale and
+    // bought nothing (r7 verdict item #6).
+    val toks = t(s, dir, "documents")
       .select(col("source"),
-        explode(TextStats.tokens(lower(col("text")))).as("token")))
-    val focus = toks.agg(min(col("source")).as("focus"))
-    val counts = toks.crossJoin(broadcast(focus))
+        explode(TextStats.tokens(lower(col("text")))).as("token"))
+    val focus = t(s, dir, "documents").agg(min(col("source")).as("focus"))
+    // the pin moves to the VOCABULARY-sized per-token aggregate (two
+    // consumers: the grand totals and the final projection) — state is
+    // |vocab| rows, never corpus×tokens.
+    val counts = Dedup.pin(toks.crossJoin(broadcast(focus))
       .groupBy(col("token"))
       .agg(sum(when(col("source") === col("focus"), 1L).otherwise(0L)).as("a"),
-        sum(when(col("source") =!= col("focus"), 1L).otherwise(0L)).as("b"))
+        sum(when(col("source") =!= col("focus"), 1L).otherwise(0L)).as("b")))
     val tot = counts.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     counts.filter(col("a") + col("b") >= 5)
       .crossJoin(broadcast(tot))
@@ -7972,7 +7986,8 @@ object Queries {
       |    shard, row_number() OVER (PARTITION BY doc_id
       |      ORDER BY w DESC, shard DESC) AS rn FROM w) WHERE rn = 1),
       |tot AS (SELECT count(*) AS n_tot FROM pick)
-      |SELECT shard, count(*) AS n_docs, sum(n_chars) AS n_chars_tot,
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars_tot,
       |  round(CAST(count(*) AS DOUBLE) / CAST(n_tot AS DOUBLE), 8)
       |    AS doc_share
       |FROM pick CROSS JOIN tot
@@ -9226,20 +9241,27 @@ object Queries {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .select(col("source"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
-          .as("slope"),
-        round((col("sy").cast("double")
-          - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      .select(col("source"), col("n"), {
+        // compound products in DECIMAL(38,0): n·Σxy and Σx·Σy overflow
+        // int64 once per-source sums pass ~3e9 — Spark (non-ANSI) would
+        // wrap SILENTLY while DuckDB raises, a latent wrong-answer +
+        // parity break at corpus scale (ADVICE r7). The wide-int diff
+        // is exact; only then does it drop to double.
+        val nD = col("n").cast("decimal(38,0)")
+        val sxD = col("sx").cast("decimal(38,0)")
+        val syD = col("sy").cast("decimal(38,0)")
+        val cov = (nD * col("sxy") - sxD * col("sy")).cast("double")
+        val vx = (nD * col("sxx") - sxD * col("sx")).cast("double")
+        val vy = (nD * col("syy") - syD * col("sy")).cast("double")
+        struct(
+          round(cov / vx, 6).as("slope"),
+          round((col("sy").cast("double") - cov / vx
             * col("sx").cast("double")) / col("n").cast("double"), 6)
-          .as("intercept"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
-          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
-          .as("r2"))
+            .as("intercept"),
+          round(cov * cov / (vx * vy), 6).as("r2")).as("f")
+      })
+      .select(col("source"), col("n"), col("f.slope").as("slope"),
+        col("f.intercept").as("intercept"), col("f.r2").as("r2"))
       .orderBy(col("source"))
   }
 
@@ -9252,18 +9274,21 @@ object Queries {
       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
       |    CAST(sum(x * x) AS BIGINT) AS sxx,
       |    CAST(sum(y * y) AS BIGINT) AS syy
-      |  FROM p GROUP BY source)
+      |  FROM p GROUP BY source),
+      |w AS (SELECT source, n, sx, sy,
+      |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+      |      AS DOUBLE) AS cov,
+      |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+      |      AS DOUBLE) AS vx,
+      |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+      |      AS DOUBLE) AS vy
+      |  FROM st)
       |SELECT source, n,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-      |  round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  round(cov / vx, 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) - cov / vx * CAST(sx AS DOUBLE))
       |    / CAST(n AS DOUBLE), 6) AS intercept,
-      |  round((CAST(n * sxy - sx * sy AS DOUBLE)
-      |    * CAST(n * sxy - sx * sy AS DOUBLE))
-      |    / (CAST(n * sxx - sx * sx AS DOUBLE)
-      |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
-      |FROM st ORDER BY source""".stripMargin
+      |  round(cov * cov / (vx * vy), 6) AS r2
+      |FROM w ORDER BY source""".stripMargin
 
   /** Sorted-neighborhood near-dup detection (Hernández–Stolfo '95 — the
     * classic ALTERNATIVE to hash blocking (q128) and LSH banding (q21):
@@ -9343,8 +9368,12 @@ object Queries {
         Window.partitionBy(lit(1)).orderBy(col("tok").desc, col("source"))))
       .crossJoin(broadcast(tot))
       .select(col("rk"), col("cum"), col("tok"), col("total"), col("n_sources"))
-      .filter(col("cum") * 5 >= col("total") * 4)
-      .agg(min(col("rk")).as("n_sources_80"),
+      // the 80% test gates ONLY n_sources_80 (conditional min);
+      // top_share reads the UNFILTERED rk=1 row — a frame-level filter
+      // here would null top_share whenever the top source alone holds
+      // < 80% of the tokens (ADVICE r7)
+      .agg(min(when(col("cum") * 5 >= col("total") * 4, col("rk")))
+          .as("n_sources_80"),
         max(col("n_sources")).as("n_sources"),
         max(col("total")).as("total_tokens"),
         round(max(when(col("rk") === 1, col("tok"))).cast("double")
@@ -9361,11 +9390,12 @@ object Queries {
       |c AS (SELECT source, tok,
       |    sum(tok) OVER (ORDER BY tok DESC, source) AS cum,
       |    row_number() OVER (ORDER BY tok DESC, source) AS rk FROM per)
-      |SELECT CAST(min(rk) AS INTEGER) AS n_sources_80,
+      |SELECT CAST(min(CASE WHEN cum * 5 >= total * 4 THEN rk END)
+      |    AS INTEGER) AS n_sources_80,
       |  max(n_sources) AS n_sources, max(total) AS total_tokens,
       |  round(CAST(max(CASE WHEN rk = 1 THEN tok END) AS DOUBLE)
       |    / CAST(max(total) AS DOUBLE), 6) AS top_share
-      |FROM c CROSS JOIN tt WHERE cum * 5 >= total * 4""".stripMargin
+      |FROM c CROSS JOIN tt""".stripMargin
 
   /** Shuffle-partition balance audit — q199's key-skew profiler taken
     * to PARTITION granularity: documents hashed to 32 partitions by a
@@ -9387,11 +9417,14 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     val tot = cells.agg(sum(col("n")).as("nt"))
     cells.crossJoin(broadcast(tot))
-      .select(col("n"), col("chars"), col("nt"),
-        round(((lit(P) * col("n") - col("nt"))
-          * (lit(P) * col("n") - col("nt"))).cast("double")
-          / (lit(P) * col("nt")).cast("double"), 8)
-          .cast("decimal(18,8)").as("term"))
+      .select(col("n"), col("chars"), col("nt"), {
+        // the diff P·n − N fits int64 at any scale; its SQUARE does not
+        // — square in double (exact for |diff| < 2^26 at gate SF, and
+        // non-wrapping at 100 TB; ADVICE r7 overflow sweep)
+        val d = (lit(P) * col("n") - col("nt")).cast("double")
+        round(d * d / (lit(P) * col("nt")).cast("double"), 8)
+          .cast("decimal(18,8)").as("term")
+      })
       .agg(count(lit(1)).as("n_partitions"), max(col("nt")).as("n_rows"),
         max(col("n")).as("max_part"), min(col("n")).as("min_part"),
         round(sum(col("term")).cast("double"), 8).as("chi2"))
@@ -9406,8 +9439,9 @@ object Queries {
       |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
       |SELECT count(*) AS n_partitions, max(nt) AS n_rows,
       |  CAST(max(n) AS BIGINT) AS max_part, CAST(min(n) AS BIGINT) AS min_part,
-      |  round(CAST(sum(CAST(round(CAST((32 * n - nt) * (32 * n - nt)
-      |    AS DOUBLE) / CAST(32 * nt AS DOUBLE), 8) AS DECIMAL(18,8)))
+      |  round(CAST(sum(CAST(round(CAST(32 * n - nt AS DOUBLE)
+      |    * CAST(32 * n - nt AS DOUBLE)
+      |    / CAST(32 * nt AS DOUBLE), 8) AS DECIMAL(18,8)))
       |    AS DOUBLE), 8) AS chi2
       |FROM cells CROSS JOIN tt""".stripMargin
 
@@ -9996,7 +10030,8 @@ object Queries {
         max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
         min(col("q")).as("q_min"))
       .select(col("cluster_id"), col("n_members"), col("first_keeper"),
-        (-col("m.nid")).as("best_keeper"), col("m.q").as("q_best"),
+        (-col("m.nid")).as("best_keeper"),
+        col("m.q").cast("double").as("q_best"),
         (col("m.q") - col("q_min")).cast("double").as("q_spread"),
         (col("first_keeper") =!= -col("m.nid")).as("policy_differs"))
       .orderBy(col("cluster_id"))
@@ -10038,7 +10073,7 @@ object Queries {
       |SELECT m.cluster_id, count(*) AS n_members,
       |  CAST(min(m.doc_id) AS BIGINT) AS first_keeper,
       |  CAST(max(best_keeper) AS BIGINT) AS best_keeper,
-      |  max(q_best) AS q_best,
+      |  CAST(max(q_best) AS DOUBLE) AS q_best,
       |  CAST(max(q_best) - min(q) AS DOUBLE) AS q_spread,
       |  min(m.doc_id) <> max(best_keeper) AS policy_differs
       |FROM m JOIN pick ON m.cluster_id = pick.cluster_id
@@ -10357,11 +10392,17 @@ object Queries {
     cells.join(broadcast(perW), Seq("week"))
       .join(broadcast(perT), Seq("event_type"))
       .crossJoin(broadcast(tot))
-      .select(col("week"),
-        round(((col("ntot") * col("n") - col("nw") * col("nt"))
-          * (col("ntot") * col("n") - col("nw") * col("nt"))).cast("double")
-          / (col("ntot") * col("nw") * col("nt")).cast("double"), 8)
-          .cast("decimal(18,8)").as("term"))
+      .select(col("week"), {
+        // N·n_wt − n_w·n_t in DECIMAL(38,0) (int64 wraps silently at
+        // corpus scale while DuckDB raises — ADVICE r7); the square and
+        // the triple-product denominator run in double, where neither
+        // can wrap and both engines agree bit-for-bit
+        val d = (col("ntot").cast("decimal(38,0)") * col("n")
+          - col("nw").cast("decimal(38,0)") * col("nt")).cast("double")
+        round(d * d / (col("ntot").cast("double") * col("nw").cast("double")
+          * col("nt").cast("double")), 8)
+          .cast("decimal(18,8)").as("term")
+      })
       .groupBy(col("week"))
       .agg(count(lit(1)).as("n_types"),
         round(sum(col("term")).cast("double"), 8).as("chi2"))
@@ -10378,9 +10419,13 @@ object Queries {
       |  GROUP BY 1),
       |tt AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM c)
       |SELECT c.week, count(*) AS n_types,
-      |  round(CAST(sum(CAST(round(CAST((ntot * n - nw * nt)
-      |    * (ntot * n - nw * nt) AS DOUBLE)
-      |    / CAST(ntot * nw * nt AS DOUBLE), 8) AS DECIMAL(18,8)))
+      |  round(CAST(sum(CAST(round(
+      |    CAST(CAST(ntot AS HUGEINT) * n - CAST(nw AS HUGEINT) * nt
+      |      AS DOUBLE)
+      |    * CAST(CAST(ntot AS HUGEINT) * n - CAST(nw AS HUGEINT) * nt
+      |      AS DOUBLE)
+      |    / (CAST(ntot AS DOUBLE) * CAST(nw AS DOUBLE)
+      |      * CAST(nt AS DOUBLE)), 8) AS DECIMAL(18,8)))
       |    AS DOUBLE), 8) AS chi2
       |FROM c JOIN pw ON c.week = pw.week
       |JOIN pt ON c.event_type = pt.event_type CROSS JOIN tt

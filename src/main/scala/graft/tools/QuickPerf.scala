@@ -24,6 +24,9 @@ object QuickPerf {
     for (n <- names; r <- 1 to reps) {
       val t0 = System.nanoTime()
       val cnt = graft.SparkEntry.queries(n)(spark, sfDir).collect().length
+      // release inside the timed window, matching Bench's lifecycle —
+      // otherwise rep 2+ reads rep 1's pinned caches and under-reports
+      graft.ops.Dedup.releaseCaches()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"QP $n%-24s run$r rows=$cnt%-6d ${sec}%.3f s")
     }

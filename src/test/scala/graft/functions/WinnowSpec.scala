@@ -64,6 +64,39 @@ class WinnowSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("md5_winnow_set equals the composed md5/conv/array_min formulation") {
+    // the q132 gate swap (VERDICT r7 #3) is only sound if the native
+    // fused pass is VALUE-identical to the expression-tree spec the
+    // DuckDB oracle mirrors — including multi-byte chars, where the
+    // composed form hashes the UTF-8 bytes of a CHAR substring
+    val K = 20; val W = 8
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abcdefghij klmnop", "αβγδε ζηθικ", "aé漢b ")
+    val texts = (for (len <- Seq(27, 30, 64, 200); a <- alphabets) yield
+      (0 until len).map(_ => a(rnd.nextInt(a.length))).mkString) :+
+      ("x" * 27) :+ ("the quick brown fox jumps over the lazy dog " * 5)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val composed = df.filter(length($"text") >= K + W - 1)
+      .select($"doc_id",
+        array_distinct(transform(
+          sequence(lit(1), length($"text") - (K - 1) - (W - 1)),
+          j => array_min(slice(
+            transform(sequence(lit(1), length($"text") - (K - 1)),
+              i => conv(substring(md5($"text".substr(i, lit(K))
+                .cast("binary")), 1, 15), 16, 10).cast("long")),
+            j, lit(W))))).as("f"))
+    val native = df.filter(length($"text") >= K + W - 1)
+      .select($"doc_id",
+        WinnowFingerprints.md5_winnow_set($"text", K, W).as("f"))
+    val c = composed.as[(Long, Seq[Long])].collect().toMap
+    val n = native.as[(Long, Seq[Long])].collect().toMap
+    assert(n.keySet == c.keySet)
+    n.keySet.foreach { id =>
+      assert(n(id) == c(id), s"doc $id: native=${n(id)} composed=${c(id)}")
+    }
+  }
+
   test("expression is SQL-reachable and codegen agrees with the helper") {
     graft.GraftExtensions.install(spark)
     val s = "abcdefghijklmnopqrstuvwxyz0123456789 the quick brown fox"
