@@ -40,6 +40,20 @@ object Bench {
         java.nio.file.Paths.get(outFile),
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // round-stamped copy: BENCH_FULL.json is overwritten every round, so
+    // per-query round-over-round diffs died with it (VERDICT r7 #7) —
+    // infer the upcoming round as max BENCH_r<N>.json + 1 and persist
+    // BENCH_FULL_r<N>.json alongside
+    try {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val dir = new java.io.File(".").listFiles()
+      val round = (if (dir == null) Array.empty[Int]
+        else dir.flatMap(f => re.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt))).foldLeft(0)(math.max) + 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"),
+        payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     // Compact final line: slowest-5 only in "queries" (stable schema for
     // the driver), plus the query count and the path to the full map.
     val slowest = results.toSeq.sortBy(-_._2).take(5)

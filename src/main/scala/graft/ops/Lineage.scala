@@ -36,9 +36,18 @@ object Lineage {
     * skips the per-superstep job, so a fixed-round loop with no mid-loop
     * action collapses R driver jobs into one final job — measured round 7
     * on the q143/q160/q161 loops (SCALE.md). Convergence-style loops
-    * (an action per round anyway, e.g. [[Dedup.clusters]]) gain nothing
-    * — keep [[cut]] there. Under `spark.graft.checkpoint.reliable=true`
-    * this stays EAGER: per-round durability is the entire point of the
+    * with an action per round (e.g. [[Dedup.clusters]]) ALSO prefer lazy:
+    * the round-8 directed A/B (SCALE.md r8 #1) measured eager cuts 1.5–3×
+    * slower across the clusters family (q94 8.3→24.2 s, q190 8.3→18.1 s,
+    * q65 2.9→9.8 s at sf0.1) — the eager localCheckpoint runs the
+    * superstep's plan as its OWN job and the fixpoint-sum action then
+    * reads the stored blocks, i.e. one extra scheduled job plus one
+    * extra block write/read per round, where the lazy form materializes
+    * inside the sum job it already runs. The benign `BlockManager:
+    * Block rdd_X already exists` warnings in bench tails are the lazy
+    * first-action path double-reporting a stored partition, not
+    * recomputation. Under `spark.graft.checkpoint.reliable=true` this
+    * stays EAGER: per-round durability is the entire point of the
     * reliable path, a lazy reliable cut would persist nothing until the
     * final action.
     */

@@ -54,4 +54,39 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q212_modularity_audit")
     assert(!p.contains("CartesianProduct"))
   }
+
+  // ---- round-8: the two corpus-sized global windows the r7 verdict
+  // flagged (q178 global row_number, q174 global ntile) are now
+  // two-phase ranks; pin "no partition-less Window over a corpus frame"
+  // as a structural assertion so a regression fails here, not in bench.
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  private def partitionlessWindows(p: SparkPlan): Seq[WindowExec] = p match {
+    case a: AdaptiveSparkPlanExec => partitionlessWindows(a.inputPlan)
+    case _ =>
+      (p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Nil
+      }) ++ p.children.flatMap(partitionlessWindows)
+  }
+
+  test("q178 quantile-norm has no partition-less Window (two-phase rank)") {
+    val p = graft.Queries.all("q178_quantile_norm")(spark, sfDir)
+      .queryExecution.executedPlan
+    assert(partitionlessWindows(p).isEmpty,
+      "global rank must come from Ranks.globalRowNumber, not a " +
+        "single-partition window")
+    graft.ops.Dedup.releaseCaches()
+  }
+
+  test("q174 rfm-segments has no partition-less Window (arithmetic ntile)") {
+    val p = graft.Queries.all("q174_rfm_segments")(spark, sfDir)
+      .queryExecution.executedPlan
+    assert(partitionlessWindows(p).isEmpty,
+      "quintile cuts must come from ntileFromRank over a two-phase rank")
+    graft.ops.Dedup.releaseCaches()
+  }
 }
