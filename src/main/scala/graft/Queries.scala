@@ -10431,6 +10431,447 @@ object Queries {
       |JOIN pt ON c.event_type = pt.event_type CROSS JOIN tt
       |GROUP BY c.week ORDER BY c.week""".stripMargin
 
+  // ======================================= round-8 additions (q247+)
+
+  /** The quality-score SQL twin (TextStats.qualityScore verbatim) shared
+    * by the round-8 oracles — same expression the q178/q239 oracles
+    * inline.
+    */
+  private val qScoreSql: String =
+    """round(
+      |      least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      |    + (1.0 - least(CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+      |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+      |    + least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |        / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.3,
+      |    6)""".stripMargin
+
+  /** Classifier-calibration audit (reliability diagram + per-bin Brier
+    * terms + the ECE decomposition; Naeini '15 / Guo '17 framing): the
+    * quality score read as a pseudo-probability that a document is
+    * English, binned into deciles, each bin reporting population,
+    * confidence (mean score), empirical accuracy (share actually en),
+    * the |acc − conf| gap, its N-weighted ECE contribution, and the
+    * bin's Brier mean. The go/no-go read before a score is used as a
+    * sampling weight (a mis-calibrated score silently re-weights the
+    * corpus). Determinism: score is round(·,6) at source; per-row
+    * (s−y)² rounds → DECIMAL before the bin sum; bin means divide
+    * exact DECIMAL sums and round last. Scale: one scan, 10 rows of
+    * state — the agg is the whole query; nothing is corpus-sized after
+    * the map side.
+    */
+  val calibrationAudit: Q = (s, dir) => {
+    val scored = t(s, dir, "documents")
+      .select(TextStats.qualityScore(col("text")).as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .select(col("sc"), col("y"),
+        least(floor(col("sc") * 10).cast("int"), lit(9)).as("bin"),
+        round((col("sc") - col("y")) * (col("sc") - col("y")), 8)
+          .cast("decimal(18,8)").as("sq"))
+    val tot = scored.agg(count(lit(1)).as("n_all"))
+    scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("sc").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("conf"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("acc"),
+        round(sum(col("sq")).cast("double") / count(lit(1)), 6)
+          .as("brier_bin"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"), col("conf"), col("acc"),
+        round(abs(col("acc") - col("conf")), 6).as("abs_gap"),
+        round(col("n_docs").cast("double") / col("n_all").cast("double")
+          * abs(col("acc") - col("conf")), 6).as("ece_term"),
+        col("brier_bin"))
+      .orderBy(col("bin"))
+  }
+
+  val calibrationAuditSql: String =
+    s"""WITH sc AS (SELECT $qScoreSql AS sc,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       |b AS (SELECT sc, y,
+       |    least(CAST(floor(sc * 10) AS INTEGER), 9) AS bin,
+       |    CAST(round((sc - y) * (sc - y), 8) AS DECIMAL(18,8)) AS sq
+       |  FROM sc),
+       |tt AS (SELECT count(*) AS n_all FROM b),
+       |g AS (SELECT bin, count(*) AS n_docs,
+       |    round(CAST(sum(CAST(sc AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*), 6) AS conf,
+       |    round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS acc,
+       |    round(CAST(sum(sq) AS DOUBLE) / count(*), 6) AS brier_bin
+       |  FROM b GROUP BY bin)
+       |SELECT bin, n_docs, conf, acc,
+       |  round(abs(acc - conf), 6) AS abs_gap,
+       |  round(CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE)
+       |    * abs(acc - conf), 6) AS ece_term,
+       |  brier_bin
+       |FROM g CROSS JOIN tt ORDER BY bin""".stripMargin
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney '47, with the tie
+    * correction): are English documents drawn from the same length
+    * distribution as the rest? The distribution-free two-sample test a
+    * corpus comparison reaches for before any parametric assumption
+    * (q181's KS gives the max-gap view; U gives the rank-sum view with
+    * an asymptotic z). EVERYTHING until the final z is exact integer
+    * via the VALUE-DOMAIN discipline (q123/q216): ranks come from the
+    * distinct n_chars domain — avg rank of a tied value kept as the
+    * DOUBLED integer 2·cum_before + cnt + 1, so Σranks of group A is
+    * an exact integer sum over |domain| rows, never a corpus window.
+    * Tie correction Σ(t³−t) in DECIMAL(38,0). Scale: the only window
+    * runs over the distinct-value frame (bounded by the n_chars
+    * domain), shuffles carry (value, group) counts.
+    */
+  val mannWhitney: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "documents")
+      .select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("isA"))
+      .groupBy(col("n_chars"))
+      .agg(sum(col("isA")).as("ca"), count(lit(1)).as("ct"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = per
+      .withColumn("cum", sum(col("ct")).over(w))
+      // doubled average rank of this tied value: 2·(cum−ct) + ct + 1
+      .withColumn("r2", lit(2) * (col("cum") - col("ct")) + col("ct") + 1)
+    ranked.agg(
+        sum(col("ca")).as("na"),
+        sum(col("ct") - col("ca")).as("nb"),
+        // ca·r2 ~ N² wraps int64 at corpus scale — DECIMAL(38,0)
+        // through the whole rank-sum (HUGEINT on the oracle side)
+        sum(col("ca").cast("decimal(38,0)") * col("r2")).as("ra2"),
+        sum((col("ct").cast("decimal(38,0)") * col("ct") * col("ct")
+          - col("ct"))).as("ties"))
+      .select(col("na"), col("nb"), {
+        // U_A = R_A − n_A(n_A+1)/2, carried doubled until the final /2
+        val u2 = col("ra2") - col("na").cast("decimal(38,0)") * (col("na") + 1)
+        val n = col("na") + col("nb")
+        val mu2 = col("na").cast("decimal(38,0)") * col("nb") // 2·µ_U
+        val varU = col("na").cast("double") * col("nb").cast("double") / 12.0 *
+          ((n + 1).cast("double") -
+            col("ties").cast("double")
+              / (n.cast("double") * (n - 1).cast("double")))
+        struct(
+          round(u2.cast("double") / 2.0, 1).as("u_stat"),
+          round((u2 - mu2).cast("double") / 2.0 / sqrt(varU), 6).as("z"))
+          .as("f")
+      })
+      .select(col("na"), col("nb"), col("f.u_stat").as("u_stat"),
+        col("f.z").as("z"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH per AS (SELECT n_chars,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+      |    count(*) AS ct
+      |  FROM documents GROUP BY n_chars),
+      |r AS (SELECT ca, ct,
+      |    2 * (sum(ct) OVER (ORDER BY n_chars
+      |      ROWS UNBOUNDED PRECEDING) - ct) + ct + 1 AS r2
+      |  FROM per),
+      |agg AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(ct - ca) AS BIGINT) AS nb,
+      |    sum(CAST(ca AS HUGEINT) * r2) AS ra2,
+      |    CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS DOUBLE) AS ties
+      |  FROM r)
+      |SELECT na, nb,
+      |  round(CAST(ra2 - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE)
+      |    / 2.0, 1) AS u_stat,
+      |  round(CAST(ra2 - CAST(na AS HUGEINT) * (na + 1)
+      |      - CAST(na AS HUGEINT) * nb AS DOUBLE) / 2.0
+      |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      |      * (CAST(na + nb + 1 AS DOUBLE)
+      |        - ties / (CAST(na + nb AS DOUBLE)
+      |          * CAST(na + nb - 1 AS DOUBLE)))), 6) AS z
+      |FROM agg""".stripMargin
+
+  /** First-order Markov transition matrix of user event streams (the
+    * behavioral fingerprint a product-analytics team reads for "what
+    * follows what": transition counts and row-conditional probabilities
+    * P(next=to | cur=from) over each user's time-ordered sequence).
+    * Ordering is total per user (ts, event_id tiebreak); the lead()
+    * window is PARTITIONED BY user — thousands of parallel partitions,
+    * never a global sort. State after the map side: |types|² cells.
+    * Probabilities divide exact integer counts, rounded once.
+    */
+  val markovTransitions: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("to_type").isNotNull)
+    val cells = seq.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val rowTot = cells.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("n_from"))
+    cells.join(broadcast(rowTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        round(col("n_trans").cast("double") / col("n_from").cast("double"),
+          6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH s AS (SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n_trans FROM s
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      |  FROM c GROUP BY 1)
+      |SELECT c.from_type, to_type, n_trans,
+      |  round(CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p
+      |FROM c JOIN rt ON c.from_type = rt.from_type
+      |ORDER BY c.from_type, to_type""".stripMargin
+
+  /** Kaplan–Meier survival of time-to-first-error in EVENT STEPS
+    * (Kaplan & Meier '58, product-limit estimator with right
+    * censoring): for each user, t = the 1-based position of the first
+    * `error` event in their time-ordered stream, censored at the
+    * stream's end for users who never error — "how many actions does a
+    * user get through before the first failure", with censoring handled
+    * correctly (a naive failure-rate-per-position over-counts for
+    * short streams; calendar-day lifetime is degenerate on this corpus
+    * — every user spans the full window, so day-granularity churn has
+    * zero uncensored deaths). S(t) = Π_{t'≤t} (1 − deaths_{t'}/risk_{t'}).
+    * Exactness: deaths/risk are exact integers (at-risk =
+    * reverse-cumulative over the position domain); each step's
+    * ln(1−d/r) rounds → DECIMAL before the cumulative sum (q126's ln
+    * discipline); one exp at the end. Scale: the per-user position
+    * window is user-partitioned; after the per-user reduce every frame
+    * is POSITION-domain-sized (≤ max events per user), so the two
+    * unpartitioned windows run over a bounded domain, never the corpus.
+    */
+  val kmRetention: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val seqd = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).as("pos"))
+    val per = seqd.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "error", col("pos"))).as("terr"),
+        max(col("pos")).as("nev"))
+      .select(coalesce(col("terr"), col("nev")).as("t"),
+        col("terr").isNull.as("censored"))
+    val byT = per.groupBy(col("t"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("deaths"),
+        count(lit(1)).as("n_at"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("risk", sum(col("n_at")).over(wRisk))
+      .filter(col("deaths") > 0)
+      // deaths == risk is the absorbing state (everyone remaining dies:
+      // S hits exactly 0 and ln(0) diverges — DuckDB raises, Spark
+      // nulls): flag it cumulatively and pin surv to 0.0 from there on
+      .withColumn("gone",
+        max(when(col("deaths") === col("risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("lnterm",
+        when(col("deaths") < col("risk"),
+          round(log(lit(1.0) - col("deaths").cast("double")
+            / col("risk").cast("double")), 8).cast("decimal(18,8)")))
+      .withColumn("surv",
+        when(col("gone") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("lnterm")).over(wCum)
+            .cast("double")), 6)))
+      .select(col("t"), col("deaths"), col("risk"), col("surv"))
+      .orderBy(col("t"))
+  }
+
+  val kmRetentionSql: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pos
+      |  FROM events),
+      |u AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'error' THEN pos END) AS terr,
+      |    max(pos) AS nev FROM s GROUP BY user_id),
+      |lt AS (SELECT coalesce(terr, nev) AS t, terr IS NULL AS censored
+      |  FROM u),
+      |bt AS (SELECT t,
+      |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS deaths,
+      |    count(*) AS n_at FROM lt GROUP BY t),
+      |r AS (SELECT t, deaths,
+      |    CAST(sum(n_at) OVER (ORDER BY t DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS risk FROM bt),
+      |tm AS (SELECT t, deaths, risk,
+      |    max(CASE WHEN deaths = risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS gone,
+      |    CASE WHEN deaths < risk THEN
+      |      CAST(round(ln(1.0 - CAST(deaths AS DOUBLE)
+      |        / CAST(risk AS DOUBLE)), 8) AS DECIMAL(18,8)) END AS lnterm
+      |  FROM r WHERE deaths > 0)
+      |SELECT t, deaths, risk,
+      |  CASE WHEN gone = 1 THEN 0.0
+      |    ELSE round(exp(CAST(sum(lnterm) OVER (ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) END AS surv
+      |FROM tm ORDER BY t""".stripMargin
+
+  /** Importance reweighting to a TARGET mixture (uniform over sources —
+    * the Xie '23 DoReMi-style "reweight, don't resample" first step)
+    * with the effective-sample-size diagnostic (Kish '65): per-source
+    * weight w_s = N/(S·n_s) normalizes the corpus to equal source mass;
+    * ESS/N = S²/(N·Σ 1/n_s) says how much statistical power the
+    * reweighting costs (1.0 = already uniform; → 0 as one source
+    * dominates). All per-source quantities derive from exact counts;
+    * the only cross-row float sum (Σ 1/n_s, one term per SOURCE) goes
+    * per-value round → DECIMAL. Scale: one keyed count; |sources| rows
+    * of state; nothing corpus-sized leaves the map side.
+    */
+  val importanceReweight: Q = (s, dir) => {
+    val per = t(s, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("n_all"),
+      count(lit(1)).as("n_sources"),
+      sum(round(lit(1.0) / col("n_docs"), 14).cast("decimal(18,14)"))
+        .as("inv_sum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_all").cast("double"), 6)
+          .as("share"),
+        round(col("n_all").cast("double")
+          / (col("n_sources").cast("double") * col("n_docs").cast("double")),
+          6).as("weight"),
+        round(col("n_sources").cast("double") * col("n_sources").cast("double")
+          / (col("n_all").cast("double") * col("inv_sum").cast("double")), 6)
+          .as("ess_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val importanceReweightSql: String =
+    """WITH per AS (SELECT source, count(*) AS n_docs FROM documents
+      |  GROUP BY source),
+      |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+      |    count(*) AS n_sources,
+      |    sum(CAST(round(1.0 / n_docs, 14) AS DECIMAL(18,14))) AS inv_sum
+      |  FROM per)
+      |SELECT source, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS share,
+      |  round(CAST(n_all AS DOUBLE)
+      |    / (CAST(n_sources AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6)
+      |    AS weight,
+      |  round(CAST(n_sources AS DOUBLE) * CAST(n_sources AS DOUBLE)
+      |    / (CAST(n_all AS DOUBLE) * CAST(inv_sum AS DOUBLE)), 6)
+      |    AS ess_ratio
+      |FROM per CROSS JOIN tt ORDER BY source""".stripMargin
+
+  /** LSH banding-parameter calibration against OBSERVED similarities
+    * (the S-curve 1−(1−s^r)^b of Broder/Indyk–Motwani banding theory,
+    * evaluated where it matters — on this corpus's actual near-neighbor
+    * similarity profile, not a textbook grid): candidate pairs come
+    * from the q227 sorted-neighborhood generator (O(n·w), no
+    * threshold), bucket by exact-Jaccard decile, and each decile
+    * reports its pair mass, mean Jaccard, and the probability the
+    * SHIPPED (b=16, r=4) MinHash banding would surface such a pair —
+    * the table a dedup owner reads to see which similarity range the
+    * current banding misses. Determinism: per-pair j rounds → DECIMAL
+    * before the decile mean; the S-curve is a single compound float on
+    * the rounded mean. Scale: the window IS the candidate generator
+    * (q227); deciles are 10 rows of state.
+    */
+  val lshCalibration: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(TextStats.tokens(lower(col("text")))).as("tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val withNb = docs
+      .withColumn("nb1_tok", lead(col("tok"), 1).over(w))
+      .withColumn("nb2_tok", lead(col("tok"), 2).over(w))
+    def jOf(tokC: String) = withNb.filter(col(tokC).isNotNull)
+      .select(round(size(array_intersect(col("tok"), col(tokC))).cast("double")
+        / size(array_union(col("tok"), col(tokC))).cast("double"), 6).as("j"))
+    jOf("nb1_tok").unionAll(jOf("nb2_tok"))
+      .select(col("j"), least(floor(col("j") * 10).cast("int"), lit(9))
+        .as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("j").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_j"))
+      .withColumn("p_candidate",
+        round(lit(1.0) - pow(lit(1.0) - pow(col("mean_j"), 4), 16), 6))
+      .orderBy(col("decile"))
+  }
+
+  val lshCalibrationSql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars,
+      |    list_distinct(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |nb AS (SELECT tok,
+      |    lead(tok, 1) OVER w AS nb1_tok, lead(tok, 2) OVER w AS nb2_tok
+      |  FROM d WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+      |p AS (
+      |  SELECT round(CAST(length(list_intersect(tok, nb1_tok)) AS DOUBLE)
+      |    / CAST(length(list_distinct(list_concat(tok, nb1_tok)))
+      |      AS DOUBLE), 6) AS j
+      |  FROM nb WHERE nb1_tok IS NOT NULL
+      |  UNION ALL
+      |  SELECT round(CAST(length(list_intersect(tok, nb2_tok)) AS DOUBLE)
+      |    / CAST(length(list_distinct(list_concat(tok, nb2_tok)))
+      |      AS DOUBLE), 6)
+      |  FROM nb WHERE nb2_tok IS NOT NULL),
+      |g AS (SELECT least(CAST(floor(j * 10) AS INTEGER), 9) AS decile,
+      |    count(*) AS n_pairs,
+      |    round(CAST(sum(CAST(j AS DECIMAL(18,6))) AS DOUBLE)
+      |      / count(*), 6) AS mean_j
+      |  FROM p GROUP BY 1)
+      |SELECT decile, n_pairs, mean_j,
+      |  round(1.0 - pow(1.0 - pow(mean_j, 4), 16), 6) AS p_candidate
+      |FROM g ORDER BY decile""".stripMargin
+
+  /** Embedding-space drift matrix: pairwise cosine between per-LABEL
+    * centroids — "are class regions collapsing or drifting apart", the
+    * geometry check run after any re-embedding before similarity
+    * thresholds are trusted again (complements q153's PCA variance
+    * view with a direct between-class angle view). Centroids follow
+    * the q41 float→STRING→DECIMAL discipline per dimension; the 45
+    * label-pair cosines derive from rounded centroid cells with
+    * per-dim product rounds → DECIMAL sums. Scale: one posexplode scan
+    * reduces to |labels|×64 cells; everything after is
+    * labels²-bounded.
+    */
+  val centroidDrift: Q = (s, dir) => {
+    val cells = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("v").cast("string").cast("decimal(18,9)"))
+        .cast("double") / count(lit(1)), 6).as("c"))
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(col("a.c") * col("b.c"), 10).cast("decimal(20,10)").as("ab"),
+        round(col("a.c") * col("a.c"), 10).cast("decimal(20,10)").as("aa"),
+        round(col("b.c") * col("b.c"), 10).cast("decimal(20,10)").as("bb"))
+    pairs.groupBy(col("label_a"), col("label_b"))
+      .agg(round(sum(col("ab")).cast("double")
+        / sqrt(sum(col("aa")).cast("double") * sum(col("bb")).cast("double")),
+        6).as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val centroidDriftSql: String =
+    """WITH cells AS (SELECT label, CAST(d.dim AS INTEGER) AS pos,
+      |    round(CAST(sum(CAST(CAST(embedding[d.dim] AS VARCHAR)
+      |      AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS c
+      |  FROM embeddings CROSS JOIN
+      |    (SELECT unnest(generate_series(1, 64)) AS dim) d
+      |  GROUP BY 1, 2)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  round(CAST(sum(CAST(round(a.c * b.c, 10) AS DECIMAL(20,10)))
+      |      AS DOUBLE)
+      |    / sqrt(CAST(sum(CAST(round(a.c * a.c, 10) AS DECIMAL(20,10)))
+      |        AS DOUBLE)
+      |      * CAST(sum(CAST(round(b.c * b.c, 10) AS DECIMAL(20,10)))
+      |        AS DOUBLE)), 6) AS cosine
+      |FROM cells a JOIN cells b ON a.pos = b.pos AND a.label < b.label
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -10679,6 +11120,13 @@ object Queries {
     "q244_ltv_curves" -> ltvCurves,
     "q245_hill_tail" -> hillTail,
     "q246_type_drift" -> typeDrift,
+    "q247_calibration_audit" -> calibrationAudit,
+    "q248_mann_whitney" -> mannWhitney,
+    "q249_markov_transitions" -> markovTransitions,
+    "q250_km_retention" -> kmRetention,
+    "q251_importance_reweight" -> importanceReweight,
+    "q252_lsh_calibration" -> lshCalibration,
+    "q253_centroid_drift" -> centroidDrift,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -10927,5 +11375,12 @@ object Queries {
     "q243_threshold_sweep" -> thresholdSweepSql,
     "q244_ltv_curves" -> ltvCurvesSql,
     "q245_hill_tail" -> hillTailSql,
-    "q246_type_drift" -> typeDriftSql)
+    "q246_type_drift" -> typeDriftSql,
+    "q247_calibration_audit" -> calibrationAuditSql,
+    "q248_mann_whitney" -> mannWhitneySql,
+    "q249_markov_transitions" -> markovTransitionsSql,
+    "q250_km_retention" -> kmRetentionSql,
+    "q251_importance_reweight" -> importanceReweightSql,
+    "q252_lsh_calibration" -> lshCalibrationSql,
+    "q253_centroid_drift" -> centroidDriftSql)
 }

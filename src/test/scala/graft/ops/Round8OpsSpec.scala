@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Round-8 additions (q247–q253) — semantic invariants the oracle hash
+  * can't name: probability-mass identities, rank-sum algebra, survival
+  * monotonicity, reweighting mass conservation, S-curve monotonicity,
+  * and cosine bounds.
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q247: bins partition the corpus; conf lies inside its decile; " +
+    "ECE and Brier are bounded") {
+    val rows = graft.Queries.all("q247_calibration_audit")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      val conf = r.getAs[Double]("conf")
+      // decile edges with 1e-6 slop (conf is a rounded mean of scores
+      // whose binning multiplied by 10 in float)
+      assert(conf >= bin / 10.0 - 1e-6 && conf <= (bin + 1) / 10.0 + 1e-6)
+      assert(r.getAs[Double]("brier_bin") >= 0.0
+        && r.getAs[Double]("brier_bin") <= 1.0)
+      assert(r.getAs[Double]("ece_term") >= 0.0)
+    }
+    assert(rows.map(_.getAs[Double]("ece_term")).sum <= 1.0 + 1e-9)
+  }
+
+  test("q248: U_A + U_B = n_A·n_B (the rank-sum identity), U in range") {
+    val r = graft.Queries.all("q248_mann_whitney")(spark, sfDir).head()
+    val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+    val u = r.getAs[Double]("u_stat")
+    assert(na > 0 && nb > 0)
+    assert(u >= 0.0 && u <= na.toDouble * nb,
+      s"U=$u outside [0, ${na * nb}]")
+    // recompute U_B from the complementary group and check the identity
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("n_chars", "lang").collect()
+    val all = docs.map(d => (d.getLong(0), d.getString(1) == "en"))
+      .sortBy(_._1)
+    // average ranks with ties
+    val ranks = all.zipWithIndex.groupBy(_._1._1).toSeq
+      .flatMap { case (_, g) =>
+        val avg = g.map(_._2 + 1).sum.toDouble / g.length
+        g.toSeq.map { case ((_, isA), _) => (isA, avg) }
+      }
+    val ra = ranks.collect { case (true, rk) => rk }.sum
+    val uRef = ra - na.toDouble * (na + 1) / 2
+    assert(math.abs(u - uRef) < 1e-6, s"U=$u ref=$uRef")
+  }
+
+  test("q249: outgoing transition probabilities sum to 1 per from_type") {
+    val rows = graft.Queries.all("q249_markov_transitions")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, g) =>
+      val pSum = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$ft: Σp = $pSum")
+      val nSum = g.map(_.getAs[Long]("n_trans")).sum
+      assert(nSum > 0)
+    }
+  }
+
+  test("q250: survival is strictly decreasing, (0,1]; risk decreasing; " +
+    "deaths ≤ risk") {
+    val rows = graft.Queries.all("q250_km_retention")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    var lastS = 1.0 + 1e-12
+    var lastRisk = Long.MaxValue
+    rows.foreach { r =>
+      val sV = r.getAs[Double]("surv")
+      val risk = r.getAs[Long]("risk")
+      val deaths = r.getAs[Long]("deaths")
+      assert(deaths > 0 && deaths <= risk)
+      assert(sV >= 0.0 && sV < lastS, s"surv not decreasing at t=${r.get(0)}")
+      assert(risk < lastRisk || lastRisk == Long.MaxValue)
+      lastS = sV; lastRisk = risk
+    }
+  }
+
+  test("q251: reweighted mass is conserved (Σ n_s·w_s = N) and " +
+    "ess_ratio ≤ 1") {
+    val rows = graft.Queries.all("q251_importance_reweight")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val mass = rows.map(r =>
+      r.getAs[Long]("n_docs") * r.getAs[Double]("weight")).sum
+    assert(math.abs(mass - n) / n < 1e-4, s"mass $mass vs N $n")
+    val ess = rows.head.getAs[Double]("ess_ratio")
+    assert(ess > 0.0 && ess <= 1.0 + 1e-9)
+    assert(rows.forall(r => r.getAs[Double]("ess_ratio") == ess))
+  }
+
+  test("q252: the banding S-curve is monotone in mean_j and hits both " +
+    "tails") {
+    val rows = graft.Queries.all("q252_lsh_calibration")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.nonEmpty)
+    val ps = rows.map(r =>
+      (r.getAs[Double]("mean_j"), r.getAs[Double]("p_candidate")))
+    ps.sliding(2).foreach {
+      case Array((j1, p1), (j2, p2)) =>
+        assert(j2 >= j1 - 1e-9)
+        assert(p2 >= p1 - 1e-9, s"S-curve not monotone: $p1 -> $p2")
+      case _ => ()
+    }
+    ps.foreach { case (j, p) =>
+      val ref = 1.0 - math.pow(1.0 - math.pow(j, 4), 16)
+      assert(math.abs(p - ref) < 1e-5)
+    }
+  }
+
+  test("q253: centroid cosines are within [-1, 1] and cover all label " +
+    "pairs") {
+    val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
+      .collect()
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(rows.length == (labels * (labels - 1) / 2).toInt)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Int]("label_a") < r.getAs[Int]("label_b"))
+    }
+  }
+}
