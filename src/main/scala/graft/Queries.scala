@@ -10872,6 +10872,197 @@ object Queries {
       |FROM cells a JOIN cells b ON a.pos = b.pos AND a.label < b.label
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Unseen-species estimation per source (Good '53 / Chao '84): the
+    * Good–Turing unseen-probability mass p₀ = n₁/N (share of the NEXT
+    * token drawn that will be a never-seen type) and the bias-corrected
+    * Chao1 richness floor V + n₁(n₁−1)/(2(n₂+1)) — "how much vocabulary
+    * is the next crawl of this source going to add", the planning
+    * number behind tokenizer-budget and dedup-priority calls (q221's
+    * TTR says what IS there; this says what ISN'T yet). Everything is
+    * exact integer (N, V, n₁, n₂ off one token-keyed agg) with two
+    * final float divisions. Scale: the q129/q188 gram discipline —
+    * shuffle carries (source, token) once; state is |sources| rows.
+    */
+  val unseenSpecies: Q = (s, dir) => {
+    val cnt = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextStats.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("vocab"),
+        coalesce(sum(when(col("c") === 1, 1L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("c") === 2, 1L)), lit(0L)).as("n2"))
+      .select(col("source"), col("n_tok"), col("vocab"), col("n1"),
+        col("n2"),
+        round(col("n1").cast("double") / col("n_tok").cast("double"), 6)
+          .as("p_unseen"),
+        round(col("vocab").cast("double")
+          + col("n1").cast("double") * (col("n1") - 1).cast("double")
+            / (lit(2.0) * (col("n2") + 1).cast("double")), 2).as("chao1"))
+      .orderBy(col("source"))
+  }
+
+  val unseenSpeciesSql: String =
+    """WITH tk AS (SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+      |  count(*) AS vocab,
+      |  CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+      |  CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT) AS n2,
+      |  round(CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS DOUBLE)
+      |    / CAST(sum(c) AS DOUBLE), 6) AS p_unseen,
+      |  round(CAST(count(*) AS DOUBLE)
+      |    + CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS DOUBLE)
+      |      * CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) - 1
+      |        AS DOUBLE)
+      |      / (2.0 * CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0) + 1
+      |        AS DOUBLE)), 2) AS chao1
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** Heaps'-law fit (Heaps '78, V = k·N^β): log-log OLS of vocabulary
+    * size on token count across sources — the sublinear-growth exponent
+    * every tokenizer-capacity and storage projection extrapolates with
+    * (q221/vocabGrowth gives the raw per-source points; this fits the
+    * law and reports how well it holds). The fit runs on |sources|
+    * points: ln's round → DECIMAL per point (the q126 ln discipline),
+    * the five OLS moments are DECIMAL sums, slope/intercept/r² are
+    * single compound float expressions over exact sums (q226's grouped
+    * OLS shape, one group). Scale: input is the (source, token)-keyed
+    * agg; the regression itself is |sources|-bounded.
+    */
+  val heapsFit: Q = (s, dir) => {
+    val pts = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextStats.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+      .select(round(log(col("n").cast("double")), 8)
+          .cast("decimal(18,8)").as("x"),
+        round(log(col("v").cast("double")), 8).cast("decimal(18,8)").as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("y"), 10).cast("decimal(24,10)").as("xy"),
+        round(col("x") * col("x"), 10).cast("decimal(24,10)").as("xx"),
+        round(col("y") * col("y"), 10).cast("decimal(24,10)").as("yy"))
+    pts.agg(count(lit(1)).as("n_sources"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"),
+        sum(col("yy")).as("syy"))
+      .select(col("n_sources"), {
+        val n = col("n_sources").cast("double")
+        // operators TRAIL the line (a LEADING '-' in a brace block is a
+        // new unary-minus statement in Scala and silently drops the
+        // subtrahend — caught by the sf0.01 oracle on first contact)
+        val cov = n * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val vx = n * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val vy = n * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")
+        struct(
+          round(cov / vx, 6).as("beta"),
+          round(exp((col("sy").cast("double") - cov / vx
+            * col("sx").cast("double")) / n), 4).as("k_hat"),
+          round(cov * cov / (vx * vy), 6).as("r2")).as("f")
+      })
+      .select(col("n_sources"), col("f.beta").as("beta"),
+        col("f.k_hat").as("k_hat"), col("f.r2").as("r2"))
+  }
+
+  val heapsFitSql: String =
+    """WITH tk AS (SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      |p0 AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |    count(*) AS v FROM c GROUP BY source),
+      |p AS (SELECT CAST(round(ln(CAST(n AS DOUBLE)), 8) AS DECIMAL(18,8))
+      |      AS x,
+      |    CAST(round(ln(CAST(v AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+      |  FROM p0),
+      |m AS (SELECT x, y,
+      |    CAST(round(x * y, 10) AS DECIMAL(24,10)) AS xy,
+      |    CAST(round(x * x, 10) AS DECIMAL(24,10)) AS xx,
+      |    CAST(round(y * y, 10) AS DECIMAL(24,10)) AS yy FROM p),
+      |a AS (SELECT count(*) AS n_sources,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx,
+      |    CAST(sum(yy) AS DOUBLE) AS syy FROM m)
+      |SELECT n_sources,
+      |  round((n_sources * sxy - sx * sy)
+      |    / (n_sources * sxx - sx * sx), 6) AS beta,
+      |  round(exp((sy - (n_sources * sxy - sx * sy)
+      |      / (n_sources * sxx - sx * sx) * sx) / n_sources), 4) AS k_hat,
+      |  round((n_sources * sxy - sx * sy) * (n_sources * sxy - sx * sy)
+      |    / ((n_sources * sxx - sx * sx)
+      |      * (n_sources * syy - sy * sy)), 6) AS r2
+      |FROM a""".stripMargin
+
+  /** Offline CUSUM changepoint detection (Page '54's cumulative-sum
+    * statistic in its retrospective max-|S| form): daily event totals,
+    * centered cumulative sum S_d = Σ_{d'≤d}(x − μ), and the changepoint
+    * estimate argmax|S_d| with the σ√n-normalized magnitude — the
+    * level-shift detector that catches what q246's week-mix χ² (share
+    * drift) and the rolling z (local spikes) both miss: a sustained
+    * volume step. EXACTNESS: S is carried ×n as n·S_d = n·cum_d −
+    * d_idx·N (pure integers in DECIMAL(38,0) — no float until the two
+    * final divisions), so the argmax is an exact integer argmax with a
+    * min-day tiebreak. Scale: day-domain-bounded after the daily
+    * reduce; the cumulative window runs over |days| rows.
+    */
+  val cusumChangepoint: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("nx"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("nxx"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("cum", sum(col("x")).over(wCum))
+      .withColumn("idx", row_number().over(Window.orderBy(col("day"))))
+      .crossJoin(broadcast(tot))
+      // n·S_d, exact in DECIMAL(38,0)
+      .withColumn("ns", col("nd").cast("decimal(38,0)") * col("cum")
+        - col("idx").cast("decimal(38,0)") * col("nx"))
+      .withColumn("absns", abs(col("ns")))
+    val top = cum.orderBy(col("absns").desc, col("day")).limit(1)
+    top.select(col("nd").as("n_days"), col("day").as("cp_day"),
+      round((col("ns").cast("double") / col("nd").cast("double")), 2)
+        .as("s_at_cp"),
+      round(abs(col("ns")).cast("double") / col("nd").cast("double")
+        / (sqrt((col("nd").cast("double") * col("nxx").cast("double")
+          - col("nx").cast("double") * col("nx").cast("double"))
+          / (col("nd").cast("double") * col("nd").cast("double")))
+          * sqrt(col("nd").cast("double"))), 6).as("stat"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+      |  FROM events GROUP BY 1),
+      |tt AS (SELECT count(*) AS nd, CAST(sum(x) AS BIGINT) AS nx,
+      |    sum(CAST(x AS HUGEINT) * x) AS nxx FROM daily),
+      |c AS (SELECT day,
+      |    CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum,
+      |    row_number() OVER (ORDER BY day) AS idx FROM daily),
+      |ns AS (SELECT day,
+      |    CAST(nd AS HUGEINT) * cum - CAST(idx AS HUGEINT) * nx AS ns,
+      |    nd, nx, nxx FROM c CROSS JOIN tt),
+      |top AS (SELECT * FROM ns ORDER BY abs(ns) DESC, day LIMIT 1)
+      |SELECT nd AS n_days, day AS cp_day,
+      |  round(CAST(ns AS DOUBLE) / CAST(nd AS DOUBLE), 2) AS s_at_cp,
+      |  round(CAST(abs(ns) AS DOUBLE) / CAST(nd AS DOUBLE)
+      |    / (sqrt((CAST(nd AS DOUBLE) * CAST(nxx AS DOUBLE)
+      |      - CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))
+      |      / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)))
+      |      * sqrt(CAST(nd AS DOUBLE))), 6) AS stat
+      |FROM top""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -11127,6 +11318,9 @@ object Queries {
     "q251_importance_reweight" -> importanceReweight,
     "q252_lsh_calibration" -> lshCalibration,
     "q253_centroid_drift" -> centroidDrift,
+    "q254_unseen_species" -> unseenSpecies,
+    "q255_heaps_fit" -> heapsFit,
+    "q256_cusum_changepoint" -> cusumChangepoint,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -11382,5 +11576,8 @@ object Queries {
     "q250_km_retention" -> kmRetentionSql,
     "q251_importance_reweight" -> importanceReweightSql,
     "q252_lsh_calibration" -> lshCalibrationSql,
-    "q253_centroid_drift" -> centroidDriftSql)
+    "q253_centroid_drift" -> centroidDriftSql,
+    "q254_unseen_species" -> unseenSpeciesSql,
+    "q255_heaps_fit" -> heapsFitSql,
+    "q256_cusum_changepoint" -> cusumChangepointSql)
 }

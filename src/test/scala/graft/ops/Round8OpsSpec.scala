@@ -117,6 +117,64 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q254: Chao1 is a richness floor above the observed vocabulary " +
+    "and Good-Turing mass is a probability") {
+    val rows = graft.Queries.all("q254_unseen_species")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vocab")
+      assert(r.getAs[Double]("chao1") >= v.toDouble - 1e-9)
+      val p0 = r.getAs[Double]("p_unseen")
+      assert(p0 >= 0.0 && p0 <= 1.0)
+      assert(r.getAs[Long]("n1") <= v && r.getAs[Long]("n2") <= v)
+    }
+  }
+
+  test("q255: the log-log fit matches a driver-side reference on the " +
+    "same points") {
+    val r = graft.Queries.all("q255_heaps_fit")(spark, sfDir).head()
+    import org.apache.spark.sql.functions._
+    val pts = graft.Tables.table(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(graft.ops.TextStats.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+      .collect().map(p => (math.log(p.getAs[Long]("n").toDouble),
+        math.log(p.getAs[Long]("v").toDouble)))
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-4,
+      s"beta ${r.getAs[Double]("beta")} vs reference $beta")
+    assert(r.getAs[Double]("r2") >= 0.0 && r.getAs[Double]("r2") <= 1.0)
+    assert(r.getAs[Double]("k_hat") > 0.0)
+  }
+
+  test("q256: the changepoint day maximizes |cusum| (driver-side replay)") {
+    val r = graft.Queries.all("q256_cusum_changepoint")(spark, sfDir).head()
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy(col("day"))
+      .collect().map(d => (d.getAs[java.sql.Date]("day"), d.getAs[Long]("x")))
+    val n = daily.length
+    val total = daily.map(_._2).sum
+    var cum = 0L
+    val ns = daily.zipWithIndex.map { case ((day, x), i) =>
+      cum += x
+      (day, n.toLong * cum - (i + 1).toLong * total)
+    }
+    val best = ns.maxBy(t => (math.abs(t._2.toDouble), -t._1.getTime))
+    assert(r.getAs[java.sql.Date]("cp_day") == best._1,
+      s"cp ${r.getAs[java.sql.Date]("cp_day")} vs replay ${best._1}")
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Double]("stat") >= 0.0)
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
