@@ -11063,6 +11063,247 @@ object Queries {
       |      * sqrt(CAST(nd AS DOUBLE))), 6) AS stat
       |FROM top""".stripMargin
 
+  /** Classifier ranking-quality battery: EXACT ROC-AUC via the
+    * rank-sum identity AUC = U/(n₊·n₋) (Hanley–McNeil '82 — so the AUC
+    * needs no curve integration and no corpus sort: it reuses q248's
+    * value-domain doubled-rank machinery on the score domain), plus the
+    * precision/recall/F1 operating table at the 11 decile thresholds —
+    * the companion readout to q247's calibration: q247 says whether the
+    * score MEANS its value, this says how well it RANKS (and where to
+    * cut it). Positives = lang-en documents, score = quality. All
+    * counts exact integers; divisions happen once per output cell;
+    * zero-denominator cells are NULL on both engines. Scale: one scan
+    * to score-value counts (≤10⁶ distinct rounded scores), then
+    * 11-row and 1-row frames.
+    */
+  val rocPr: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = Dedup.pin(t(s, dir, "documents")
+      .select(TextStats.qualityScore(col("text")).as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy(col("sc"))
+      .agg(sum(col("y")).as("ca"), count(lit(1)).as("ct")))
+    val w = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val auc = per
+      .withColumn("cum", sum(col("ct")).over(w))
+      .withColumn("r2", lit(2) * (col("cum") - col("ct")) + col("ct") + 1)
+      .agg(sum(col("ca")).as("na"), sum(col("ct") - col("ca")).as("nb"),
+        sum(col("ca").cast("decimal(38,0)") * col("r2")).as("ra2"))
+      .select(round((col("ra2")
+        - col("na").cast("decimal(38,0)") * (col("na") + 1)).cast("double")
+        / 2.0
+        / (col("na").cast("double") * col("nb").cast("double")), 6)
+        .as("auc"))
+    val grid = spark_range_thresholds(s)
+    per.crossJoin(broadcast(grid))
+      .groupBy(col("thresh"))
+      .agg(
+        coalesce(sum(when(col("sc") >= col("thresh").cast("double") / 10.0,
+          col("ca"))), lit(0L)).as("tp"),
+        coalesce(sum(when(col("sc") >= col("thresh").cast("double") / 10.0,
+          col("ct") - col("ca"))), lit(0L)).as("fp"),
+        coalesce(sum(when(col("sc") < col("thresh").cast("double") / 10.0,
+          col("ca"))), lit(0L)).as("fn"))
+      .select(col("thresh"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double"), 6)).as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp").cast("double")
+            / (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"),
+            6)).as("f1"))
+      .crossJoin(broadcast(auc))
+      .orderBy(col("thresh"))
+  }
+
+  private def spark_range_thresholds(s: SparkSession): DataFrame =
+    s.range(0, 11).select(col("id").cast("int").as("thresh"))
+
+  val rocPrSql: String =
+    s"""WITH sc AS (SELECT $qScoreSql AS sc,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       |per AS (SELECT sc, CAST(sum(y) AS BIGINT) AS ca, count(*) AS ct
+       |  FROM sc GROUP BY sc),
+       |r AS (SELECT sc, ca, ct,
+       |    2 * (sum(ct) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - ct)
+       |      + ct + 1 AS r2 FROM per),
+       |a AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(ct - ca) AS BIGINT) AS nb,
+       |    sum(CAST(ca AS HUGEINT) * r2) AS ra2 FROM r),
+       |auc AS (SELECT round(CAST(ra2 - CAST(na AS HUGEINT) * (na + 1)
+       |      AS DOUBLE) / 2.0
+       |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS auc FROM a),
+       |g AS (SELECT CAST(t.range AS INTEGER) AS thresh FROM range(11) t),
+       |cells AS (SELECT thresh,
+       |    CAST(coalesce(sum(CASE WHEN sc >= CAST(thresh AS DOUBLE) / 10.0
+       |      THEN ca END), 0) AS BIGINT) AS tp,
+       |    CAST(coalesce(sum(CASE WHEN sc >= CAST(thresh AS DOUBLE) / 10.0
+       |      THEN ct - ca END), 0) AS BIGINT) AS fp,
+       |    CAST(coalesce(sum(CASE WHEN sc < CAST(thresh AS DOUBLE) / 10.0
+       |      THEN ca END), 0) AS BIGINT) AS fn
+       |  FROM per CROSS JOIN g GROUP BY thresh)
+       |SELECT thresh, tp, fp, fn,
+       |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE)
+       |    / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+       |  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE)
+       |    / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn > 0 THEN round(2.0 * CAST(tp AS DOUBLE)
+       |    / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1,
+       |  auc
+       |FROM cells CROSS JOIN auc ORDER BY thresh""".stripMargin
+
+  /** Watermark-lateness audit: the measurement that SIZES
+    * `withWatermark` for the streaming family (q177/q194/q208/q209) —
+    * how much event-time disorder does the arrival stream actually
+    * carry, and what fraction of events would each candidate watermark
+    * drop? Arrival disorder is PLANTED deterministically (the
+    * q102/q117 planted-construction idiom: this corpus's event_id
+    * arrival order is perfectly time-sorted, so a real audit needs
+    * jitter): arrival = event time + md5-uniform jitter in [0, 120 s).
+    * Per user, the running event-time max over arrival order (exactly
+    * Spark's per-key watermark state) flags events arriving more than
+    * W behind it, for W ∈ {1 s, 10 s, 60 s}. All comparisons exact
+    * integer µs. Scale: ONE user-partitioned window (thousands of
+    * parallel partitions), then a global one-row reduce.
+    */
+  val watermarkAudit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("arrival",
+        col("us") + conv(substring(md5(col("event_id").cast("string")),
+          1, 15), 16, 10).cast("long") % 120000000L)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = ev
+      .withColumn("pm", max(col("us")).over(w))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(col("pm") - col("us"), lit(0L))))
+    late.agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 1000000L, 1L).otherwise(0L)).as("late_1s"),
+        sum(when(col("late_us") > 10000000L, 1L).otherwise(0L))
+          .as("late_10s"),
+        sum(when(col("late_us") > 60000000L, 1L).otherwise(0L))
+          .as("late_60s"),
+        max(col("late_us")).as("max_late_us"))
+      .select(col("n_events"), col("late_1s"), col("late_10s"),
+        col("late_60s"),
+        round(col("late_1s").cast("double") / col("n_events").cast("double"),
+          6).as("share_1s"),
+        round(col("late_10s").cast("double")
+          / col("n_events").cast("double"), 6).as("share_10s"),
+        round(col("late_60s").cast("double")
+          / col("n_events").cast("double"), 6).as("share_60s"),
+        col("max_late_us"))
+  }
+
+  val watermarkAuditSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |j AS (SELECT user_id, event_id, us,
+      |    us + ('0x'||substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 120000000 AS arrival FROM e),
+      |l AS (SELECT us,
+      |    greatest(0, coalesce(max(us) OVER (PARTITION BY user_id
+      |      ORDER BY arrival, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0))
+      |      AS late_us FROM j)
+      |SELECT count(*) AS n_events,
+      |  CAST(sum(CASE WHEN late_us > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS late_1s,
+      |  CAST(sum(CASE WHEN late_us > 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS late_10s,
+      |  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS late_60s,
+      |  round(CAST(sum(CASE WHEN late_us > 1000000 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS share_1s,
+      |  round(CAST(sum(CASE WHEN late_us > 10000000 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS share_10s,
+      |  round(CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS share_60s,
+      |  CAST(max(late_us) AS BIGINT) AS max_late_us
+      |FROM l""".stripMargin
+
+  /** Leave-one-out k-NN label accuracy on sampled anchors (the Cover &
+    * Hart '67 1-NN risk bound generalized to k=5 majority vote): does
+    * the embedding space actually SEPARATE the labels the similarity
+    * ops assume it does — the fitness check run before any
+    * SemDeDup-style (q155) semantic pruning trusts cosine
+    * neighborhoods. Anchors are the 50 lowest vec_ids (FIXED count, so
+    * the pair frame is 50·n — linear in the corpus, never n²; the
+    * production path for all-points coverage is the LSH-bucketed kNN,
+    * q25). Vote: top-5 by (cosine desc, vec_id), majority with
+    * smallest-label tiebreak, scored against the anchor's own label.
+    * Cosines use the q24 double-dot formulation both engines share
+    * bit-for-bit. Output: per-label anchor counts and accuracy.
+    */
+  val knnAccuracy: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val anchors = emb.orderBy(col("vec_id")).limit(50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        (graft.functions.VectorExpressions.dot_product(col("qe"),
+          col("embedding"))
+          / (sqrt(graft.functions.VectorExpressions.dot_product(col("qe"),
+            col("qe")))
+            * sqrt(graft.functions.VectorExpressions.dot_product(
+              col("embedding"), col("embedding"))))).as("score"))
+    val top = scored.withColumn("rk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+    val votes = top.groupBy(col("qid"), col("qlabel"), col("label"))
+      .agg(count(lit(1)).as("v"))
+    val winner = votes.withColumn("rv",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("v").desc, col("label"))))
+      .filter(col("rv") === 1)
+    winner.groupBy(col("qlabel"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("qlabel").as("label"), col("n_anchors"), col("n_correct"),
+        round(col("n_correct").cast("double")
+          / col("n_anchors").cast("double"), 6).as("acc"))
+      .orderBy(col("label"))
+  }
+
+  val knnAccuracySql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |a AS (SELECT vec_id AS qid, label AS qlabel, e AS qe FROM v
+      |  ORDER BY vec_id LIMIT 50),
+      |scored AS (SELECT qid, qlabel, vec_id, label,
+      |    list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe))
+      |      * sqrt(list_dot_product(e, e))) AS score
+      |  FROM v CROSS JOIN a WHERE vec_id <> qid),
+      |top AS (SELECT * FROM (SELECT qid, qlabel, label, score,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, vec_id) AS rk FROM scored)
+      |  WHERE rk <= 5),
+      |votes AS (SELECT qid, qlabel, label, count(*) AS v FROM top
+      |  GROUP BY 1, 2, 3),
+      |w AS (SELECT * FROM (SELECT qid, qlabel, label,
+      |    row_number() OVER (PARTITION BY qid ORDER BY v DESC, label)
+      |      AS rv FROM votes) WHERE rv = 1)
+      |SELECT qlabel AS label, count(*) AS n_anchors,
+      |  CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  round(CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS acc
+      |FROM w GROUP BY qlabel ORDER BY label""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -11321,6 +11562,9 @@ object Queries {
     "q254_unseen_species" -> unseenSpecies,
     "q255_heaps_fit" -> heapsFit,
     "q256_cusum_changepoint" -> cusumChangepoint,
+    "q257_roc_pr" -> rocPr,
+    "q258_watermark_audit" -> watermarkAudit,
+    "q259_knn_accuracy" -> knnAccuracy,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -11579,5 +11823,8 @@ object Queries {
     "q253_centroid_drift" -> centroidDriftSql,
     "q254_unseen_species" -> unseenSpeciesSql,
     "q255_heaps_fit" -> heapsFitSql,
-    "q256_cusum_changepoint" -> cusumChangepointSql)
+    "q256_cusum_changepoint" -> cusumChangepointSql,
+    "q257_roc_pr" -> rocPrSql,
+    "q258_watermark_audit" -> watermarkAuditSql,
+    "q259_knn_accuracy" -> knnAccuracySql)
 }

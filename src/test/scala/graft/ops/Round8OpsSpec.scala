@@ -175,6 +175,55 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("stat") >= 0.0)
   }
 
+  test("q257: AUC bounded, recall monotone in threshold, TP+FN constant") {
+    val rows = graft.Queries.all("q257_roc_pr")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("thresh"))
+    assert(rows.length == 11)
+    val auc = rows.head.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(rows.forall(_.getAs[Double]("auc") == auc))
+    // P = TP + FN is the positive count at every threshold
+    val p = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).distinct
+    assert(p.length == 1 && p.head > 0)
+    // recall non-increasing as the threshold rises; recall(0) = 1
+    assert(rows.head.getAs[Double]("recall") == 1.0)
+    val recalls = rows.flatMap(r => Option(r.getAs[Double]("recall")))
+    recalls.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9)
+      case _ => ()
+    }
+    graft.ops.Dedup.releaseCaches()
+  }
+
+  test("q258: lateness shares shrink as the watermark widens and the " +
+    "planted jitter bounds max lateness") {
+    val r = graft.Queries.all("q258_watermark_audit")(spark, sfDir).head()
+    val l1 = r.getAs[Long]("late_1s"); val l10 = r.getAs[Long]("late_10s")
+    val l60 = r.getAs[Long]("late_60s")
+    assert(l1 >= l10 && l10 >= l60)
+    val maxLate = r.getAs[Long]("max_late_us")
+    assert(maxLate < 120000000L,
+      "lateness cannot exceed the planted jitter bound")
+    // counts and the max must tell the same story (at sf0.001 the
+    // stream can be too sparse for 120s jitter to reorder anything —
+    // zero lateness is then the CORRECT answer, not a failed plant)
+    assert((l1 > 0) == (maxLate > 1000000L))
+    assert((l60 > 0) == (maxLate > 60000000L))
+    assert(r.getAs[Double]("share_1s") <= 1.0)
+  }
+
+  test("q259: anchor count conserved and accuracy beats the prior-guess " +
+    "floor only if labels separate (bounds check)") {
+    val rows = graft.Queries.all("q259_knn_accuracy")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_anchors")).sum == 50L)
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("acc")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_anchors"))
+    }
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
