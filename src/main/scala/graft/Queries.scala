@@ -11304,6 +11304,117 @@ object Queries {
       |    AS DOUBLE) / count(*), 6) AS acc
       |FROM w GROUP BY qlabel ORDER BY label""".stripMargin
 
+  /** NATIVE session_window sessionization, batch mode (the Spark 3.2+
+    * built-in that replaces hand-rolled gaps-and-islands when gap
+    * semantics suffice — q42/q209 build sessions manually; this gates
+    * the ENGINE's own session operator against the same islands
+    * oracle): 30-minute-gap user sessions, session end = last event +
+    * gap by definition of the operator. Values ride as exact cents
+    * (q209 discipline). Sessions merge when the next event starts at
+    * or before the current session end (ts ≤ prev + gap), mirrored in
+    * the oracle's strict `>` break predicate. Scale: one user-keyed
+    * agg — the operator's merging iterator is the same shuffle shape
+    * as any groupBy(user).
+    */
+  val sessionWindowBatch: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("cents"))
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("c"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("c").cast("long").as("total_cents"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  val sessionWindowBatchSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT user_id, ts, cents,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (SELECT user_id, ts, cents,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+      |SELECT user_id, epoch_us(min(ts)) AS start_us,
+      |  epoch_us(max(ts)) + 1800000000 AS end_us,
+      |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
+  /** NATIVE session_window sessionization, STREAMING (the seventh
+    * streaming parity gate; the built-in-state complement of q209's
+    * flatMapGroupsWithState — same 30-minute-gap semantics, state
+    * managed by the engine's session-merging aggregation instead of
+    * custom code): 5-batch time-partitioned file stream (q209 staging:
+    * monotone modtimes so arrival = event-time order), 2 h watermark,
+    * append mode — closed sessions emit when the watermark passes
+    * session end, and the far-future sentinel (user −1) flushes every
+    * open session at end-of-stream. Hash-matched against the identical
+    * islands oracle as the batch twin, so the gate proves the
+    * streaming state machinery changes NOTHING about the answer.
+    * Scale: state = active sessions only, evicted at watermark.
+    */
+  val streamSessionWindow: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = scratch("graft_stream_swin_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("cents"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    def stageFile(df: DataFrame, i: Int): Unit = {
+      val tmp = scratch(s"graft_stream_swin_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = srcDir.resolve(f"part-$i%02d.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    (0 until 4).foreach { i =>
+      val a = lo + i * span / 4
+      val b = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
+      stageFile(ev.filter(unix_micros(col("ts")) >= a
+        && unix_micros(col("ts")) < b), i)
+    }
+    stageFile(s.range(1).select(lit(-1L).as("event_id"),
+      timestamp_micros(lit(hi + 30L * 86400L * 1000000L)).as("ts"),
+      lit(-1L).as("user_id"), lit(0.0).as("cents")), 4)
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val sessions = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("c"))
+    val qname = "graft_stream_swin_sink"
+    val sq = sessions
+      .writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("c").cast("long").as("total_cents"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  val streamSessionWindowSql: String = sessionWindowBatchSql
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -11565,6 +11676,8 @@ object Queries {
     "q257_roc_pr" -> rocPr,
     "q258_watermark_audit" -> watermarkAudit,
     "q259_knn_accuracy" -> knnAccuracy,
+    "q260_session_window_batch" -> sessionWindowBatch,
+    "q261_stream_session_window" -> streamSessionWindow,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -11826,5 +11939,7 @@ object Queries {
     "q256_cusum_changepoint" -> cusumChangepointSql,
     "q257_roc_pr" -> rocPrSql,
     "q258_watermark_audit" -> watermarkAuditSql,
-    "q259_knn_accuracy" -> knnAccuracySql)
+    "q259_knn_accuracy" -> knnAccuracySql,
+    "q260_session_window_batch" -> sessionWindowBatchSql,
+    "q261_stream_session_window" -> streamSessionWindowSql)
 }

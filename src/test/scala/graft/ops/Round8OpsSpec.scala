@@ -224,6 +224,31 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q260/q261: native session_window batch and streaming agree " +
+    "row-for-row, and sessions respect the 30-minute gap") {
+    val batch = graft.Queries.all("q260_session_window_batch")(spark, sfDir)
+      .collect()
+    val stream = graft.Queries.all("q261_stream_session_window")(spark, sfDir)
+      .collect()
+    assert(batch.nonEmpty)
+    assert(batch.map(_.toSeq).toSeq == stream.map(_.toSeq).toSeq,
+      "engine-managed streaming session state must not change the answer")
+    batch.foreach { r =>
+      assert(r.getAs[Long]("end_us") >= r.getAs[Long]("start_us")
+        + 30L * 60 * 1000000, "end = last event + gap")
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+    // consecutive sessions of the same user are separated by > gap
+    batch.groupBy(_.getAs[Long]("user_id")).foreach { case (_, g) =>
+      g.sortBy(_.getAs[Long]("start_us")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_us") > a.getAs[Long]("end_us"),
+            "next session must start after the previous session's end")
+        case _ => ()
+      }
+    }
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
