@@ -9884,14 +9884,16 @@ object Queries {
     */
   val latenessAudit: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val arrival = conv(substring(md5(col("event_id").cast("string")), 1, 15),
-      16, 10).cast("long")
-    val w = Window.partitionBy(lit(1))
-      .orderBy(arrival, col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = Tables.events(s, dir)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("run_max", max(col("us")).over(w))
+    // two-phase global running max over the replay order (r8: the old
+    // Window.partitionBy(lit(1)) funneled the whole events corpus
+    // through ONE partition — the exact q178 hazard class; see Ranks)
+    val late = Ranks.globalRunningMax(
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("arr",
+          conv(substring(md5(col("event_id").cast("string")), 1, 15),
+            16, 10).cast("long")),
+      Seq(col("arr"), col("event_id")), col("us"), "run_max")
       // integer div — `/` is double division in BOTH engines, and the
       // double→int cast then TRUNCATES in Spark but ROUNDS in DuckDB
       .select(expr("(run_max - us) div 60000000").as("late_min"))
@@ -10087,21 +10089,21 @@ object Queries {
     * morton-sorted layout. Fewer touched files = more row groups
     * skipped by min/max stats at scan time. File ids are row_number
     * div 256 under each ordering — exact integers; the result is the
-    * pruning argument as a hash-checked number, not prose. Scale: two
-    * global sorts at gate size; at 100 TB the same comparison runs per
-    * partition on sampled keys.
+    * pruning argument as a hash-checked number, not prose. Scale: the
+    * global ranks under each ordering come from the two-phase
+    * [[Ranks.globalRowNumber]] (r8 sweep — the old partitionBy(lit(1))
+    * window funneled the whole part table through one partition), so
+    * both layouts rank as P-way range shuffles.
     */
   val layoutPruning: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val base = Dedup.pin(t(s, dir, "part")
       .select(col("p_partkey"), col("p_size"),
         (col("p_partkey") % 1024).cast("int").as("pk_lo"))
       .withColumn("z", graft.functions.VectorExpressions
         .morton_interleave(col("p_size"), col("pk_lo"))))
     val hit = col("p_size").between(10, 20) && col("pk_lo").between(100, 300)
-    def touched(order: Column, label: String) = base
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(order, col("p_partkey"))))
+    def touched(order: Column, label: String) =
+      Ranks.globalRowNumber(base, Seq(order, col("p_partkey")), "rn")
       .withColumn("file_id", expr("(rn - 1) div 256"))
       .filter(hit)
       .agg(lit(label).as("layout"),
@@ -11415,6 +11417,94 @@ object Queries {
 
   val streamSessionWindowSql: String = sessionWindowBatchSql
 
+  /** Curation attrition waterfall — the per-stage survivor report every
+    * dataset paper publishes (Gopher table A1, Dolma, RefinedWeb all
+    * lead with one): the corpus flows through exact-dedup keeper →
+    * word-count band → mean-word-length band → stopword floor (q20's
+    * dedup + q158's rule battery, applied CUMULATIVELY in the order a
+    * production pipeline runs them), and each stage reports rows in,
+    * rows dropped, rows out, and surviving token mass. The one
+    * artifact that tells an owner WHERE the corpus is going and which
+    * rule to re-tune. Plan shape: one scan computes every rule bit
+    * row-locally; the only shuffle is the 16-byte-fingerprint keeper
+    * group (q20); the waterfall itself is ONE global aggregate
+    * unpivoted to 4 rows. Counts exact; no floats cross rows.
+    */
+  val curationWaterfall: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val nW = TextStats.tokenCount(col("text"))
+    val mwl = length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+      greatest(nW, lit(1)).cast("double")
+    val stw = TextStats.stopwordCount(col("text"), TextStats.defaultStopwords)
+    // every rule bit + the dedup fingerprint off ONE scan
+    val base = docs.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"),
+      nW.cast("long").as("tok"),
+      nW.between(20, 80).as("rw"),
+      (mwl >= 3.0 && mwl <= 10.0).as("rm"),
+      (stw >= 2).as("rs"))
+    val keepers = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val flags = base.join(keepers, Seq("fp"))
+      .select(col("tok"),
+        (col("doc_id") === col("keep_id")).as("c1"),
+        col("rw"), col("rm"), col("rs"))
+      .select(col("tok"), col("c1"),
+        (col("c1") && col("rw")).as("c2"),
+        (col("c1") && col("rw") && col("rm")).as("c3"),
+        (col("c1") && col("rw") && col("rm") && col("rs")).as("c4"))
+    def n(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    def tk(c: String) = coalesce(sum(when(col(c), col("tok"))), lit(0L))
+    flags.agg(count(lit(1)).as("n0"),
+        n("c1").as("n1"), tk("c1").as("t1"),
+        n("c2").as("n2"), tk("c2").as("t2"),
+        n("c3").as("n3"), tk("c3").as("t3"),
+        n("c4").as("n4"), tk("c4").as("t4"))
+      .select(expr(
+        "stack(4, 1, 'exact_dedup', n0, n1, t1," +
+          " 2, 'word_count', n1, n2, t2," +
+          " 3, 'word_length', n2, n3, t3," +
+          " 4, 'stopwords', n3, n4, t4)" +
+          " AS (stage, rule, n_in, n_out, tok_out)"))
+      .select(col("stage"), col("rule"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_dropped"), col("n_out"),
+        col("tok_out"))
+      .orderBy(col("stage"))
+  }
+
+  val curationWaterfallSql: String =
+    """WITH b AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok,
+      |    length(regexp_extract_all(text, '\S+')) BETWEEN 20 AND 80 AS rw,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |      / greatest(length(regexp_extract_all(text, '\S+')), 1)
+      |      BETWEEN 3.0 AND 10.0 AS rm,
+      |    length(regexp_extract_all(lower(text),
+      |      '\b(the|a|an|and|of|to|in|is|it)\b')) >= 2 AS rs
+      |  FROM documents),
+      |k AS (SELECT fp, min(doc_id) AS keep_id FROM b GROUP BY fp),
+      |f AS (SELECT tok, b.doc_id = keep_id AS c1, rw, rm, rs
+      |  FROM b JOIN k USING (fp)),
+      |c AS (SELECT tok, c1, c1 AND rw AS c2, c1 AND rw AND rm AS c3,
+      |    c1 AND rw AND rm AND rs AS c4 FROM f),
+      |a AS (SELECT count(*) AS n0,
+      |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(coalesce(sum(CASE WHEN c1 THEN tok END), 0) AS BIGINT) AS t1,
+      |    CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(coalesce(sum(CASE WHEN c2 THEN tok END), 0) AS BIGINT) AS t2,
+      |    CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |    CAST(coalesce(sum(CASE WHEN c3 THEN tok END), 0) AS BIGINT) AS t3,
+      |    CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+      |    CAST(coalesce(sum(CASE WHEN c4 THEN tok END), 0) AS BIGINT) AS t4
+      |  FROM c)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'exact_dedup' AS rule, n0 AS n_in,
+      |    n0 - n1 AS n_dropped, n1 AS n_out, t1 AS tok_out FROM a
+      |  UNION ALL SELECT 2, 'word_count', n1, n1 - n2, n2, t2 FROM a
+      |  UNION ALL SELECT 3, 'word_length', n2, n2 - n3, n3, t3 FROM a
+      |  UNION ALL SELECT 4, 'stopwords', n3, n3 - n4, n4, t4 FROM a)
+      |ORDER BY stage""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -11678,6 +11768,7 @@ object Queries {
     "q259_knn_accuracy" -> knnAccuracy,
     "q260_session_window_batch" -> sessionWindowBatch,
     "q261_stream_session_window" -> streamSessionWindow,
+    "q262_curation_waterfall" -> curationWaterfall,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -11941,5 +12032,6 @@ object Queries {
     "q258_watermark_audit" -> watermarkAuditSql,
     "q259_knn_accuracy" -> knnAccuracySql,
     "q260_session_window_batch" -> sessionWindowBatchSql,
-    "q261_stream_session_window" -> streamSessionWindowSql)
+    "q261_stream_session_window" -> streamSessionWindowSql,
+    "q262_curation_waterfall" -> curationWaterfallSql)
 }

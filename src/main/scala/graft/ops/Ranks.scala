@@ -51,6 +51,55 @@ object Ranks {
       .drop("__pid", "__rn")
   }
 
+  /** Exact global running max `max(value) OVER (ORDER BY sortCols*
+    * ROWS UNBOUNDED PRECEDING)` without a single-partition window —
+    * the same two-phase shape as [[globalRowNumber]]: per-range-
+    * partition running max, then each partition folds in the broadcast
+    * max of every EARLIER partition. The prefix array is bounded by
+    * the partition count, never the row count.
+    */
+  def globalRunningMax(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                       out: String, numPartitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", valueCol)
+    val local = ranged.withColumn("__run",
+      max(col("__v")).over(Window.partitionBy(col("__pid"))
+        .orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val maxes = local.groupBy(col("__pid")).agg(max(col("__v")).as("__m"))
+      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    // exclusive prefix max per pid (null when no earlier partition)
+    val prefixes = maxes.scanLeft((Int.MinValue, Option.empty[Any])) {
+      case ((_, acc), (pid, m)) =>
+        (pid, Seq(acc, Option(m)).flatten
+          .reduceOption((a, b) => if (ordGe(a, b)) a else b))
+    }.sliding(2).collect {
+      case Array((_, pre), (pid, _)) => (pid, pre)
+    }.toMap
+    val preCol = prefixes.foldLeft(lit(null).cast(schemaOf(ranged, "__v"))) {
+      case (acc, (pid, pre)) =>
+        when(col("__pid") === pid,
+          pre.map(v => lit(v)).getOrElse(lit(null))).otherwise(acc)
+    }
+    local.withColumn(out, greatest(col("__run"), preCol))
+      .drop("__pid", "__v", "__run")
+  }
+
+  private def ordGe(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)     => x >= y
+    case (x: Int, y: Int)       => x >= y
+    case (x: Double, y: Double) => x >= y
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      x.compareTo(y) >= 0
+    case (x: String, y: String) => x >= y
+    case _ => throw new IllegalArgumentException(
+      s"unsupported running-max type: ${a.getClass}")
+  }
+
+  private def schemaOf(df: DataFrame, name: String) =
+    df.schema(name).dataType.sql
+
   /** SQL `ntile(k)` reconstructed arithmetically from a global
     * row_number `rn` and total count `n` — the exact standard
     * semantics (first `n mod k` buckets get the extra row), so it is

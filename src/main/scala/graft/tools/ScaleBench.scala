@@ -247,7 +247,42 @@ object ScaleBench {
       graft.Queries.thresholdSweep(s, d).count()),
     "ltv_curves" -> ((s, d) => graft.Queries.ltvCurves(s, d).count()),
     "hill_tail" -> ((s, d) => graft.Queries.hillTail(s, d).count()),
-    "type_drift" -> ((s, d) => graft.Queries.typeDrift(s, d).count()))
+    "type_drift" -> ((s, d) => graft.Queries.typeDrift(s, d).count()),
+    // round-8: statistical audits (score-domain aggs), two-phase-rank
+    // consumers, native session windows, and the curation waterfall —
+    // docs-table ops run on the augmented corpus; events-table ops
+    // measure across sf0.01 → sf0.1 (the natural 10× in events)
+    "calibration_audit" -> ((s, d) =>
+      graft.Queries.calibrationAudit(s, d).count()),
+    "mann_whitney" -> ((s, d) => graft.Queries.mannWhitney(s, d).count()),
+    "markov_transitions" -> ((s, d) =>
+      graft.Queries.markovTransitions(s, d).count()),
+    "km_retention" -> ((s, d) => graft.Queries.kmRetention(s, d).count()),
+    "importance_reweight" -> ((s, d) =>
+      graft.Queries.importanceReweight(s, d).count()),
+    "lsh_calibration" -> ((s, d) =>
+      graft.Queries.lshCalibration(s, d).count()),
+    "centroid_drift" -> ((s, d) =>
+      graft.Queries.centroidDrift(s, d).count()),
+    "unseen_species" -> ((s, d) =>
+      graft.Queries.unseenSpecies(s, d).count()),
+    "heaps_fit" -> ((s, d) => graft.Queries.heapsFit(s, d).count()),
+    "cusum_changepoint" -> ((s, d) =>
+      graft.Queries.cusumChangepoint(s, d).count()),
+    "roc_pr" -> ((s, d) => graft.Queries.rocPr(s, d).count()),
+    "watermark_audit" -> ((s, d) =>
+      graft.Queries.watermarkAudit(s, d).count()),
+    "knn_accuracy" -> ((s, d) => graft.Queries.knnAccuracy(s, d).count()),
+    "session_window_batch" -> ((s, d) =>
+      graft.Queries.sessionWindowBatch(s, d).count()),
+    "stream_session_window" -> ((s, d) =>
+      graft.Queries.streamSessionWindow(s, d).count()),
+    "curation_waterfall" -> ((s, d) =>
+      graft.Queries.curationWaterfall(s, d).count()),
+    "quantile_norm" -> ((s, d) => graft.Queries.quantileNorm(s, d).count()),
+    "rfm_segments" -> ((s, d) => graft.Queries.rfmSegments(s, d).count()),
+    "token_keyness" -> ((s, d) => graft.Queries.tokenKeyness(s, d).count()),
+    "layout_pruning" -> ((s, d) => graft.Queries.layoutPruning(s, d).count()))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir1> [dir2 ...]")

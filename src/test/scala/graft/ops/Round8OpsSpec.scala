@@ -249,6 +249,25 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q262: the waterfall conserves flow (out_k = in_k+1, " +
+    "in - dropped = out, token mass non-increasing)") {
+    val rows = graft.Queries.all("q262_curation_waterfall")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped")
+        == r.getAs[Long]("n_out"))
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out"))
+        assert(b.getAs[Long]("tok_out") <= a.getAs[Long]("tok_out"))
+      case _ => ()
+    }
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.head.getAs[Long]("n_in") == nDocs)
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
