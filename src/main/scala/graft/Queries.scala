@@ -10470,14 +10470,18 @@ object Queries {
         least(floor(col("sc") * 10).cast("int"), lit(9)).as("bin"),
         round((col("sc") - col("y")) * (col("sc") - col("y")), 8)
           .cast("decimal(18,8)").as("sq"))
-    val tot = scored.agg(count(lit(1)).as("n_all"))
-    scored.groupBy(col("bin"))
+    // the 10-row binned aggregate is pinned: its two consumers (the
+    // grand total and the final projection) must not re-scan and
+    // re-regex the corpus (q183 lesson)
+    val binned = Dedup.pin(scored.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("sc").cast("decimal(18,6)")).cast("double")
           / count(lit(1)), 6).as("conf"),
         round(sum(col("y")).cast("double") / count(lit(1)), 6).as("acc"),
         round(sum(col("sq")).cast("double") / count(lit(1)), 6)
-          .as("brier_bin"))
+          .as("brier_bin")))
+    val tot = binned.agg(sum(col("n_docs")).as("n_all"))
+    binned
       .crossJoin(broadcast(tot))
       .select(col("bin"), col("n_docs"), col("conf"), col("acc"),
         round(abs(col("acc") - col("conf")), 6).as("abs_gap"),
@@ -10604,8 +10608,8 @@ object Queries {
         Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))))
       .filter(col("to_type").isNotNull)
-    val cells = seq.groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n_trans"))
+    val cells = Dedup.pin(seq.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans")))
     val rowTot = cells.groupBy(col("from_type"))
       .agg(sum(col("n_trans")).as("n_from"))
     cells.join(broadcast(rowTot), Seq("from_type"))
@@ -10727,8 +10731,8 @@ object Queries {
     * of state; nothing corpus-sized leaves the map side.
     */
   val importanceReweight: Q = (s, dir) => {
-    val per = t(s, dir, "documents").groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"))
+    val per = Dedup.pin(t(s, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs")))
     val tot = per.agg(sum(col("n_docs")).as("n_all"),
       count(lit(1)).as("n_sources"),
       sum(round(lit(1.0) / col("n_docs"), 14).cast("decimal(18,14)"))
@@ -11017,9 +11021,9 @@ object Queries {
     */
   val cusumChangepoint: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, dir)
+    val daily = Dedup.pin(Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
     val tot = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("nx"),
       sum(col("x").cast("decimal(38,0)") * col("x")).as("nxx"))
     val wCum = Window.orderBy(col("day"))
@@ -11437,12 +11441,12 @@ object Queries {
       greatest(nW, lit(1)).cast("double")
     val stw = TextStats.stopwordCount(col("text"), TextStats.defaultStopwords)
     // every rule bit + the dedup fingerprint off ONE scan
-    val base = docs.select(col("doc_id"),
+    val base = Dedup.pin(docs.select(col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"),
       nW.cast("long").as("tok"),
       nW.between(20, 80).as("rw"),
       (mwl >= 3.0 && mwl <= 10.0).as("rm"),
-      (stw >= 2).as("rs"))
+      (stw >= 2).as("rs")))
     val keepers = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     val flags = base.join(keepers, Seq("fp"))
       .select(col("tok"),
@@ -11504,6 +11508,90 @@ object Queries {
       |  UNION ALL SELECT 3, 'word_length', n2, n2 - n3, n3, t3 FROM a
       |  UNION ALL SELECT 4, 'stopwords', n3, n3 - n4, n4, t4 FROM a)
       |ORDER BY stage""".stripMargin
+
+  /** transformWithState running-totals parity — the EIGHTH streaming
+    * gate, and the first on Spark 4's NEW arbitrary-state API
+    * (StatefulProcessor + ValueState + the RocksDB state store, the
+    * surface that supersedes q209's flatMapGroupsWithState): per-user
+    * cumulative (event count, cent total) emitted per event across a
+    * 5-file time-partitioned stream, hash-matched against the batch
+    * cumulative-window oracle. Parity engineering: the q209 staging
+    * (arrival = event-time order) plus in-batch (µs, event_id)
+    * sort inside the processor make the fold order exactly the
+    * oracle's window order; cents are whole doubles so sums are exact.
+    * The RocksDB provider is set for THIS query and restored after —
+    * the other streaming gates stay on the default provider. Scale:
+    * state is one (n, cents) pair per user (TTL-expirable).
+    */
+  val streamRunningTotals: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = scratch("graft_stream_tws_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    def stageFile(df: DataFrame, i: Int): Unit = {
+      val tmp = scratch(s"graft_stream_tws_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = srcDir.resolve(f"part-$i%02d.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    (0 until 4).foreach { i =>
+      val a = lo + i * span / 4
+      val b = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
+      stageFile(ev.filter(unix_micros(col("ts")) >= a
+        && unix_micros(col("ts")) < b), i)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .as[graft.streaming.EventStreams.Event]
+      val totals = graft.streaming.EventStreams.runningTotals(stream)(s)
+      val qname = "graft_stream_tws_sink"
+      val sq = totals.toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname).trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(qname)
+        .select(col("user_id"), col("event_id"), col("cum_n"),
+          col("cum_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  val streamRunningTotalsSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS cum_n,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
 
   // ============================================================== catalog
 
@@ -11769,6 +11857,7 @@ object Queries {
     "q260_session_window_batch" -> sessionWindowBatch,
     "q261_stream_session_window" -> streamSessionWindow,
     "q262_curation_waterfall" -> curationWaterfall,
+    "q263_stream_running_totals" -> streamRunningTotals,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -12033,5 +12122,6 @@ object Queries {
     "q259_knn_accuracy" -> knnAccuracySql,
     "q260_session_window_batch" -> sessionWindowBatchSql,
     "q261_stream_session_window" -> streamSessionWindowSql,
-    "q262_curation_waterfall" -> curationWaterfallSql)
+    "q262_curation_waterfall" -> curationWaterfallSql,
+    "q263_stream_running_totals" -> streamRunningTotalsSql)
 }

@@ -166,4 +166,60 @@ object EventStreams {
       }
       .start()
   }
+
+  // ------------------------------------------------- transformWithState
+
+  final case class CumRow(user_id: Long, event_id: Long, cum_n: Long,
+                          cum_cents: Long)
+  // NOT private: the ValueState encoder's generated code constructs it
+  // reflectively — a private ctor forces the interpreted fallback
+  final case class CumState(n: Long, cents: Long)
+
+  /** Per-user running totals on the Spark 4 `transformWithState` API
+    * (the StatefulProcessor/ValueState surface that replaces
+    * flatMapGroupsWithState; requires the RocksDB state store): every
+    * event emits the user's cumulative event count and cent total AFTER
+    * that event. Batch rows are folded in exact (event-time µs,
+    * event_id) order, so when arrival order is event-time order across
+    * batches (the staged-file harness guarantees it) the output is
+    * value-identical to a batch cumulative window — which is exactly
+    * what the q263 gate hash-checks. `value` must already be WHOLE
+    * CENTS (a whole double sums exactly in any order). State per user
+    * is one (n, cents) pair — constant, TTL-free here; production
+    * attaches a TTLConfig to expire idle users.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, CumRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[CumState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[CumState]("cum",
+        org.apache.spark.sql.Encoders.product[CumState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CumRow] = {
+      val sorted = rows.toArray.sortBy(e => (tsToUs(e.ts), e.event_id))
+      var st = if (state.exists()) state.get() else CumState(0L, 0L)
+      val out = sorted.map { e =>
+        st = CumState(st.n + 1, st.cents + math.round(e.value))
+        CumRow(key, e.event_id, st.n, st.cents)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Wire [[RunningTotalsProcessor]] over a keyed event stream. */
+  def runningTotals(events: Dataset[Event])
+                   (implicit spark: SparkSession): Dataset[CumRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OM.Append())
+  }
 }

@@ -268,6 +268,29 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_in") == nDocs)
   }
 
+  test("q263: transformWithState running totals equal the batch " +
+    "cumulative window (state survives micro-batch boundaries)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = graft.Queries.all("q263_stream_running_totals")(
+      spark, sfDir).collect()
+    assert(streamed.nonEmpty)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("cum_n", row_number().over(w).cast("long"))
+      .withColumn("cum_cents", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("cum_n"),
+        col("cum_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+      .collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "per-event running state must be batch-identical")
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
