@@ -11593,6 +11593,84 @@ object Queries {
       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Join-strategy parity battery: the SAME customer⋈orders aggregate
+    * executed under the engine's three equi-join strategies — broadcast
+    * hash, shuffled hash, sort-merge — selected by hints, with the
+    * results proven identical (one oracle row per strategy). The gate
+    * that demonstrates plan CONTROL: Catalyst picks a default, but a
+    * 100 TB operator must be able to force the right strategy when
+    * statistics mislead (a broadcast that OOMs the driver, a sort that
+    * spills). PlanShapeSpec pins each hinted plan to its exec node.
+    * Values are decSum-exact so all three strategies hash identically.
+    */
+  val joinStrategies: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+    def run(hint: String, label: String): DataFrame =
+      o.join(c.hint(hint), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice"), 2)
+          .as("total"))
+        .select(lit(label).as("strategy"), col("c_mktsegment"),
+          col("n_orders"), col("total"))
+    run("broadcast", "broadcast_hash")
+      .unionAll(run("shuffle_hash", "shuffled_hash"))
+      .unionAll(run("merge", "sort_merge"))
+      .orderBy(col("strategy"), col("c_mktsegment"))
+  }
+
+  val joinStrategiesSql: String =
+    """WITH a AS (SELECT c_mktsegment, count(*) AS n_orders,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+      |      2) AS total
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment)
+      |SELECT s.strategy, a.c_mktsegment, a.n_orders, a.total
+      |FROM a CROSS JOIN (SELECT unnest(['broadcast_hash', 'shuffled_hash',
+      |  'sort_merge']) AS strategy) s
+      |ORDER BY s.strategy, a.c_mktsegment""".stripMargin
+
+  /** Day-2 incremental MinHash/LSH maintenance
+    * ([[Dedup.incrementalMinhashPairs]] — the near-dup analog of q117's
+    * exact incremental screen, completing the IVM family q171/q242/
+    * q154/q117 with the APPROXIMATE index): docs with id % 10 == 0
+    * arrive as the new batch; only pairs INVOLVING the batch are
+    * discovered, by probing the band table from the new side — no
+    * old×old work. The oracle is the exact all-pairs shingle Jaccard
+    * (the q21 recall harness) restricted to new-involving pairs, so
+    * the gate simultaneously proves day-2 completeness (LSH missed
+    * nothing) and day-2 scope (nothing outside the Δ neighborhood is
+    * touched). Scale: Δ signatures are the only new map work; the
+    * probe is Δ-bands × bucket width.
+    */
+  val incrementalLsh: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    Dedup.incrementalMinhashPairs(index, fresh, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val incrementalLshSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '\S+') AS tok FROM documents),
+      |sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(tok)-2),
+      |      i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) AS sh
+      |  FROM toks WHERE len(tok) >= 3),
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cnt
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |p AS (SELECT i.id1, i.id2,
+      |    CAST(i.cnt AS DOUBLE) / (len(l.sh) + len(r.sh) - i.cnt) AS j
+      |  FROM inter i JOIN sh l ON i.id1 = l.doc_id
+      |    JOIN sh r ON i.id2 = r.doc_id)
+      |SELECT id1, id2, round(j, 6) AS jaccard
+      |FROM p WHERE j >= 0.7 AND (id1 % 10 = 0 OR id2 % 10 = 0)
+      |ORDER BY id1, id2""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -11858,6 +11936,8 @@ object Queries {
     "q261_stream_session_window" -> streamSessionWindow,
     "q262_curation_waterfall" -> curationWaterfall,
     "q263_stream_running_totals" -> streamRunningTotals,
+    "q264_join_strategies" -> joinStrategies,
+    "q265_incremental_lsh" -> incrementalLsh,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -12123,5 +12203,7 @@ object Queries {
     "q260_session_window_batch" -> sessionWindowBatchSql,
     "q261_stream_session_window" -> streamSessionWindowSql,
     "q262_curation_waterfall" -> curationWaterfallSql,
-    "q263_stream_running_totals" -> streamRunningTotalsSql)
+    "q263_stream_running_totals" -> streamRunningTotalsSql,
+    "q264_join_strategies" -> joinStrategiesSql,
+    "q265_incremental_lsh" -> incrementalLshSql)
 }

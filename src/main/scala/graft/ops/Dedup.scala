@@ -197,6 +197,59 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Day-2 incremental MinHash/LSH: near-dup pairs INVOLVING the new
+    * batch only — the LSH analog of [[incrementalNew]]'s exact screen.
+    * Only the Δ's signatures are new narrow-map work; the candidate
+    * join probes the full band table from the NEW side, so no old×old
+    * pair is ever re-examined and day-2 cost is Δ·bucket-width, not
+    * corpus². Here the index side's band table is recomputed from
+    * `index` (this harness has no persistent store); in production it
+    * IS the stored (id, band, bandhash) table from day 1 — the swap is
+    * a read, not a code change. Pair order is canonicalized (least,
+    * greatest) because a new doc may carry a larger or smaller id than
+    * its old partner. Exact shingle verification runs on candidate
+    * docs only, exactly as in [[minhashNearDuplicates]].
+    */
+  def incrementalMinhashPairs(index: DataFrame, fresh: DataFrame,
+                              textCol: String, idCol: String,
+                              shingleSize: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.7)
+      : DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigCol = graft.functions.WordShingleMinHash.word_shingle_minhash(
+      col(textCol), shingleSize, numHashes)
+    def banded(df: DataFrame) = df
+      .select(col(idCol).as("id"), sigCol.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
+    val all = pin(banded(index.unionByName(fresh)))
+    val freshBanded = banded(fresh)
+    val cand = freshBanded.as("l")
+      .join(all.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
+          && col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id1"),
+        greatest(col("l.id"), col("r.id")).as("id2"))
+      .distinct()
+    val candIds = cand.select(col("id1").as("id"))
+      .union(cand.select(col("id2").as("id"))).distinct()
+    val candDocs = pin(index.unionByName(fresh)
+      .select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(wordShingles(col(textCol), shingleSize)).as("sh")))
+    cand
+      .join(candDocs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(candDocs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash near-dup candidates: 64-bit fingerprints bucketed into

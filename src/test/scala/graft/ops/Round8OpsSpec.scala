@@ -291,6 +291,25 @@ class Round8OpsSpec extends SparkSpec {
       "per-event running state must be batch-identical")
   }
 
+  test("q265: incremental LSH finds exactly the full-index pairs that " +
+    "involve the new batch") {
+    import org.apache.spark.sql.functions._
+    val inc = graft.Queries.all("q265_incremental_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Dedup.releaseCaches()
+    val full = graft.ops.Dedup.minhashNearDuplicates(
+      graft.Tables.table(spark, sfDir, "documents"), "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7,
+      useWordShingles = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Dedup.releaseCaches()
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(inc == expected,
+      s"incremental=${inc.size} expected=${expected.size}")
+    assert(inc.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0),
+      "no old-x-old pair may appear")
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)

@@ -73,6 +73,13 @@ class PlanShapeSpec extends SparkSpec {
       }) ++ p.children.flatMap(partitionlessWindows)
   }
 
+  test("q264 hints force all three equi-join strategies") {
+    val p = plan("q264_join_strategies")
+    assert(p.contains("BroadcastHashJoin"), "broadcast hint must bind")
+    assert(p.contains("ShuffledHashJoin"), "shuffle_hash hint must bind")
+    assert(p.contains("SortMergeJoin"), "merge hint must bind")
+  }
+
   test("q178 quantile-norm has no partition-less Window (two-phase rank)") {
     val p = graft.Queries.all("q178_quantile_norm")(spark, sfDir)
       .queryExecution.executedPlan
