@@ -11671,6 +11671,248 @@ object Queries {
       |FROM p WHERE j >= 0.7 AND (id1 % 10 = 0 OR id2 % 10 = 0)
       |ORDER BY id1, id2""".stripMargin
 
+  /** Welch's unequal-variance t-test (Welch '47 with the
+    * Welch–Satterthwaite df): the parametric twin of q248's
+    * Mann–Whitney on the SAME contrast (en vs rest document lengths),
+    * so an analyst can read both the rank-based and the moment-based
+    * verdicts off comparable gates. All five sufficient statistics are
+    * exact integers off one conditional agg (Σx and Σx² per group in
+    * DECIMAL(38,0) — n_chars² sums wrap int64 at corpus scale); the
+    * t statistic and df are single compound float expressions. Scale:
+    * one scan, two rows of state.
+    */
+  val welchT: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+      .select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("g"))
+    base.agg(
+        sum(col("g")).as("na"), sum(lit(1L) - col("g")).as("nb"),
+        sum(when(col("g") === 1, col("n_chars")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sa"),
+        sum(when(col("g") === 0, col("n_chars")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sb"),
+        sum(when(col("g") === 1,
+          col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("qa"),
+        sum(when(col("g") === 0,
+          col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("qb"))
+      .select(col("na"), col("nb"), {
+        val na = col("na").cast("double"); val nb = col("nb").cast("double")
+        val ma = col("sa").cast("double") / na
+        val mb = col("sb").cast("double") / nb
+        // sample variance via the exact sums: (nΣx² − (Σx)²)/(n(n−1))
+        val va = (na * col("qa").cast("double")
+          - col("sa").cast("double") * col("sa").cast("double")) /
+          (na * (na - 1))
+        val vb = (nb * col("qb").cast("double")
+          - col("sb").cast("double") * col("sb").cast("double")) /
+          (nb * (nb - 1))
+        val sea = va / na; val seb = vb / nb
+        struct(
+          round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
+          round((ma - mb) / sqrt(sea + seb), 6).as("t_stat"),
+          round((sea + seb) * (sea + seb)
+            / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2).as("df"))
+          .as("f")
+      })
+      .select(col("na"), col("nb"), col("f.mean_a").as("mean_a"),
+        col("f.mean_b").as("mean_b"), col("f.t_stat").as("t_stat"),
+        col("f.df").as("df"))
+  }
+
+  val welchTSql: String =
+    """WITH a AS (SELECT
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS na,
+      |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nb,
+      |    sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS HUGEINT)
+      |      ELSE 0 END) AS sa,
+      |    sum(CASE WHEN lang <> 'en' THEN CAST(n_chars AS HUGEINT)
+      |      ELSE 0 END) AS sb,
+      |    sum(CASE WHEN lang = 'en'
+      |      THEN CAST(n_chars AS HUGEINT) * n_chars ELSE 0 END) AS qa,
+      |    sum(CASE WHEN lang <> 'en'
+      |      THEN CAST(n_chars AS HUGEINT) * n_chars ELSE 0 END) AS qb
+      |  FROM documents),
+      |m AS (SELECT na, nb,
+      |    CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+      |    (na * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+      |      * CAST(sa AS DOUBLE)) / (na * CAST(na - 1 AS DOUBLE)) / na
+      |      AS sea,
+      |    (nb * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)
+      |      * CAST(sb AS DOUBLE)) / (nb * CAST(nb - 1 AS DOUBLE)) / nb
+      |      AS seb
+      |  FROM a)
+      |SELECT na, nb, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+      |  round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+      |  round((sea + seb) * (sea + seb)
+      |    / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2) AS df
+      |FROM m""".stripMargin
+
+  /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler '06
+    * — the scale-free forecast-accuracy metric): per event type,
+    * "predict day d by day d−7" is scored against the actual daily
+    * count, scaled by the in-sample naive-1 mean absolute difference —
+    * MASE < 1 means the weekly-seasonal rule beats the naive
+    * random-walk, the go/no-go before anyone ships a fancier forecast.
+    * Errors are exact integer |x_d − x_{d−7}| sums; the two means and
+    * their ratio are the only floats. Scale: day-domain frames per
+    * type after the daily reduce; lag() windows partitioned by type.
+    */
+  val maseBacktest: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("f7", lag(col("x"), 7).over(w))
+      .withColumn("f1", lag(col("x"), 1).over(w))
+      .filter(col("f7").isNotNull && col("f1").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("x") - col("f7"))).as("ae7"),
+        sum(abs(col("x") - col("f1"))).as("ae1"))
+      .select(col("event_type"), col("n_days"),
+        round(col("ae7").cast("double") / col("n_days").cast("double"), 4)
+          .as("mae_seasonal"),
+        round(col("ae1").cast("double") / col("n_days").cast("double"), 4)
+          .as("mae_naive"),
+        round(col("ae7").cast("double") / col("ae1").cast("double"), 6)
+          .as("mase"))
+      .orderBy(col("event_type"))
+  }
+
+  val maseBacktestSql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*) AS x FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, x,
+      |    lag(x, 7) OVER w AS f7, lag(x, 1) OVER w AS f1
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      |SELECT event_type, count(*) AS n_days,
+      |  round(CAST(sum(abs(x - f7)) AS DOUBLE) / count(*), 4)
+      |    AS mae_seasonal,
+      |  round(CAST(sum(abs(x - f1)) AS DOUBLE) / count(*), 4)
+      |    AS mae_naive,
+      |  round(CAST(sum(abs(x - f7)) AS DOUBLE)
+      |    / CAST(sum(abs(x - f1)) AS DOUBLE), 6) AS mase
+      |FROM l WHERE f7 IS NOT NULL AND f1 IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Neyman optimal stratified-sampling allocation (Neyman '34): for a
+    * fixed inspection budget of 1000 documents, how many to draw from
+    * each language stratum — n_h ∝ N_h·σ_h (big AND variable strata
+    * get more) vs the proportional baseline N_h/N — the sample-design
+    * table behind every human-eval and labeling budget. σ_h from exact
+    * integer moments; the Σ N_h·σ_h normalizer sums per-stratum
+    * round→DECIMAL terms (q126 discipline). Scale: one keyed agg,
+    * |strata| rows.
+    */
+  val neymanAllocation: Q = (s, dir) => {
+    val B = 1000
+    val per = Dedup.pin(t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+          .as("sxx"))
+      .select(col("lang"), col("nh"), {
+        val n = col("nh").cast("double")
+        round(sqrt((n * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          / (n * n)), 6).as("sigma")
+      }))
+    val tot = per.agg(sum(col("nh")).as("n_all"),
+      sum(round(col("nh") * col("sigma"), 4).cast("decimal(28,4)"))
+        .as("wsum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("nh"), round(col("sigma"), 2).as("sigma"),
+        round(lit(B) * round(col("nh") * col("sigma"), 4)
+          .cast("double") / col("wsum").cast("double"), 2)
+          .as("alloc_neyman"),
+        round(lit(B) * col("nh").cast("double")
+          / col("n_all").cast("double"), 2).as("alloc_prop"))
+      .orderBy(col("lang"))
+  }
+
+  val neymanAllocationSql: String =
+    """WITH per AS (SELECT lang, count(*) AS nh,
+      |    sum(CAST(n_chars AS HUGEINT)) AS sx,
+      |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+      |  FROM documents GROUP BY lang),
+      |sg AS (SELECT lang, nh,
+      |    round(sqrt((nh * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      |      * CAST(sx AS DOUBLE))
+      |      / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE))), 6) AS sigma
+      |  FROM per),
+      |tt AS (SELECT CAST(sum(nh) AS BIGINT) AS n_all,
+      |    sum(CAST(round(nh * sigma, 4) AS DECIMAL(28,4))) AS wsum
+      |  FROM sg)
+      |SELECT lang, nh, round(sigma, 2) AS sigma,
+      |  round(1000 * CAST(CAST(round(nh * sigma, 4) AS DECIMAL(28,4))
+      |    AS DOUBLE) / CAST(wsum AS DOUBLE), 2) AS alloc_neyman,
+      |  round(1000 * CAST(nh AS DOUBLE) / CAST(n_all AS DOUBLE), 2)
+      |    AS alloc_prop
+      |FROM sg CROSS JOIN tt ORDER BY lang""".stripMargin
+
+  /** Lincoln–Petersen capture–recapture population estimate (Petersen
+    * 1896 / Lincoln '30, with Chapman '51's bias correction): two
+    * deterministic md5 "crawls" each capture ~60% of the corpus, and
+    * the overlap estimates the TOTAL population — the estimator a crawl
+    * operator uses to size the web they have NOT yet fetched, here run
+    * against a corpus whose true size is known so the estimator's
+    * error is itself hash-checked. Capture flags are row-local
+    * md5-uniform tests (independent per crawl by key salt); counts
+    * exact; both estimators and the error are final-step floats.
+    * Scale: one scan, one row of state.
+    */
+  val captureRecapture: Q = (s, dir) => {
+    def u(salt: String) =
+      (conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))),
+        1, 15), 16, 10).cast("long").cast("double") / lit(math.pow(2, 60)))
+    t(s, dir, "documents")
+      .select((u(":a") < 0.6).as("ia"), (u(":b") < 0.6).as("ib"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("ia"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("ib"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("m"))
+      .select(col("n_a"), col("n_b"), col("m"), col("n_true"),
+        round(col("n_a").cast("double") * col("n_b").cast("double")
+          / col("m").cast("double"), 2).as("n_hat_lp"),
+        round((col("n_a") + 1).cast("double")
+          * (col("n_b") + 1).cast("double")
+          / (col("m") + 1).cast("double") - 1.0, 2).as("n_hat_chapman"),
+        round(((col("n_a") + 1).cast("double")
+          * (col("n_b") + 1).cast("double")
+          / (col("m") + 1).cast("double") - 1.0
+          - col("n_true").cast("double"))
+          / col("n_true").cast("double"), 6).as("chapman_err"))
+  }
+
+  val captureRecaptureSql: String =
+    """WITH f AS (SELECT
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':a'), 1, 15))::BIGINT
+      |      / CAST(pow(2, 60) AS DOUBLE) < 0.6 AS ia,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':b'), 1, 15))::BIGINT
+      |      / CAST(pow(2, 60) AS DOUBLE) < 0.6 AS ib
+      |  FROM documents),
+      |a AS (SELECT count(*) AS n_true,
+      |    CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |  FROM f)
+      |SELECT n_a, n_b, m, n_true,
+      |  round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |    / CAST(m AS DOUBLE), 2) AS n_hat_lp,
+      |  round(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+      |    / CAST(m + 1 AS DOUBLE) - 1.0, 2) AS n_hat_chapman,
+      |  round((CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+      |    / CAST(m + 1 AS DOUBLE) - 1.0 - CAST(n_true AS DOUBLE))
+      |    / CAST(n_true AS DOUBLE), 6) AS chapman_err
+      |FROM a""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -11938,6 +12180,10 @@ object Queries {
     "q263_stream_running_totals" -> streamRunningTotals,
     "q264_join_strategies" -> joinStrategies,
     "q265_incremental_lsh" -> incrementalLsh,
+    "q266_welch_t" -> welchT,
+    "q267_mase_backtest" -> maseBacktest,
+    "q268_neyman_allocation" -> neymanAllocation,
+    "q269_capture_recapture" -> captureRecapture,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -12205,5 +12451,9 @@ object Queries {
     "q262_curation_waterfall" -> curationWaterfallSql,
     "q263_stream_running_totals" -> streamRunningTotalsSql,
     "q264_join_strategies" -> joinStrategiesSql,
-    "q265_incremental_lsh" -> incrementalLshSql)
+    "q265_incremental_lsh" -> incrementalLshSql,
+    "q266_welch_t" -> welchTSql,
+    "q267_mase_backtest" -> maseBacktestSql,
+    "q268_neyman_allocation" -> neymanAllocationSql,
+    "q269_capture_recapture" -> captureRecaptureSql)
 }

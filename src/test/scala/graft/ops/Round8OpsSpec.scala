@@ -310,6 +310,58 @@ class Round8OpsSpec extends SparkSpec {
       "no old-x-old pair may appear")
   }
 
+  test("q266: Welch t agrees in SIGN with Mann-Whitney z on the same " +
+    "contrast, and df lies between min(n)-1 and n-2") {
+    val tRow = graft.Queries.all("q266_welch_t")(spark, sfDir).head()
+    val uRow = graft.Queries.all("q248_mann_whitney")(spark, sfDir).head()
+    val tStat = tRow.getAs[Double]("t_stat")
+    val z = uRow.getAs[Double]("z")
+    assert(tStat.signum == z.signum || tStat.abs < 0.5 || z.abs < 0.5,
+      s"parametric and rank tests disagree in sign: t=$tStat z=$z")
+    val na = tRow.getAs[Long]("na"); val nb = tRow.getAs[Long]("nb")
+    val df = tRow.getAs[Double]("df")
+    assert(df >= math.min(na, nb) - 1 - 1e-9 && df <= na + nb - 2 + 1e-9)
+  }
+
+  test("q267: MASE is the ratio of the two MAEs and every type has " +
+    "backtest days") {
+    val rows = graft.Queries.all("q267_mase_backtest")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") > 0)
+      val ratio = r.getAs[Double]("mae_seasonal") / r.getAs[Double]("mae_naive")
+      assert(math.abs(r.getAs[Double]("mase") - ratio) < 1e-3)
+    }
+  }
+
+  test("q268: Neyman allocations sum to the budget and shift mass " +
+    "toward high-sigma strata relative to proportional") {
+    val rows = graft.Queries.all("q268_neyman_allocation")(spark, sfDir)
+      .collect()
+    graft.ops.Dedup.releaseCaches()
+    assert(rows.nonEmpty)
+    val neySum = rows.map(_.getAs[Double]("alloc_neyman")).sum
+    val propSum = rows.map(_.getAs[Double]("alloc_prop")).sum
+    assert(math.abs(neySum - 1000.0) < 1.0, s"neyman sums to $neySum")
+    assert(math.abs(propSum - 1000.0) < 1.0, s"prop sums to $propSum")
+    rows.foreach(r => assert(r.getAs[Double]("alloc_neyman") >= 0))
+  }
+
+  test("q269: the Chapman estimate brackets the true count within the " +
+    "estimator's sampling error at 60% capture rates") {
+    val r = graft.Queries.all("q269_capture_recapture")(spark, sfDir).head()
+    val nTrue = r.getAs[Long]("n_true")
+    assert(r.getAs[Long]("m") > 0, "overlap must exist at 60%+60%")
+    assert(r.getAs[Long]("m") <= math.min(r.getAs[Long]("n_a"),
+      r.getAs[Long]("n_b")))
+    val chapman = r.getAs[Double]("n_hat_chapman")
+    // var(N̂) ≈ N(1-p)²/p² per capture; 60/60 → generous 25% tolerance
+    // at sf0.001's 50 docs
+    assert(math.abs(chapman - nTrue) / nTrue < 0.25,
+      s"chapman=$chapman true=$nTrue")
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
