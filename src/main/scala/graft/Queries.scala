@@ -11913,6 +11913,81 @@ object Queries {
       |    / CAST(n_true AS DOUBLE), 6) AS chapman_err
       |FROM a""".stripMargin
 
+  /** End-to-end curated export — the pipeline the whole catalog exists
+    * to run, as ONE gate: q262's cumulative keep-set (exact-dedup
+    * keeper + the Gopher rule battery) → q205's row-local HRW shard
+    * assignment (4 shards) → a REAL partitioned parquet write → read
+    * the files back and emit the shard manifest (docs, token mass,
+    * integrity triple min/max/Σ of ids — exact integers, so any row
+    * the write dropped or duplicated flips the manifest). The oracle
+    * computes the same manifest from the logical pipeline alone, so
+    * the hash-match proves the physical round-trip byte-preserved the
+    * keep-set. Scale: the write IS the shuffle (partitionBy on the
+    * 4-value shard column); everything else is row-local or
+    * |shards|-bounded.
+    */
+  val curatedExport: Q = (s, dir) => {
+    val tmp = scratch("graft_export_gate").toString
+    val docs = t(s, dir, "documents")
+    val nW = TextStats.tokenCount(col("text"))
+    val mwl = length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+      greatest(nW, lit(1)).cast("double")
+    val stw = TextStats.stopwordCount(col("text"), TextStats.defaultStopwords)
+    val base = docs.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"),
+      nW.cast("long").as("tok"),
+      (nW.between(20, 80) && mwl >= 3.0 && mwl <= 10.0 && (stw >= 2))
+        .as("rules"))
+    val keepers = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val weights = array((0 until 4).map { i =>
+      struct(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":" + i))), 1, 15), 16, 10).cast("long").as("w"),
+        lit(i).as("shard"))
+    }: _*)
+    val kept = base.join(keepers, Seq("fp"))
+      .filter(col("doc_id") === col("keep_id") && col("rules"))
+      .select(col("doc_id"), col("tok"),
+        array_max(weights).getField("shard").as("shard"))
+    Writers.parquet(kept, s"$tmp/export", partitionBy = Seq("shard"))
+    Readers.parquetWithSchema(s, s"$tmp/export", kept.schema)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("doc_id")).as("id_sum"))
+      .select(col("shard").cast("int").as("shard"), col("n_docs"),
+        col("tok_sum"), col("min_id"), col("max_id"), col("id_sum"))
+      .orderBy(col("shard"))
+  }
+
+  val curatedExportSql: String =
+    """WITH b AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok,
+      |    (length(regexp_extract_all(text, '\S+')) BETWEEN 20 AND 80)
+      |      AND (CAST(length(regexp_replace(text, '\s', '', 'g'))
+      |        AS DOUBLE)
+      |        / greatest(length(regexp_extract_all(text, '\S+')), 1)
+      |        BETWEEN 3.0 AND 10.0)
+      |      AND length(regexp_extract_all(lower(text),
+      |        '\b(the|a|an|and|of|to|in|is|it)\b')) >= 2 AS rules
+      |  FROM documents),
+      |k AS (SELECT fp, min(doc_id) AS keep_id FROM b GROUP BY fp),
+      |kept AS (SELECT b.doc_id, tok FROM b JOIN k USING (fp)
+      |  WHERE b.doc_id = keep_id AND rules),
+      |w AS (SELECT doc_id, tok, CAST(r.range AS INTEGER) AS shard,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'
+      |      ||CAST(r.range AS VARCHAR)), 1, 15))::BIGINT AS wt
+      |  FROM kept CROSS JOIN range(4) r),
+      |pick AS (SELECT doc_id, tok, shard FROM (SELECT doc_id, tok, shard,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY wt DESC, shard DESC) AS rn FROM w) WHERE rn = 1)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM pick GROUP BY shard ORDER BY shard""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -12184,6 +12259,7 @@ object Queries {
     "q267_mase_backtest" -> maseBacktest,
     "q268_neyman_allocation" -> neymanAllocation,
     "q269_capture_recapture" -> captureRecapture,
+    "q270_curated_export" -> curatedExport,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -12455,5 +12531,6 @@ object Queries {
     "q266_welch_t" -> welchTSql,
     "q267_mase_backtest" -> maseBacktestSql,
     "q268_neyman_allocation" -> neymanAllocationSql,
-    "q269_capture_recapture" -> captureRecaptureSql)
+    "q269_capture_recapture" -> captureRecaptureSql,
+    "q270_curated_export" -> curatedExportSql)
 }

@@ -362,6 +362,21 @@ class Round8OpsSpec extends SparkSpec {
       s"chapman=$chapman true=$nTrue")
   }
 
+  test("q270: the exported manifest matches the q262 waterfall's final " +
+    "stage (the keep-set survived the physical round-trip)") {
+    val manifest = graft.Queries.all("q270_curated_export")(spark, sfDir)
+      .collect()
+    val waterfall = graft.Queries.all("q262_curation_waterfall")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("stage")).last
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum
+      == waterfall.getAs[Long]("n_out"),
+      "exported docs must equal the waterfall's survivors")
+    assert(manifest.map(_.getAs[Long]("tok_sum")).sum
+      == waterfall.getAs[Long]("tok_out"),
+      "exported token mass must equal the waterfall's surviving mass")
+    assert(manifest.map(_.getAs[Int]("shard")).toSet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
