@@ -11988,6 +11988,88 @@ object Queries {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM pick GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Time-RANGE window frame (the frame variety the catalog's other
+    * 30+ windows don't exercise — every prior frame is ROWS-based):
+    * for every event, the count and cent mass of the SAME user's
+    * events in the preceding hour, frame = RANGE [−1h, current] over
+    * the µs axis — the sliding-context feature a fraud/burst scorer
+    * computes per event, where a ROWS frame would be WRONG whenever
+    * event density varies (k rows ≠ one hour). Exact integer µs
+    * bounds; cents sum exactly. Scale: user-partitioned range frames —
+    * Spark evaluates them with a sliding two-pointer over each
+    * partition's sort, O(n) per user.
+    */
+  val rangeFrame: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("n_hour", count(lit(1)).over(w))
+      .withColumn("cents_hour", sum(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_hour"),
+        col("cents_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  val rangeFrameSql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  count(*) OVER w AS n_hour,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cents_hour
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Typed Dataset mapGroups pipeline (the `KeyValueGroupedDataset`
+    * batch surface — the catalog uses its streaming siblings in
+    * q209/q263; this gates the TYPED per-key escape hatch itself):
+    * per-user stream shape via case-class groups — event count, span,
+    * and the LONGEST inter-event gap, computed imperatively over the
+    * sorted group. The pattern for per-key logic that genuinely
+    * doesn't decompose into window functions (here it does — which is
+    * exactly what makes it oracle-checkable). Scale: one user-keyed
+    * shuffle; each group folds in memory (per-user streams, not the
+    * corpus).
+    */
+  val typedGroups: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val times = it.map(e => (e._2, e._3)).toArray.sortBy(identity)
+        var maxGap = 0L
+        var i = 1
+        while (i < times.length) {
+          val g = times(i)._1 - times(i - 1)._1
+          if (g > maxGap) maxGap = g
+          i += 1
+        }
+        (uid, times.length.toLong, times.last._1 - times.head._1, maxGap)
+      }
+      .toDF("user_id", "n_events", "span_us", "max_gap_us")
+      .orderBy(col("user_id"))
+  }
+
+  val typedGroupsSql: String =
+    """WITH e AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+      |g AS (SELECT user_id, us,
+      |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS gap FROM e)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(max(us) - min(us) AS BIGINT) AS span_us,
+      |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -12260,6 +12342,8 @@ object Queries {
     "q268_neyman_allocation" -> neymanAllocation,
     "q269_capture_recapture" -> captureRecapture,
     "q270_curated_export" -> curatedExport,
+    "q271_range_frame" -> rangeFrame,
+    "q272_typed_groups" -> typedGroups,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -12532,5 +12616,7 @@ object Queries {
     "q267_mase_backtest" -> maseBacktestSql,
     "q268_neyman_allocation" -> neymanAllocationSql,
     "q269_capture_recapture" -> captureRecaptureSql,
-    "q270_curated_export" -> curatedExportSql)
+    "q270_curated_export" -> curatedExportSql,
+    "q271_range_frame" -> rangeFrameSql,
+    "q272_typed_groups" -> typedGroupsSql)
 }

@@ -377,6 +377,20 @@ class Round8OpsSpec extends SparkSpec {
     assert(manifest.map(_.getAs[Int]("shard")).toSet.subsetOf(Set(0, 1, 2, 3)))
   }
 
+  test("q271/q272: range frame includes self; typed group stats " +
+    "conserve the event count") {
+    val rf = graft.Queries.all("q271_range_frame")(spark, sfDir).collect()
+    assert(rf.nonEmpty)
+    assert(rf.forall(_.getAs[Long]("n_hour") >= 1L),
+      "the RANGE frame includes the current row")
+    val tg = graft.Queries.all("q272_typed_groups")(spark, sfDir).collect()
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    assert(tg.map(_.getAs[Long]("n_events")).sum == nEvents)
+    tg.foreach { r =>
+      assert(r.getAs[Long]("max_gap_us") <= r.getAs[Long]("span_us"))
+    }
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
