@@ -12070,6 +12070,227 @@ object Queries {
       |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Consistent-hash ring assignment + the consistency property
+    * MEASURED (Karger '97; 4 nodes × 16 vnodes): the ring is 64
+    * md5 positions computed ONCE and shipped as a broadcast literal
+    * array sorted by position, so per-doc assignment is a ROW-LOCAL
+    * first-position-≥-hash probe (wraparound to ring[0]) — zero
+    * shuffle, the q205 HRW discipline for the ring family. The gate
+    * then REMOVES node 3 and re-assigns: per node, docs before, docs
+    * after, docs gained — consistent hashing's whole selling point
+    * ("only the removed node's keys move") as hash-checked integers
+    * rather than prose. Scale: assignment is row-local against a
+    * 64-struct constant.
+    */
+  val consistentRing: Q = (s, dir) => {
+    def md5pos(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 7).foreach(i => v = (v << 8) | (d(i) & 0xffL))
+      (v << 4) | ((d(7) & 0xf0L) >>> 4)
+    }
+    val ring = (for (n <- 0 until 4; v <- 0 until 16)
+      yield (md5pos(s"node:$n:$v"), n)).sortBy(_._1)
+    val ringSans3 = ring.filter(_._2 != 3)
+    def assign(r: Seq[(Long, Int)], p: Column): Column = {
+      // first ring position >= p, else wraparound to the smallest
+      val hit = r.foldRight(lit(r.head._2)) { case ((pos, node), acc) =>
+        when(p <= pos, lit(node)).otherwise(acc)
+      }
+      hit
+    }
+    val p = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val assigned = t(s, dir, "documents")
+      .select(col("doc_id"),
+        assign(ring, p).as("node_before"),
+        assign(ringSans3, p).as("node_after"))
+    assigned.groupBy(col("node_before").as("node"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("node_after") === col("node_before"), 1L).otherwise(0L))
+          .as("n_stayed"))
+      .join(
+        assigned.filter(col("node_after") =!= col("node_before"))
+          .groupBy(col("node_after").as("node"))
+          .agg(count(lit(1)).as("n_gained")),
+        Seq("node"), "left")
+      .select(col("node"), col("n_before"), col("n_stayed"),
+        coalesce(col("n_gained"), lit(0L)).as("n_gained"))
+      .orderBy(col("node"))
+  }
+
+  val consistentRingSql: String = {
+    // the same driver-computed ring inlined into the oracle: the ring
+    // is a CONSTANT of the algorithm (md5 of "node:n:v"), so both
+    // engines must agree on it by construction
+    def md5pos(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 7).foreach(i => v = (v << 8) | (d(i) & 0xffL))
+      (v << 4) | ((d(7) & 0xf0L) >>> 4)
+    }
+    val ring = (for (n <- 0 until 4; v <- 0 until 16)
+      yield (md5pos(s"node:$n:$v"), n)).sortBy(_._1)
+    def values(r: Seq[(Long, Int)]) =
+      r.map { case (pos, node) => s"($pos, $node)" }.mkString(", ")
+    s"""WITH ring AS (SELECT * FROM (VALUES ${values(ring)}) r(pos, node)),
+       |ring2 AS (SELECT * FROM ring WHERE node <> 3),
+       |d AS (SELECT doc_id,
+       |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS p
+       |  FROM documents),
+       |a AS (SELECT doc_id, p,
+       |    coalesce((SELECT node FROM ring WHERE pos >= p
+       |        ORDER BY pos LIMIT 1),
+       |      (SELECT node FROM ring ORDER BY pos LIMIT 1)) AS node_before,
+       |    coalesce((SELECT node FROM ring2 WHERE pos >= p
+       |        ORDER BY pos LIMIT 1),
+       |      (SELECT node FROM ring2 ORDER BY pos LIMIT 1)) AS node_after
+       |  FROM d),
+       |b AS (SELECT node_before AS node, count(*) AS n_before,
+       |    CAST(sum(CASE WHEN node_after = node_before THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_stayed
+       |  FROM a GROUP BY node_before),
+       |g AS (SELECT node_after AS node, count(*) AS n_gained FROM a
+       |  WHERE node_after <> node_before GROUP BY node_after)
+       |SELECT b.node, n_before, n_stayed,
+       |  CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained
+       |FROM b LEFT JOIN g ON b.node = g.node ORDER BY b.node""".stripMargin
+  }
+
+  /** Time-series gap fill by linear interpolation, with the recovery
+    * error MEASURED: every 5th day of each event type's daily-count
+    * series is removed (a planted outage — the corpus has no natural
+    * gaps, the q102/q258 planting idiom), the holes are filled by
+    * exact-rational linear interpolation between the surviving
+    * neighbors, and the gate reports per type how close the fill came
+    * to the KNOWN truth — gap-filling quality as a hash-checked
+    * number. Neighbors come from a portable day-domain non-equi join
+    * (max surviving day < gap < min surviving day), not engine-specific
+    * IGNORE NULLS forms. Scale: day-domain frames per type throughout.
+    */
+  val gapFill: Q = (s, dir) => {
+    val daily = Dedup.pin(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("di", datediff(col("day"), to_date(lit("2024-01-01")))))
+    val kept = daily.filter(col("di") % 5 =!= 2)
+    val holes = daily.filter(col("di") % 5 === 2)
+      .select(col("event_type"), col("di").as("hd"), col("x").as("truth"))
+    val prevN = holes.join(kept.select(col("event_type"),
+        col("di").as("pd"), col("x").as("pv")), Seq("event_type"))
+      .filter(col("pd") < col("hd"))
+      .groupBy(col("event_type"), col("hd"), col("truth"))
+      .agg(max(struct(col("pd"), col("pv"))).as("p"))
+    val nextN = holes.join(kept.select(col("event_type"),
+        col("di").as("nd"), col("x").as("nv")), Seq("event_type"))
+      .filter(col("nd") > col("hd"))
+      .groupBy(col("event_type"), col("hd"))
+      .agg(min(struct(col("nd"), col("nv"))).as("n"))
+    prevN.join(nextN, Seq("event_type", "hd"))
+      .select(col("event_type"), col("hd"), col("truth"),
+        round(col("p.pv").cast("double")
+          + (col("n.nv") - col("p.pv")).cast("double")
+          * (col("hd") - col("p.pd")).cast("double")
+          / (col("n.nd") - col("p.pd")).cast("double"), 4).as("filled"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(round(abs(col("filled") - col("truth")), 4)
+          .cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("mae"),
+        round(max(abs(col("filled") - col("truth"))), 4).as("max_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val gapFillSql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*) AS x,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+      |  FROM events GROUP BY 1, 2),
+      |kept AS (SELECT * FROM d WHERE di % 5 <> 2),
+      |holes AS (SELECT event_type, di AS hd, x AS truth FROM d
+      |  WHERE di % 5 = 2),
+      |p AS (SELECT h.event_type, hd, truth,
+      |    max_by(k.x, k.di) AS pv, max(k.di) AS pd
+      |  FROM holes h JOIN kept k ON h.event_type = k.event_type
+      |    AND k.di < h.hd
+      |  GROUP BY 1, 2, 3),
+      |n AS (SELECT h.event_type, hd,
+      |    min_by(k.x, k.di) AS nv, min(k.di) AS nd
+      |  FROM holes h JOIN kept k ON h.event_type = k.event_type
+      |    AND k.di > h.hd
+      |  GROUP BY 1, 2),
+      |f AS (SELECT p.event_type, p.hd, truth,
+      |    round(CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+      |      * CAST(p.hd - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE), 4)
+      |      AS filled
+      |  FROM p JOIN n ON p.event_type = n.event_type AND p.hd = n.hd)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  round(CAST(sum(CAST(round(abs(filled - truth), 4)
+      |    AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mae,
+      |  round(max(abs(filled - truth)), 4) AS max_err
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Revenue mix-shift decomposition (the Laspeyres-convention
+    * volume/rate attribution every BI review runs on a metric change):
+    * purchase cents per event type, week 1 vs week 2 (anchored at the
+    * data's min date — q198 discipline), with Δrevenue split EXACTLY
+    * into volume effect Δn·r₀ and rate effect n₁·Δr — the identity
+    * volume + rate = Δ holds algebraically, so the gate's rounded
+    * columns must reconcile to the cent. All inputs exact integers;
+    * the two effects are single compound float expressions. Scale:
+    * |types| rows after one filtered scan.
+    */
+  val mixShift: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val anchor = ev.agg(min(to_date(col("ts"))).as("d0"))
+    val base = ev.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(anchor))
+      .withColumn("wk", expr("CAST(datediff(to_date(ts), d0) AS INT) div 7"))
+      .filter(col("wk") <= 1)
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("c"))
+    val w0 = base.filter(col("wk") === 0)
+      .select(col("n").as("n0"), col("c").as("c0"))
+    val w1 = base.filter(col("wk") === 1)
+      .select(col("n").as("n1"), col("c").as("c1"))
+    w0.crossJoin(w1)
+      .select(col("n0"), col("n1"), col("c0"), col("c1"), {
+        val r0 = col("c0").cast("double") / col("n0").cast("double")
+        val r1 = col("c1").cast("double") / col("n1").cast("double")
+        struct(
+          round((col("n1") - col("n0")).cast("double") * r0, 2)
+            .as("volume_effect"),
+          round(col("n1").cast("double") * (r1 - r0), 2).as("rate_effect"))
+          .as("f")
+      })
+      .select(col("n0"), col("n1"), col("c0"), col("c1"),
+        col("f.volume_effect").as("volume_effect"),
+        col("f.rate_effect").as("rate_effect"))
+  }
+
+  val mixShiftSql: String =
+    """WITH a AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      |b AS (SELECT CAST(datediff('day', d0, CAST(ts AS DATE)) AS INTEGER)
+      |      // 7 AS wk,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM events CROSS JOIN a WHERE event_type = 'purchase'
+      |  GROUP BY 1 HAVING wk <= 1),
+      |w0 AS (SELECT n AS n0, c AS c0 FROM b WHERE wk = 0),
+      |w1 AS (SELECT n AS n1, c AS c1 FROM b WHERE wk = 1)
+      |SELECT n0, n1, c0, c1,
+      |  round(CAST(n1 - n0 AS DOUBLE) * (CAST(c0 AS DOUBLE)
+      |    / CAST(n0 AS DOUBLE)), 2) AS volume_effect,
+      |  round(CAST(n1 AS DOUBLE) * (CAST(c1 AS DOUBLE)
+      |    / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE)
+      |    / CAST(n0 AS DOUBLE)), 2) AS rate_effect
+      |FROM w0 CROSS JOIN w1""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -12344,6 +12565,9 @@ object Queries {
     "q270_curated_export" -> curatedExport,
     "q271_range_frame" -> rangeFrame,
     "q272_typed_groups" -> typedGroups,
+    "q273_consistent_ring" -> consistentRing,
+    "q274_gap_fill" -> gapFill,
+    "q275_mix_shift" -> mixShift,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -12618,5 +12842,8 @@ object Queries {
     "q269_capture_recapture" -> captureRecaptureSql,
     "q270_curated_export" -> curatedExportSql,
     "q271_range_frame" -> rangeFrameSql,
-    "q272_typed_groups" -> typedGroupsSql)
+    "q272_typed_groups" -> typedGroupsSql,
+    "q273_consistent_ring" -> consistentRingSql,
+    "q274_gap_fill" -> gapFillSql,
+    "q275_mix_shift" -> mixShiftSql)
 }

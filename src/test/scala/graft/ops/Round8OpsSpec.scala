@@ -391,6 +391,42 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q273: consistent hashing moves ONLY the removed node's keys") {
+    val rows = graft.Queries.all("q273_consistent_ring")(spark, sfDir)
+      .collect()
+    val byNode = rows.map(r => r.getAs[Int]("node") -> r).toMap
+    // nodes 0-2: every original key stays; gains come only from node 3
+    (0 to 2).foreach { n =>
+      val r = byNode(n)
+      assert(r.getAs[Long]("n_stayed") == r.getAs[Long]("n_before"),
+        s"node $n lost keys it should have kept")
+    }
+    val n3 = byNode(3)
+    assert(n3.getAs[Long]("n_stayed") == 0L)
+    assert((0 to 2).map(byNode(_).getAs[Long]("n_gained")).sum
+      == n3.getAs[Long]("n_before"),
+      "exactly node 3's keys must redistribute")
+  }
+
+  test("q274: gap fill recovers the planted outage days within the " +
+    "series' local variation") {
+    val rows = graft.Queries.all("q274_gap_fill")(spark, sfDir).collect()
+    graft.ops.Dedup.releaseCaches()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") > 0, "the plant must create gaps")
+      assert(r.getAs[Double]("mae") <= r.getAs[Double]("max_err") + 1e-9)
+    }
+  }
+
+  test("q275: volume + rate effects reconcile to the revenue delta") {
+    val r = graft.Queries.all("q275_mix_shift")(spark, sfDir).head()
+    val delta = (r.getAs[Long]("c1") - r.getAs[Long]("c0")).toDouble
+    val sum = r.getAs[Double]("volume_effect") + r.getAs[Double]("rate_effect")
+    assert(math.abs(sum - delta) < 0.02,
+      s"decomposition $sum vs delta $delta")
+  }
+
   test("q253: centroid cosines are within [-1, 1] and cover all label " +
     "pairs") {
     val rows = graft.Queries.all("q253_centroid_drift")(spark, sfDir)
