@@ -41,19 +41,41 @@ object Bench {
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     // round-stamped copy: BENCH_FULL.json is overwritten every round, so
-    // per-query round-over-round diffs died with it (VERDICT r7 #7) —
-    // infer the upcoming round as max BENCH_r<N>.json + 1 and persist
-    // BENCH_FULL_r<N>.json alongside
+    // per-query round-over-round diffs died with it (VERDICT r7 #7).
+    // Round resolution (r8 advice #3 — the old cwd-only scan stamped r01
+    // from any other working directory and a blanket catch hid it):
+    // 1. SPARK_GRAFT_ROUND env var, if set;
+    // 2. max BENCH_r<N>.json + 1, scanned in the repo root — located by
+    //    walking up from cwd to the first directory holding build.sbt —
+    //    falling back to cwd only if no repo root is found (and saying so).
+    // Failures log to stderr instead of vanishing.
     try {
-      val re = "BENCH_r(\\d+)\\.json".r
-      val dir = new java.io.File(".").listFiles()
-      val round = (if (dir == null) Array.empty[Int]
-        else dir.flatMap(f => re.findFirstMatchIn(f.getName)
-          .map(_.group(1).toInt))).foldLeft(0)(math.max) + 1
+      val root: java.io.File = {
+        var d = new java.io.File(".").getCanonicalFile
+        var found: java.io.File = null
+        while (d != null && found == null) {
+          if (new java.io.File(d, "build.sbt").isFile) found = d
+          else d = d.getParentFile
+        }
+        if (found == null) {
+          System.err.println(
+            "BENCH: no build.sbt ancestor; stamping round from cwd")
+          new java.io.File(".").getCanonicalFile
+        } else found
+      }
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        val dir = root.listFiles()
+        (if (dir == null) Array.empty[Int]
+          else dir.flatMap(f => re.findFirstMatchIn(f.getName)
+            .map(_.group(1).toInt))).foldLeft(0)(math.max) + 1
+      }
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"),
+        new java.io.File(root, f"BENCH_FULL_r$round%02d.json").toPath,
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH: round-stamped write failed: $e")
+    }
     // Compact final line: slowest-5 only in "queries" (stable schema for
     // the driver), plus the query count and the path to the full map.
     val slowest = results.toSeq.sortBy(-_._2).take(5)

@@ -5971,16 +5971,39 @@ object Queries {
         coalesce(sum(when(col("event_type") === "purchase",
             col("value").cast("decimal(18,2)"))),
           lit(0).cast("decimal(18,2)")).as("mon"))
-    val nTot = per.agg(count(lit(1)).as("n_tot"))
-    val base = per.crossJoin(broadcast(nTot))
-    val ranked = Seq(
-      ("r", "last_us"), ("f", "freq"), ("m", "mon")
-    ).foldLeft(base) { case (df, (out, metric)) =>
-      Ranks.globalRowNumber(df, Seq(col(metric).desc, col("user_id")), "__g")
-        .withColumn(out, Ranks.ntileFromRank(col("__g"), col("n_tot"), 5))
-        .drop("__g")
-    }
-    ranked
+    // pin the per-user aggregate: the rank range shuffle AND its
+    // bounds-sampling job read this frame — uncached, the events
+    // scan+agg would recompute per consumer (r8 verdict item #1)
+    val pinned = Dedup.pin(per)
+    val nTot = pinned.agg(count(lit(1)).as("n_tot"))
+    // ONE range shuffle ranks all three dimensions: unpivot to
+    // (metric, value) rows on a common exact DECIMAL sort key (longs
+    // and DECIMAL(18,2) both embed losslessly in DECIMAL(38,6)), take
+    // a single global row_number ordered (metric, value DESC, user),
+    // and rebase each metric's ranks by its min — contiguous because
+    // metric is the leading sort key. Replaces three chained
+    // two-phase rank stages (3 range shuffles + 3 bounded collects)
+    // with one of each (r8 verdict item #1 follow-through).
+    val tall = pinned.selectExpr("user_id",
+      """stack(3,
+        | 'r', CAST(last_us AS DECIMAL(38,6)),
+        | 'f', CAST(freq    AS DECIMAL(38,6)),
+        | 'm', CAST(mon     AS DECIMAL(38,6))) AS (metric, mval)"""
+        .stripMargin)
+    val ranked = Ranks.globalRowNumber(tall,
+      Seq(col("metric"), col("mval").desc, col("user_id")), "grk",
+      numPartitions = 32)
+    val mins = ranked.groupBy(col("metric")).agg(min(col("grk")).as("mrk"))
+    val tiles = ranked.join(broadcast(mins), Seq("metric"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("tile", Ranks.ntileFromRank(
+        col("grk") - col("mrk") + lit(1L), col("n_tot"), 5))
+    tiles
+      .groupBy(col("user_id"))
+      .agg(max(when(col("metric") === "r", col("tile"))).as("r"),
+        max(when(col("metric") === "f", col("tile"))).as("f"),
+        max(when(col("metric") === "m", col("tile"))).as("m"),
+        max(when(col("metric") === "m", col("mval"))).as("mon"))
       .groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("mon")).cast("double").as("total_mon"),
@@ -6641,32 +6664,41 @@ object Queries {
         array_distinct(Dedup.wordShingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0))
     val g = Dedup.pin(base.select(col("id"), explode(col("sh")).as("gram")))
-    // hash each DISTINCT shingle once (32 md5s per distinct gram, not per
-    // (doc, gram) instance — the r4 lambda-interior lesson applied across
-    // rows), then the per-doc signature is 32 element-wise min aggregates
-    // over the joined hash arrays: one narrow join + one keyed agg.
-    val gramHash = g.select(col("gram")).distinct()
-      .withColumn("ha", expr(
-        "transform(sequence(0, 31), i -> " +
-          "cast(conv(substring(md5(concat(cast(i as string), '|', gram))," +
-          " 1, 15), 16, 10) as bigint))"))
-    val withSig = Dedup.pin(g.join(gramHash, Seq("gram"))
-      .groupBy(col("id"))
-      .agg(min(col("ha")(0)).as("m0"),
-        (1 until 32).map(i => min(col("ha")(i)).as(s"m$i")): _*)
-      .select(col("id"),
-        array((0 until 32).map(i => col(s"m$i")): _*).as("sig")))
     val inter = g.as("a").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("cnt"))
     val sizes = base.select(col("id"), size(col("sh")).as("n"))
-    val pairs = inter
+    val pairs0 = Dedup.pin(inter
       .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
       .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
       .withColumn("exact_j",
         col("cnt").cast("double") / (col("n1") + col("n2") - col("cnt")))
       .filter(col("exact_j") >= 0.2)
+      .select(col("id1"), col("id2"), col("exact_j")))
+    // signatures only for docs that SURVIVE the exact-j screen (r8
+    // verdict #3 — the md5 signature build was the query's hot spot and
+    // most of it hashed docs no calibration pair would ever read):
+    // left-semi the gram table down to candidate ids first, then hash
+    // each DISTINCT shingle once (32 md5s per distinct gram, not per
+    // (doc, gram) instance — the r4 lambda-interior lesson applied
+    // across rows); the per-doc signature is 32 element-wise min
+    // aggregates over the joined hash arrays.
+    val candIds = pairs0.select(col("id1").as("id"))
+      .union(pairs0.select(col("id2").as("id"))).distinct()
+    val gc = Dedup.pin(g.join(broadcast(candIds), Seq("id"), "left_semi"))
+    val gramHash = gc.select(col("gram")).distinct()
+      .withColumn("ha", expr(
+        "transform(sequence(0, 31), i -> " +
+          "cast(conv(substring(md5(concat(cast(i as string), '|', gram))," +
+          " 1, 15), 16, 10) as bigint))"))
+    val withSig = gc.join(gramHash, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(min(col("ha")(0)).as("m0"),
+        (1 until 32).map(i => min(col("ha")(i)).as(s"m$i")): _*)
+      .select(col("id"),
+        array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
+    val pairs = pairs0
       .join(withSig.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
       .join(withSig.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
       .withColumn("est_j",
@@ -7763,7 +7795,7 @@ object Queries {
     """WITH tk AS (SELECT source,
       |    unnest(regexp_extract_all(lower(text), '\S+')) AS token
       |  FROM documents),
-      |f AS (SELECT min(source) AS focus FROM tk),
+      |f AS (SELECT min(source) AS focus FROM documents),
       |c AS (SELECT token,
       |   CAST(coalesce(sum(CASE WHEN source = focus THEN 1 END), 0)
       |     AS BIGINT) AS a,
@@ -7904,6 +7936,8 @@ object Queries {
     def top(c: String, rk: String) = {
       val lim = scored.select(col("vec_id"), col(c))
         .orderBy(col(c).desc, col("vec_id")).limit(50)
+      // bounded partition-less window: input is the limit(50) frame
+      // above — 50 rows, never the corpus (r8 verdict #5 allowlist)
       lim.withColumn(rk, row_number().over(
           Window.orderBy(col(c).desc, col("vec_id"))))
         .select(col("vec_id"), col(rk))
@@ -8345,6 +8379,8 @@ object Queries {
         graft.functions.VectorExpressions
           .cosine_similarity(col("embedding"), col("ae")).as("cos"))
     val nRel = scored.agg(sum(col("rel")).as("n_rel"))
+    // bounded partition-less window: input is the limit(20) frame —
+    // 20 rows, never the corpus (r8 verdict #5 allowlist)
     val top = Dedup.pin(scored.orderBy(col("cos").desc, col("vec_id")).limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cos").desc, col("vec_id")))))
@@ -10533,6 +10569,9 @@ object Queries {
         when(col("lang") === "en", 1L).otherwise(0L).as("isA"))
       .groupBy(col("n_chars"))
       .agg(sum(col("isA")).as("ca"), count(lit(1)).as("ct"))
+    // bounded partition-less window: input is the per-DISTINCT-n_chars
+    // aggregate — value-domain-sized (≤ max doc length rows), never the
+    // corpus (r8 verdict #5 allowlist)
     val w = Window.orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = per
@@ -10665,6 +10704,9 @@ object Queries {
     val byT = per.groupBy(col("t"))
       .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("deaths"),
         count(lit(1)).as("n_at"))
+    // bounded partition-less windows: input is the per-DISTINCT-t
+    // aggregate (one row per distinct event time in the study grid),
+    // never the subject corpus (r8 verdict #5 allowlist)
     val wRisk = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wCum = Window.orderBy(col("t"))
@@ -11026,6 +11068,8 @@ object Queries {
       .agg(count(lit(1)).as("x")))
     val tot = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("nx"),
       sum(col("x").cast("decimal(38,0)") * col("x")).as("nxx"))
+    // bounded partition-less windows (this and idx below): input is the
+    // per-DAY aggregate — calendar-sized, never events (r8 verdict #5)
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = daily
@@ -11089,6 +11133,8 @@ object Queries {
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       .groupBy(col("sc"))
       .agg(sum(col("y")).as("ca"), count(lit(1)).as("ct")))
+    // bounded partition-less window: input is the per-DISTINCT-score
+    // aggregate — score-domain-sized, never the corpus (r8 verdict #5)
     val w = Window.orderBy(col("sc"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val auc = per
@@ -11642,6 +11688,17 @@ object Queries {
     * nothing) and day-2 scope (nothing outside the Δ neighborhood is
     * touched). Scale: Δ signatures are the only new map work; the
     * probe is Δ-bands × bucket width.
+    *
+    * Gate scope (r8 advice #5): the operator screens at threshold 0.7,
+    * but BOTH sides of the gate keep only pairs with exact j ≥ 0.85 —
+    * above the (b=16, r=4) S-curve's high-recall knee. At j = 0.70 a
+    * true pair agrees in no band with probability (1−0.7⁴)¹⁶ ≈ 1.2%,
+    * so exact-set equality at the operating threshold would hold only
+    * while the fixed corpus happens to miss nothing and any testdata
+    * regeneration could flip the gate red with no code change; at
+    * j = 0.85 the per-pair miss probability is (1−0.85⁴)¹⁶ ≈ 7·10⁻⁶.
+    * The 0.7-threshold recall itself is measured (not gated) by q189's
+    * calibration harness.
     */
   val incrementalLsh: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
@@ -11649,6 +11706,7 @@ object Queries {
     val index = docs.filter(col("doc_id") % 10 =!= 0)
     Dedup.incrementalMinhashPairs(index, fresh, "text", "doc_id",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .filter(col("jaccard") >= 0.85)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -11668,7 +11726,7 @@ object Queries {
       |  FROM inter i JOIN sh l ON i.id1 = l.doc_id
       |    JOIN sh r ON i.id2 = r.doc_id)
       |SELECT id1, id2, round(j, 6) AS jaccard
-      |FROM p WHERE j >= 0.7 AND (id1 % 10 = 0 OR id2 % 10 = 0)
+      |FROM p WHERE j >= 0.85 AND (id1 % 10 = 0 OR id2 % 10 = 0)
       |ORDER BY id1, id2""".stripMargin
 
   /** Welch's unequal-variance t-test (Welch '47 with the
@@ -12291,6 +12349,145 @@ object Queries {
       |    / CAST(n0 AS DOUBLE)), 2) AS rate_effect
       |FROM w0 CROSS JOIN w1""".stripMargin
 
+  /** Mid-stream checkpoint RESUME — the production failure mode q214's
+    * replay gate does NOT cover (q214 proves a re-delivered source is
+    * absorbed idempotently from a FRESH checkpoint; this gate proves a
+    * stopped query restarted on its EXISTING checkpoint recovers both
+    * its source offsets and its operator state). Harness: phase 1
+    * streams the even-doc_id half of the corpus (one file per
+    * micro-batch) through dropDuplicates + a complete-mode aggregate
+    * and stops; phase 2 appends the odd half PLUS a re-delivery of
+    * every doc_id % 10 == 0 document (all even → all already consumed
+    * in phase 1) and restarts on the SAME checkpoint. The re-delivered
+    * docs appear exactly once in phase-2 input, so ONLY the recovered
+    * dropDuplicates state can drop them — a fresh-state restart would
+    * overcount n_unique, and a restart that re-read phase-1 files
+    * would double-process (offsets proof). The batch oracle is the
+    * whole-corpus distinct count: equality proves state AND offset
+    * recovery in one hash. [[graft.streaming.CheckpointResumeSpec]]
+    * additionally pins that phase-2 batchIds CONTINUE phase-1's
+    * sequence (the restart consumed the existing write-ahead log, not
+    * a new one). Scale: state is (source, fp-16-bytes) pairs; the
+    * checkpoint is the standard HDFS-backed WAL — exactly the
+    * machinery a 1000-executor recovery uses.
+    */
+  private[graft] def checkpointResumeRun(s: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val srcDir = scratch("graft_ckpt_resume_src")
+    val ckptDir = scratch("graft_ckpt_resume_ckpt")
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    docs.filter(col("doc_id") % 2 === 0).repartition(4)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    def run(qname: String) = {
+      val sq = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+        .dropDuplicates("source", "fp")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+        .writeStream.outputMode("complete").format("memory")
+        .option("checkpointLocation", ckptDir.toString)
+        .queryName(qname).trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      Option(sq.lastProgress).map(_.batchId).getOrElse(-1L)
+    }
+    val p1Last = run("graft_ckpt_resume_p1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0))
+      .repartition(4)
+      .write.mode("append").parquet(srcDir.toString)
+    val p2Last = run("graft_ckpt_resume_p2")
+    val out = s.table("graft_ckpt_resume_p2")
+      .select(col("source"), col("n_unique"))
+      .orderBy(col("source"))
+    (out, p1Last, p2Last)
+  }
+
+  val checkpointResume: Q = (s, dir) => checkpointResumeRun(s, dir)._1
+
+  val checkpointResumeSql: String =
+    """SELECT source, count(DISTINCT md5(text)) AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Image near-duplicate detection via perceptual dHash — the VISUAL
+    * analog of q21's text MinHash gate (r8 verdict "what's missing"
+    * #2: multimodal beyond header metadata). Fixture: every document
+    * plants an 18×16 raw grayscale image whose 288 pixel bytes are the
+    * doc_id's md5 stream (block i = md5("<id>|<i>")); docs with
+    * doc_id % 7 == 0 additionally plant a VARIANT copy (media_id
+    * offset +10⁷) identical except the last 16-byte block — a
+    * localized edit confined to pooled row 7, so base↔variant pairs
+    * land within a few bits of each other while unrelated images sit
+    * at ~32. The engine side is the real multimodal path: decode the
+    * raw buffer with [[graft.functions.ImageExpressions.gray_dhash64]]
+    * (integer box-pool to 9×8 + gradient-sign bits, generated code per
+    * row), then find all pairs within Hamming radius 6 through the
+    * pigeonhole-bucketed [[Dedup.simhashPairs]] machinery — never an
+    * all-pairs product. The oracle recomputes every pixel, cell, bit,
+    * and pairwise Hamming distance from the same md5 arithmetic in
+    * pure SQL, so the gate is exact: both engines define the answer as
+    * "hamming ≤ 6", with no probabilistic recall clause (the bucketing
+    * is pigeonhole-COMPLETE at its radius). Scale: hashes are 8 bytes
+    * per image; the bucket join is the same machinery q22 runs on
+    * 64-bit text fingerprints.
+    */
+  val imageDhashPairs: Q = (s, dir) => {
+    import graft.functions.ImageExpressions
+    def block(idCol: Column, tag: String): Column =
+      unhex(md5(concat(idCol.cast("string"), lit("|" + tag))
+        .cast("binary")))
+    def pixels(idCol: Column, variant: Boolean): Column =
+      concat(((0 until 17).map(i => block(idCol, i.toString)) :+
+        block(idCol, if (variant) "17v" else "17")): _*)
+    val docs = t(s, dir, "documents")
+    val baseImgs = docs.select(col("doc_id").as("id"),
+      pixels(col("doc_id"), variant = false).as("px"))
+    val varImgs = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000000L).as("id"),
+        pixels(col("doc_id"), variant = true).as("px"))
+    val withFp = baseImgs.unionByName(varImgs)
+      .select(col("id"),
+        ImageExpressions.gray_dhash64(col("px"), 18, 16).as("fp"))
+    Dedup.simhashPairs(withFp, maxHammingDistance = 6)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val imageDhashPairsSql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS s,
+      |    FALSE AS v FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, CAST(doc_id AS VARCHAR), TRUE
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |px AS (SELECT media_id, list_transform(generate_series(0, 287), k ->
+      |    ('0x' || substr(md5(s || '|' ||
+      |        CASE WHEN v AND k // 16 = 17 THEN '17v'
+      |          ELSE CAST(k // 16 AS VARCHAR) END),
+      |      (k % 16) * 2 + 1, 2))::BIGINT) AS p
+      |  FROM ids),
+      |cells AS (SELECT media_id, list_transform(generate_series(0, 71), g ->
+      |    (p[(g // 9) * 2 * 18 + (g % 9) * 2 + 1]
+      |     + p[(g // 9) * 2 * 18 + (g % 9) * 2 + 2]
+      |     + p[((g // 9) * 2 + 1) * 18 + (g % 9) * 2 + 1]
+      |     + p[((g // 9) * 2 + 1) * 18 + (g % 9) * 2 + 2]) // 4) AS cell
+      |  FROM px),
+      |bits AS (SELECT media_id, list_transform(generate_series(0, 63), b ->
+      |    cell[(b // 8) * 9 + (b % 8) + 2] > cell[(b // 8) * 9 + (b % 8) + 1])
+      |    AS bit FROM cells),
+      |h AS (SELECT a.media_id AS id1, b.media_id AS id2,
+      |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      |      CASE WHEN a.bit[i] <> b.bit[i] THEN 1 ELSE 0 END)) AS INTEGER)
+      |      AS hamming
+      |  FROM bits a JOIN bits b ON a.media_id < b.media_id)
+      |SELECT id1, id2, hamming FROM h WHERE hamming <= 6
+      |ORDER BY id1, id2""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -12568,6 +12765,8 @@ object Queries {
     "q273_consistent_ring" -> consistentRing,
     "q274_gap_fill" -> gapFill,
     "q275_mix_shift" -> mixShift,
+    "q276_checkpoint_resume" -> checkpointResume,
+    "q277_image_dhash_pairs" -> imageDhashPairs,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -12845,5 +13044,7 @@ object Queries {
     "q272_typed_groups" -> typedGroupsSql,
     "q273_consistent_ring" -> consistentRingSql,
     "q274_gap_fill" -> gapFillSql,
-    "q275_mix_shift" -> mixShiftSql)
+    "q275_mix_shift" -> mixShiftSql,
+    "q276_checkpoint_resume" -> checkpointResumeSql,
+    "q277_image_dhash_pairs" -> imageDhashPairsSql)
 }

@@ -115,4 +115,96 @@ object ImageExpressions {
 
   def image_height(bin: Column): Column =
     packedCol(bin).bitwiseAND(0x7fffffffL).cast("int")
+
+  // ------------------------------------------------------ perceptual hash
+
+  /** dHash (Krawetz's difference hash — the standard public perceptual
+    * hash) over a RAW 8-bit grayscale pixel buffer, row-major, `w`×`h`:
+    *
+    *   1. integer box-pool to the canonical 9×8 grid — cell (r, c) is
+    *      the INTEGER-DIV mean of the `(h div 8)`×`(w div 9)` block at
+    *      rows [r·ch, (r+1)·ch), cols [c·cw, (c+1)·cw) (trailing
+    *      remainder rows/cols are ignored, as in a floor resize);
+    *   2. bit r·8+c is set iff cell(r, c+1) > cell(r, c) — 8 horizontal
+    *      gradient signs per grid row × 8 rows = 64 bits.
+    *
+    * Every step is exact integer arithmetic on the bytes, so a SQL
+    * oracle can recompute the hash bit-for-bit from the same pixel
+    * stream — which is what turns the image near-dup gate (Hamming
+    * bucketing over these hashes, the q22 pigeonhole machinery) into an
+    * exactly-checkable query. NULL when the buffer is shorter than
+    * `w`·`h` or the grid does not fit (w < 9 or h < 8). The CODEC step
+    * (PNG/JPEG entropy decode to this raw buffer) is the documented
+    * container-library stub of the multimodal surface; the hash over a
+    * decoded buffer is real and runs in generated code per row.
+    */
+  def grayDhash64(b: Array[Byte], w: Int, h: Int): java.lang.Long = {
+    if (w < 9 || h < 8 || b.length < w * h) return null
+    val cw = w / 9
+    val ch = h / 8
+    val area = cw * ch
+    val cells = new Array[Int](72)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        var sum = 0
+        var y = r * ch
+        val yEnd = y + ch
+        while (y < yEnd) {
+          var x = c * cw
+          val xEnd = x + cw
+          val rowOff = y * w
+          while (x < xEnd) {
+            sum += b(rowOff + x) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        cells(r * 9 + c) = sum / area
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r * 9 + c + 1) > cells(r * 9 + c))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  case class GrayDhash64(child: Expression, w: Int, h: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      ImageExpressions.grayDhash64(input.asInstanceOf[Array[Byte]], w, h)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val v = ctx.freshName("dh")
+        val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |java.lang.Long $v = $cls.grayDhash64($bin, $w, $h);
+           |if ($v == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $v.longValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 64-bit grayscale difference hash of a raw w×h 8-bit buffer. */
+  def gray_dhash64(bin: Column, w: Int, h: Int): Column =
+    GraftColumnBridge.column(
+      GrayDhash64(GraftColumnBridge.expression(bin), w, h))
 }

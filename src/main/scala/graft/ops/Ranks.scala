@@ -17,10 +17,28 @@ import org.apache.spark.sql.functions._
   *      every row in partition i orders before every row in i+1;
   *   2. per-partition local `row_number` (each partition sorts only its
   *      own slice — P-way parallel, spill-safe);
-  *   3. add the broadcast prefix-sum of partition counts.
+  *   3. fold in the exclusive prefix (sum of counts / max of values) of
+  *      all EARLIER partitions.
   *
-  * The collect in step 3 is bounded by the partition COUNT (hundreds),
-  * never the row count — driver-safe at any corpus size.
+  * Two hazards of the naive version (r8 advice), both closed here:
+  *
+  *  - `repartitionByRange` samples its range bounds per execution with
+  *    an RDD-id-derived seed, so running the prefix aggregation and the
+  *    final action as SEPARATE jobs over an uncached exchange can place
+  *    rows in DIFFERENT partitions between the two jobs once upstream
+  *    partitions exceed the reservoir sample — silently wrong ranks.
+  *    Fix: the ranged+locally-ranked frame is pinned (cached) and BOTH
+  *    the prefix aggregation and the result read that one materialized
+  *    partitioning. Callers release via [[Dedup.releaseCaches]] (the
+  *    Bench/Verify harnesses already sweep after every query).
+  *  - the prefix used to be folded into an O(P)-deep `when` chain of
+  *    literals — a janino codegen-depth hazard at cluster widths
+  *    (P in the thousands). Fix: the collected per-partition aggregate
+  *    (bounded by the partition COUNT, never rows) is prefix-scanned on
+  *    the driver and joined back as a broadcast LocalRelation — a
+  *    broadcast hash join probe of a P-row table, constant codegen
+  *    depth at any P, and the local-relation broadcast launches no
+  *    extra Spark job (its collect is driver-local).
   */
 object Ranks {
 
@@ -34,71 +52,104 @@ object Ranks {
     */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                       out: String, numPartitions: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(numPartitions, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__rn",
-      row_number().over(Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
-    // partition counts -> prefix offsets; bounded by numPartitions rows.
-    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (pid, cnt)) => (pid, acc + cnt)
-    }.sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toMap
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
-    local.withColumn(out, col("__rn").cast("long") + offCol)
-      .drop("__pid", "__rn")
+    // ONE range shuffle + an in-partition sort. The local rank comes
+    // from `monotonically_increasing_id()` AFTER the sort (the id is
+    // pid<<33 | physical-row-offset, so within a sorted partition it
+    // ascends in sort order; Catalyst never reorders it across the sort
+    // because it is non-deterministic) — NOT from a
+    // Window.partitionBy(__pid), which would demand hashpartitioning
+    // by __pid and insert a SECOND corpus-sized shuffle after the
+    // range exchange. Pinned: the stats branch and the result branch
+    // MUST read one materialized partitioning (scaladoc hazard #1).
+    val local = Dedup.pin(
+      df.repartitionByRange(numPartitions, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__mid", monotonically_increasing_id()))
+    // Per-partition (count, first id) — ≤ numPartitions rows, ONE
+    // bounded collect over the pinned frame → exclusive prefix sum on
+    // the driver → joined back as a broadcast LocalRelation. The
+    // local-relation broadcast needs no extra Spark job, and a join
+    // (vs the old O(P) `when` literal chain) keeps codegen depth
+    // constant at any P.
+    val spark = df.sparkSession
+    val stats = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__min"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = stats.scanLeft(0L) { case (acc, (_, cnt, _)) => acc + cnt }
+      .init.zip(stats).map { case (off, (pid, _, mn)) => (pid, mn, off) }
+    import spark.implicits._
+    val offsetsDf = spark.createDataset(offsets.toSeq)
+      .toDF("__pid", "__min", "__off")
+    local.join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn(out, col("__mid") - col("__min") + lit(1L) + col("__off"))
+      .drop("__pid", "__mid", "__min", "__off")
   }
 
   /** Exact global running max `max(value) OVER (ORDER BY sortCols*
     * ROWS UNBOUNDED PRECEDING)` without a single-partition window —
     * the same two-phase shape as [[globalRowNumber]]: per-range-
-    * partition running max, then each partition folds in the broadcast
-    * max of every EARLIER partition. The prefix array is bounded by
-    * the partition count, never the row count.
+    * partition running max, then each partition folds in the exclusive
+    * prefix max of every EARLIER partition, computed in-plan from the
+    * per-partition max aggregate (≤ numPartitions rows) and broadcast
+    * back. Value ordering is Spark's own `max` comparator throughout.
     */
   def globalRunningMax(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
                        out: String, numPartitions: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(numPartitions, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", valueCol)
-    val local = ranged.withColumn("__run",
-      max(col("__v")).over(Window.partitionBy(col("__pid"))
-        .orderBy(sortCols: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val local = Dedup.pin(
+      df.repartitionByRange(numPartitions, sortCols: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__v", valueCol)
+        .withColumn("__run", max(col("__v")).over(
+          Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val spark = df.sparkSession
     val maxes = local.groupBy(col("__pid")).agg(max(col("__v")).as("__m"))
       .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
-    // exclusive prefix max per pid (null when no earlier partition)
-    val prefixes = maxes.scanLeft((Int.MinValue, Option.empty[Any])) {
+    // Exclusive prefix max per pid (None for the first partition —
+    // `greatest` ignores NULLs, so its rows keep __run). Ordering
+    // matches Spark's own max comparators: UTF8String bytes for
+    // strings (NOT JVM UTF-16 order), compareTo for decimals.
+    val prefixes = maxes.scanLeft((0, Option.empty[Any])) {
       case ((_, acc), (pid, m)) =>
         (pid, Seq(acc, Option(m)).flatten
           .reduceOption((a, b) => if (ordGe(a, b)) a else b))
-    }.sliding(2).collect {
-      case Array((_, pre), (pid, _)) => (pid, pre)
-    }.toMap
-    val preCol = prefixes.foldLeft(lit(null).cast(schemaOf(ranged, "__v"))) {
-      case (acc, (pid, pre)) =>
-        when(col("__pid") === pid,
-          pre.map(v => lit(v)).getOrElse(lit(null))).otherwise(acc)
-    }
-    local.withColumn(out, greatest(col("__run"), preCol))
-      .drop("__pid", "__v", "__run")
+    }.init.zip(maxes).map { case ((_, pre), (pid, _)) => (pid, pre) }
+    val vType = local.schema("__v").dataType
+    val preSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__pre", vType,
+        nullable = true)))
+    val preDf = spark.createDataFrame(
+      java.util.Arrays.asList(prefixes.map { case (pid, pre) =>
+        org.apache.spark.sql.Row(pid, pre.orNull)
+      }: _*), preSchema)
+    local.join(broadcast(preDf), Seq("__pid"))
+      .withColumn(out, greatest(col("__run"), col("__pre")))
+      .drop("__pid", "__v", "__run", "__pre")
   }
 
+  /** Value ordering for the driver-side prefix max — MUST agree with
+    * Spark's own `max` comparators or cross-partition prefixes diverge
+    * from a single-partition window: strings compare as UTF8String
+    * (UTF-8 BYTE order — JVM String `>=` is UTF-16 code-unit order and
+    * differs for supplementary-plane characters), decimals by
+    * compareTo. Bounded use: ≤ numPartitions values, driver-side.
+    */
   private def ordGe(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long)     => x >= y
     case (x: Int, y: Int)       => x >= y
     case (x: Double, y: Double) => x >= y
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
       x.compareTo(y) >= 0
-    case (x: String, y: String) => x >= y
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) >= 0
     case _ => throw new IllegalArgumentException(
       s"unsupported running-max type: ${a.getClass}")
   }
-
-  private def schemaOf(df: DataFrame, name: String) =
-    df.schema(name).dataType.sql
 
   /** SQL `ntile(k)` reconstructed arithmetically from a global
     * row_number `rn` and total count `n` — the exact standard

@@ -59,6 +59,17 @@ class PlanShapeSpec extends SparkSpec {
   // flagged (q178 global row_number, q174 global ntile) are now
   // two-phase ranks; pin "no partition-less Window over a corpus frame"
   // as a structural assertion so a regression fails here, not in bench.
+  //
+  // ALLOWED partition-less windows (r8 verdict #5 — each input is
+  // k-bounded or value-domain-bounded BY CONSTRUCTION, annotated at the
+  // site; future sweeps skip these):
+  //   q195 retrieval ranks   — limit(50) frame feeds the window
+  //   q211 nDCG@20           — limit(20) frame feeds the window
+  //   q250 ROC/AUC           — per-DISTINCT-n_chars aggregate
+  //   q257/q266 survival     — per-DISTINCT-event-time aggregate
+  //   q267 CUSUM day grid    — per-DAY aggregate (calendar-sized)
+  //   q247 calibration/ECE   — per-DISTINCT-score aggregate
+  //   Ranks callers          — none since r9 (monotonic-id local rank)
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
