@@ -79,6 +79,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "audio_meta_packed(bin) - WAV meta as dataBytes(33b)|rate(20b)|bits(6b)|ch(4b), NULL if unrecognized"),
       (args: Seq[Expression]) =>
         graft.functions.AudioExpressions.AudioMetaPacked(args.head)))
+    e.injectFunction((FunctionIdentifier("gray_dhash64"),
+      info("gray_dhash64",
+        "gray_dhash64(bin, w, h) - 64-bit dHash of a raw w*h grayscale buffer"),
+      (args: Seq[Expression]) =>
+        graft.functions.ImageExpressions.GrayDhash64(args.head,
+          GraftExtensions.litInt(args(1), "dhash w").toInt,
+          GraftExtensions.litInt(args(2), "dhash h").toInt)))
+    e.injectFunction((FunctionIdentifier("gray_ahash64"),
+      info("gray_ahash64",
+        "gray_ahash64(bin, w, h) - 64-bit aHash of a raw w*h grayscale buffer"),
+      (args: Seq[Expression]) =>
+        graft.functions.ImageExpressions.GrayAhash64(args.head,
+          GraftExtensions.litInt(args(1), "ahash w").toInt,
+          GraftExtensions.litInt(args(2), "ahash h").toInt)))
+    e.injectFunction((FunctionIdentifier("pcm16_energy_sign_hash"),
+      info("pcm16_energy_sign_hash",
+        "pcm16_energy_sign_hash(bin) - 64-bit energy-envelope sign hash of raw PCM16LE"),
+      (args: Seq[Expression]) =>
+        graft.functions.AudioExpressions.Pcm16EnergySignHash(args.head)))
     e.injectFunction((FunctionIdentifier("bloom_agg"),
       info("bloom_agg",
         "bloom_agg(key, expectedItems) - bloom filter (binary) over xxhash64(key)"),
@@ -152,6 +171,20 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("audio_meta_packed",
       (args: Seq[Expression]) =>
         graft.functions.AudioExpressions.AudioMetaPacked(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("gray_dhash64",
+      (args: Seq[Expression]) =>
+        graft.functions.ImageExpressions.GrayDhash64(args.head,
+          litInt(args(1), "dhash w").toInt,
+          litInt(args(2), "dhash h").toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("gray_ahash64",
+      (args: Seq[Expression]) =>
+        graft.functions.ImageExpressions.GrayAhash64(args.head,
+          litInt(args(1), "ahash w").toInt,
+          litInt(args(2), "ahash h").toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm16_energy_sign_hash",
+      (args: Seq[Expression]) =>
+        graft.functions.AudioExpressions.Pcm16EnergySignHash(args.head),
+      "scala_udf")
     reg.createOrReplaceTempFunction("bloom_agg",
       (args: Seq[Expression]) => bloomAggFromArgs(args), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_might_contain",

@@ -129,4 +129,82 @@ object AudioExpressions {
         GraftColumnBridge.expression(bytes * 8000L),
         GraftColumnBridge.expression(rate * ch * bits)))
   }
+
+  // ------------------------------------------------- content fingerprint
+
+  /** Energy-envelope sign hash over a RAW PCM16LE sample buffer — the
+    * audio analog of [[ImageExpressions.grayDhash64]] (the public
+    * "acoustic fingerprint" shape: Haitsma–Kalker '02 fingerprints sign
+    * energy DIFFERENCES between consecutive frames; this is the 1-band,
+    * 65-frame reduction of that construction):
+    *
+    *   1. the buffer is nSamples = len div 2 little-endian signed
+    *      16-bit samples; split into 65 frames of `nSamples div 65`
+    *      samples (trailing remainder ignored; NULL when < 65 samples);
+    *   2. frame energy = integer-div mean of |sample| over the frame
+    *      (|−32768| = 32768 stays exact in int);
+    *   3. bit w (0..63) set iff energy(w+1) > energy(w).
+    *
+    * Exact integer arithmetic end to end, so a SQL oracle recomputes
+    * the hash bit-for-bit from the same byte stream — which makes the
+    * audio near-dup gate (Hamming bucketing over these hashes) exactly
+    * checkable, same as the q277 image gate. Amplitude-scale edits
+    * (uniform gain) and local edits move few bits; unrelated signals
+    * sit near 32.
+    */
+  def pcm16EnergySignHash(b: Array[Byte]): java.lang.Long = {
+    val nSamples = b.length / 2
+    val win = nSamples / 65
+    if (win < 1) return null
+    val energy = new Array[Int](65)
+    var w = 0
+    while (w < 65) {
+      var sum = 0L
+      var i = w * win
+      val end = i + win
+      while (i < end) {
+        val lo = b(2 * i) & 0xff
+        val hi = b(2 * i + 1).toInt // sign-extends
+        val s = (hi << 8) | lo
+        sum += Math.abs(s)
+        i += 1
+      }
+      energy(w) = (sum / win).toInt
+      w += 1
+    }
+    var hash = 0L
+    w = 0
+    while (w < 64) {
+      if (energy(w + 1) > energy(w)) hash |= 1L << w
+      w += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  case class Pcm16EnergySignHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      AudioExpressions.pcm16EnergySignHash(input.asInstanceOf[Array[Byte]])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val v = ctx.freshName("eh")
+        val cls = AudioExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |java.lang.Long $v = $cls.pcm16EnergySignHash($bin);
+           |if ($v == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $v.longValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 64-bit energy-envelope sign hash of a raw PCM16LE buffer. */
+  def pcm16_energy_sign_hash(bin: Column): Column =
+    GraftColumnBridge.column(
+      Pcm16EnergySignHash(GraftColumnBridge.expression(bin)))
 }

@@ -180,6 +180,82 @@ object ImageExpressions {
     java.lang.Long.valueOf(hash)
   }
 
+  /** aHash (average hash — the mean-threshold sibling of dHash): box-pool
+    * to the canonical 8×8 grid (cw = w div 8, ch = h div 8, integer-div
+    * means, remainder ignored), global mean m = (Σ cells) div 64, bit i
+    * (i = r·8+c) set iff cell(r, c) > m. Same exact-integer contract as
+    * [[grayDhash64]] — SQL-recomputable bit-for-bit. NULL when the
+    * buffer is short or w < 8 / h < 8.
+    */
+  def grayAhash64(b: Array[Byte], w: Int, h: Int): java.lang.Long = {
+    if (w < 8 || h < 8 || b.length < w * h) return null
+    val cw = w / 8
+    val ch = h / 8
+    val area = cw * ch
+    val cells = new Array[Int](64)
+    var total = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        var sum = 0
+        var y = r * ch
+        val yEnd = y + ch
+        while (y < yEnd) {
+          var x = c * cw
+          val xEnd = x + cw
+          val rowOff = y * w
+          while (x < xEnd) {
+            sum += b(rowOff + x) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val v = sum / area
+        cells(r * 8 + c) = v
+        total += v
+        c += 1
+      }
+      r += 1
+    }
+    val mean = (total / 64L).toInt
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  case class GrayAhash64(child: Expression, w: Int, h: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      ImageExpressions.grayAhash64(input.asInstanceOf[Array[Byte]], w, h)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val v = ctx.freshName("ah")
+        val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |java.lang.Long $v = $cls.grayAhash64($bin, $w, $h);
+           |if ($v == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $v.longValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 64-bit grayscale average hash of a raw w×h 8-bit buffer. */
+  def gray_ahash64(bin: Column, w: Int, h: Int): Column =
+    GraftColumnBridge.column(
+      GrayAhash64(GraftColumnBridge.expression(bin), w, h))
+
   case class GrayDhash64(child: Expression, w: Int, h: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongType
