@@ -12758,6 +12758,196 @@ object Queries {
       |FROM ids i LEFT JOIN cl ON i.media_id = cl.media_id
       |ORDER BY i.media_id""".stripMargin
 
+  /** JSON-lines SOURCE: the corpus round-trips through an actual
+    * `.json` write + schema'd `spark.read.json` scan (the third source
+    * family next to CSV and parquet — semi-structured feeds are how
+    * most scraped corpora land). The aggregate reads ALL columns back
+    * through the JSON parser — including the free-text body with its
+    * full escaping surface (quotes, backslashes, newlines, emoji/CJK
+    * from the corpus) — and the distinct-md5 column proves the text
+    * survived byte-exactly, because the oracle hashes the ORIGINAL
+    * table: any escaping loss changes the hash set. Scale: JSON scan
+    * is splittable by line; schema is EXPLICIT (no inference pass —
+    * at 100 TB schema inference is a full extra scan).
+    */
+  val jsonlScan: Q = (s, dir) => {
+    val srcDir = scratch("graft_jsonl_src")
+    t(s, dir, "documents").repartition(4)
+      .write.mode("overwrite").json(srcDir.toString)
+    val schema = t(s, dir, "documents").schema
+    s.read.schema(schema).json(srcDir.toString)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique_text"))
+      .orderBy(col("lang"))
+  }
+
+  val jsonlScanSql: String =
+    """SELECT lang, count(*) AS n,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | count(DISTINCT md5(text)) AS n_unique_text
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** In-row JSON functions: `to_json` → `from_json` → `get_json_object`
+    * round-trip inside one projection — the row-local JSON surface
+    * (event payloads, API envelopes) as opposed to q283's file-level
+    * source. Every field is recovered FROM the serialized string by
+    * two independent parser paths (struct re-parse and JSONPath
+    * probe), and the output equals the original columns only if
+    * serialization, parsing, and path extraction all agree — which is
+    * the gate. Scale: pure row-local codegen'd expressions, no
+    * shuffle beyond the final order.
+    */
+  val jsonRoundTrip: Q = (s, dir) => {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val j = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    t(s, dir, "documents")
+      .select(col("doc_id").as("orig_id"), j.as("payload"))
+      .select(col("orig_id"),
+        from_json(col("payload"), schema).as("p"),
+        get_json_object(col("payload"), "$.lang").as("path_lang"),
+        get_json_object(col("payload"), "$.n_chars").cast("long")
+          .as("path_chars"))
+      .select(col("orig_id"), col("p.doc_id").as("doc_id"),
+        col("p.lang").as("lang"), col("p.n_chars").as("n_chars"),
+        col("path_lang"), col("path_chars"))
+      .orderBy(col("orig_id"))
+  }
+
+  val jsonRoundTripSql: String =
+    """SELECT doc_id AS orig_id, doc_id, lang, n_chars,
+      | lang AS path_lang, n_chars AS path_chars
+      |FROM documents ORDER BY orig_id""".stripMargin
+
+  /** ORC SOURCE/SINK round-trip: the columnar-format sibling of the
+    * parquet path (Spark ships the ORC reader/writer natively) —
+    * write the orders table as ORC, scan it back, and aggregate with
+    * the DECIMAL discipline. Proves the engine is not parquet-bound:
+    * a lakehouse migration (ORC→parquet or mixed estates) runs through
+    * the same DataFrame surface. Scale: ORC scans are splittable with
+    * predicate pushdown, same as parquet.
+    */
+  val orcRoundTrip: Q = (s, dir) => {
+    val srcDir = scratch("graft_orc_src")
+    t(s, dir, "orders").repartition(4)
+      .write.mode("overwrite").orc(srcDir.toString)
+    s.read.orc(srcDir.toString)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orcRoundTripSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** BUCKETED co-located join — the shuffle-elimination technique the
+    * 100 TB design leans on for repeated fact↔dim joins: both tables
+    * are written `bucketBy(8, key)` + `sortBy(key)` as managed parquet
+    * tables (metastore DB rooted in scratch, not the repo cwd), and
+    * the merge-hinted equi-join then reads bucket files ALREADY
+    * hash-partitioned and sorted on the key, so the SortMergeJoin
+    * executes with NO ShuffleExchange under either side
+    * ([[graft.plans.PlanShapeSpec]] pins that structurally). On a
+    * cluster this is the difference between re-shuffling 100 TB per
+    * join and reading co-located files; the write-side cost is paid
+    * once at ingest. Oracle: the same join aggregate from the plain
+    * tables — bucketing must be semantically invisible.
+    */
+  val bucketedJoin: Q = (s, dir) => {
+    val dbDir = scratch("graft_bucket_db")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucket LOCATION '$dbDir'")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable("graft_bucket.orders_b")
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable("graft_bucket.customer_b")
+    s.table("graft_bucket.orders_b").hint("merge")
+      .join(s.table("graft_bucket.customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Population Stability Index (PSI — the standard production drift
+    * monitor for score/feature distributions; Siddiqi '06 credit-risk
+    * formulation): purchase values binned into a fixed value-domain
+    * grid, week-0 (reference) vs week-1 (comparison) shares, PSI term
+    * per bin = (p−q)·ln(p/q) with +1 Laplace smoothing so empty bins
+    * stay finite AND deterministic on both engines. Per-bin ln rounds
+    * through DECIMAL before the sum (the cross-row float-sum
+    * discipline); counts are exact integers. The conventional
+    * thresholds (0.1 / 0.25) make the summed index directly
+    * actionable. Scale: one scan into a 10-bin × 2-week aggregate —
+    * state is the grid, never the events.
+    */
+  val psiDrift: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+    val d0 = ev.agg(min(to_date(col("ts"))).as("d0"))
+    val binned = ev.crossJoin(broadcast(d0))
+      .withColumn("wk", expr("datediff(CAST(ts AS DATE), d0) div 7"))
+      .filter(col("wk") <= 1)
+      .withColumn("bin",
+        least(floor(col("value") / 50.0), lit(9.0)).cast("int"))
+    val grid = binned.groupBy(col("bin"))
+      .agg(sum(when(col("wk") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("wk") === 1, 1L).otherwise(0L)).as("n1"))
+    val tot = grid.agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n0"), col("n1"), {
+        // Laplace-smoothed shares: (n+1)/(t+10) — 10 bins
+        val p = (col("n0") + 1).cast("double") / (col("t0") + 10)
+        val q = (col("n1") + 1).cast("double") / (col("t1") + 10)
+        round((p - q) * log(p / q), 8).as("psi_term")
+      })
+      .orderBy(col("bin"))
+  }
+
+  val psiDriftSql: String =
+    """WITH a AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+      |  WHERE event_type = 'purchase'),
+      |b AS (SELECT least(floor(value / 50.0), 9)::INTEGER AS bin,
+      |    datediff('day', d0, CAST(ts AS DATE)) // 7 AS wk
+      |  FROM events CROSS JOIN a
+      |  WHERE event_type = 'purchase'
+      |    AND datediff('day', d0, CAST(ts AS DATE)) // 7 <= 1),
+      |g AS (SELECT bin,
+      |    CAST(coalesce(sum(CASE WHEN wk = 0 THEN 1 END), 0) AS BIGINT)
+      |      AS n0,
+      |    CAST(coalesce(sum(CASE WHEN wk = 1 THEN 1 END), 0) AS BIGINT)
+      |      AS n1
+      |  FROM b GROUP BY bin),
+      |t AS (SELECT CAST(sum(n0) AS BIGINT) AS t0,
+      |    CAST(sum(n1) AS BIGINT) AS t1 FROM g)
+      |SELECT bin, n0, n1,
+      | round((CAST(n0 + 1 AS DOUBLE) / (t0 + 10)
+      |      - CAST(n1 + 1 AS DOUBLE) / (t1 + 10))
+      |   * ln((CAST(n0 + 1 AS DOUBLE) / (t0 + 10))
+      |      / (CAST(n1 + 1 AS DOUBLE) / (t1 + 10))), 8) AS psi_term
+      |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
+
   /** SQL-string entry point (r8 verdict "what's missing" #3): the gate
     * runs ENTIRELY through `spark.sql` text — temp-view registration +
     * the [[GraftExtensions]]-registered native expressions
@@ -13084,6 +13274,11 @@ object Queries {
     "q280_audio_fingerprint_pairs" -> audioFingerprintPairs,
     "q281_stream_image_dedup" -> streamImageDedup,
     "q282_image_clusters" -> imageClusters,
+    "q283_jsonl_scan" -> jsonlScan,
+    "q284_json_roundtrip" -> jsonRoundTrip,
+    "q285_orc_roundtrip" -> orcRoundTrip,
+    "q286_bucketed_join" -> bucketedJoin,
+    "q287_psi_drift" -> psiDrift,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -13368,5 +13563,10 @@ object Queries {
     "q279_image_ahash" -> imageAhashReportSql,
     "q280_audio_fingerprint_pairs" -> audioFingerprintPairsSql,
     "q281_stream_image_dedup" -> streamImageDedupSql,
-    "q282_image_clusters" -> imageClustersSql)
+    "q282_image_clusters" -> imageClustersSql,
+    "q283_jsonl_scan" -> jsonlScanSql,
+    "q284_json_roundtrip" -> jsonRoundTripSql,
+    "q285_orc_roundtrip" -> orcRoundTripSql,
+    "q286_bucketed_join" -> bucketedJoinSql,
+    "q287_psi_drift" -> psiDriftSql)
 }

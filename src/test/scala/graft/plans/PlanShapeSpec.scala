@@ -91,6 +91,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), "merge hint must bind")
   }
 
+  test("q286 bucketed join: no ShuffleExchange under the SortMergeJoin") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = graft.Queries.all("q286_bucketed_join")(spark, sfDir)
+      .queryExecution.executedPlan
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    def findSmj(p: SparkPlan): Seq[SortMergeJoinExec] = {
+      val q = strip(p)
+      (q match {
+        case j: SortMergeJoinExec => Seq(j)
+        case _ => Nil
+      }) ++ q.children.flatMap(findSmj)
+    }
+    def hasShuffle(p: SparkPlan): Boolean = {
+      val q = strip(p)
+      q.isInstanceOf[ShuffleExchangeExec] || q.children.exists(hasShuffle)
+    }
+    val smjs = findSmj(plan)
+    assert(smjs.nonEmpty, "merge-hinted bucketed join must be SMJ")
+    smjs.foreach { j =>
+      assert(!hasShuffle(j.left) && !hasShuffle(j.right),
+        "bucketed scan must satisfy the join distribution — no shuffle")
+    }
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("q178 quantile-norm has no partition-less Window (two-phase rank)") {
     val p = graft.Queries.all("q178_quantile_norm")(spark, sfDir)
       .queryExecution.executedPlan
