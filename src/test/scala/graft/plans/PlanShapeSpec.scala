@@ -70,6 +70,7 @@ class PlanShapeSpec extends SparkSpec {
   //   q267 CUSUM day grid    — per-DAY aggregate (calendar-sized)
   //   q247 calibration/ECE   — per-DISTINCT-score aggregate
   //   Ranks callers          — none since r9 (monotonic-id local rank)
+  //   q288 rank correlation  — two per-DISTINCT-value grids (x, y)
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
