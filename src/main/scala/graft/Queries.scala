@@ -13247,6 +13247,56 @@ object Queries {
       | round(CAST(sum(w * delta) AS DOUBLE) / 24.0, 6) AS shapley
       |FROM terms GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** Wilson score 95% confidence interval (Wilson '27) on a per-source
+    * proportion — the interval that stays inside [0,1] and behaves at
+    * small n, i.e. what a quality dashboard should show instead of the
+    * naive ±1.96·√(p(1−p)/n): share of "substantial" documents
+    * (n_chars ≥ 300) per source. k and n are exact integers from one
+    * keyed aggregate; the bound is ONE compound float expression from
+    * those integers, written in the identical operation order in both
+    * engines (the q287 psi_term precedent), rendered once at scale 6.
+    * Scale: one scan into a |sources|-row grid.
+    */
+  val wilsonInterval: Q = (s, dir) => {
+    val g = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("k"))
+    // 1.96² as the same double LITERAL the oracle uses — 1.96*1.96
+    // in binary is NOT the double nearest 3.8416
+    val z2 = lit(3.8416)
+    val nd = col("n").cast("double"); val kd = col("k").cast("double")
+    val p = kd / nd
+    val center = p + z2 / (lit(2.0) * nd)
+    val spread = lit(1.96) * sqrt(p * (lit(1.0) - p) / nd
+      + z2 / (lit(4.0) * nd * nd))
+    val denom = lit(1.0) + z2 / nd
+    g.select(col("source"), col("n"), col("k"),
+      round(p, 6).as("p_hat"),
+      round((center - spread) / denom, 6).as("wilson_low"),
+      round((center + spread) / denom, 6).as("wilson_high"))
+      .orderBy(col("source"))
+  }
+
+  val wilsonIntervalSql: String =
+    """WITH g AS (SELECT source, count(*) AS n,
+      |    CAST(coalesce(sum(CASE WHEN n_chars >= 300 THEN 1 END), 0)
+      |      AS BIGINT) AS k
+      |  FROM documents GROUP BY source)
+      |SELECT source, n, k,
+      | round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+      | round(((CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n))
+      |     - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+      |         * (1.0 - CAST(k AS DOUBLE) / n) / n
+      |       + 3.8416 / (4.0 * n * n)))
+      |   / (1.0 + 3.8416 / n), 6) AS wilson_low,
+      | round(((CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n))
+      |     + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+      |         * (1.0 - CAST(k AS DOUBLE) / n) / n
+      |       + 3.8416 / (4.0 * n * n)))
+      |   / (1.0 + 3.8416 / n), 6) AS wilson_high
+      |FROM g ORDER BY source""".stripMargin
+
   /** SQL-string entry point (r8 verdict "what's missing" #3): the gate
     * runs ENTIRELY through `spark.sql` text — temp-view registration +
     * the [[GraftExtensions]]-registered native expressions
@@ -13582,6 +13632,7 @@ object Queries {
     "q289_cohen_kappa" -> cohenKappa,
     "q290_k_anonymity" -> kAnonymityAudit,
     "q291_shapley_attribution" -> shapleyAttribution,
+    "q292_wilson_interval" -> wilsonInterval,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -13875,5 +13926,6 @@ object Queries {
     "q288_rank_correlation" -> rankCorrelationSql,
     "q289_cohen_kappa" -> cohenKappaSql,
     "q290_k_anonymity" -> kAnonymityAuditSql,
-    "q291_shapley_attribution" -> shapleyAttributionSql)
+    "q291_shapley_attribution" -> shapleyAttributionSql,
+    "q292_wilson_interval" -> wilsonIntervalSql)
 }

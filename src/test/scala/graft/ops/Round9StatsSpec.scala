@@ -48,6 +48,22 @@ class Round9StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("classes_low_l") <= r.getAs[Long]("n_classes"))
   }
 
+  test("q292: Wilson interval brackets p_hat and stays inside [0,1] " +
+    "(the property the naive interval lacks)") {
+    val rows =
+      graft.Queries.all("q292_wilson_interval")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_hat")
+      val lo = r.getAs[Double]("wilson_low")
+      val hi = r.getAs[Double]("wilson_high")
+      assert(lo >= 0.0 && hi <= 1.0, s"interval [$lo,$hi] escapes [0,1]")
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9,
+        s"p_hat=$p outside [$lo,$hi]")
+      assert(r.getAs[Long]("k") <= r.getAs[Long]("n"))
+    }
+  }
+
   test("q291: efficiency axiom — sum of Shapley credits equals " +
     "v(grand coalition) - v(empty set), recomputed independently") {
     val rows =
