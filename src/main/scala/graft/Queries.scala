@@ -13339,6 +13339,103 @@ object Queries {
       |FROM v CROSS JOIN a
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join — the ELEVENTH oracle-gated
+    * Structured Streaming query, and the first OUTER stream-stream
+    * shape: q208's click-to-conversion attribution with the unconverted
+    * views KEPT (the production funnel actually needs the misses — an
+    * inner join silently drops the denominator). Outer null emission is
+    * watermark-DRIVEN: an unmatched view row is released only when the
+    * watermark proves no purchase can still arrive (l_ts + 2 h), so
+    * unlike q208 the gate cannot hide behind an eviction-free horizon.
+    * Parity engineering: files staged time-partitioned (the q209
+    * stager — cross-batch arrival is event-time order, so with ANY
+    * delay no real match is ever evicted early: a stored view expires
+    * at l_ts + 2 h ≥ any joinable r_ts, and cross-batch left-probes of
+    * right state are impossible by the ordering), watermark delay a
+    * realistic 2 h, and a far-future sentinel pair (one per side — the
+    * global watermark is the MIN across both inputs) forces the
+    * trailing no-data batch to flush every pending unmatched view.
+    * Scale: state is the 2 h + delay band per side, evicted
+    * continuously — this is the shape that survives an unbounded
+    * stream.
+    */
+  val streamOuterJoin: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = scratch("graft_stream_ssouter_src")
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    def stageFile(df: DataFrame, i: Int): Unit = {
+      val tmp = scratch(s"graft_stream_ssouter_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = srcDir.resolve(f"part-$i%02d.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    (0 until 4).foreach { i =>
+      val a = lo + i * span / 4
+      val b = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
+      stageFile(ev.filter(unix_micros(col("ts")) >= a
+        && unix_micros(col("ts")) < b), i)
+    }
+    // sentinel PAIR: the stream watermark is min over BOTH filtered
+    // inputs, so each side needs its own far-future row to advance
+    val sentinelUs = hi + 30L * 86400L * 1000000L
+    stageFile(s.range(2).select(
+      (lit(-1L) - col("id")).as("event_id"),
+      timestamp_micros(lit(sentinelUs)).as("ts"),
+      lit(-1L).as("user_id"),
+      when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
+        .as("event_type"),
+      lit(0.0).as("value")), 4)
+    def side(tpe: String) = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .filter(col("event_type") === tpe)
+    val joined = EventStreams.joinWithinWindow(
+      side("view"), side("purchase"), "user_id", "2 hours", "2 hours",
+      "left_outer")
+    val qname = "graft_stream_ssouter_sink"
+    val sq = joined
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(col("r_id")).as("n_pairs"),
+        sum(when(col("r_id").isNull, 1L).otherwise(0L))
+          .as("n_unconverted"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamOuterJoinSql: String =
+    """WITH v AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id,
+      |  CAST(count(p.ts) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(sum(CASE WHEN p.ts IS NULL THEN 1 END), 0)
+      |    AS BIGINT) AS n_unconverted,
+      |  CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT)
+      |    AS sum_gap_us
+      |FROM v LEFT JOIN p ON v.user_id = p.user_id
+      |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -13633,6 +13730,7 @@ object Queries {
     "q290_k_anonymity" -> kAnonymityAudit,
     "q291_shapley_attribution" -> shapleyAttribution,
     "q292_wilson_interval" -> wilsonInterval,
+    "q293_stream_outer_join" -> streamOuterJoin,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -13927,5 +14025,6 @@ object Queries {
     "q289_cohen_kappa" -> cohenKappaSql,
     "q290_k_anonymity" -> kAnonymityAuditSql,
     "q291_shapley_attribution" -> shapleyAttributionSql,
-    "q292_wilson_interval" -> wilsonIntervalSql)
+    "q292_wilson_interval" -> wilsonIntervalSql,
+    "q293_stream_outer_join" -> streamOuterJoinSql)
 }

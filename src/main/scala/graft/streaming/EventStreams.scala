@@ -122,7 +122,8 @@ object EventStreams {
   def joinWithinWindow(left: DataFrame, right: DataFrame,
                        keyCol: String = "user_id",
                        joinWindow: String = "10 minutes",
-                       watermark: String = "30 minutes"): DataFrame = {
+                       watermark: String = "30 minutes",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(keyCol).as("k"), col("ts").as("l_ts"),
         col("event_id").as("l_id"))
@@ -131,7 +132,8 @@ object EventStreams {
         col("event_id").as("r_id"), col("value"))
     l.join(r, col("k") === col("rk") &&
         col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"),
+        joinType)
       .select(col("k").as(keyCol), col("l_id"), col("r_id"),
         col("l_ts"), col("r_ts"), col("value"))
   }

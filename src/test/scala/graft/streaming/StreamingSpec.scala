@@ -212,4 +212,43 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Seq((2L, 3.0)))
     } finally q.stop()
   }
+
+  test("q293 left-outer stream-stream join: unmatched views flushed " +
+    "by the watermark, matched gaps inside the 2h band") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = graft.Queries.all("q293_stream_outer_join")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    // outer semantics actually exercised: some view never converts
+    assert(out.exists(_.getAs[Long]("n_unconverted") > 0L),
+      "no unmatched views emitted — the gate degenerated to q208")
+    out.foreach { r =>
+      val pairs = r.getAs[Long]("n_pairs")
+      if (pairs == 0L) assert(r.isNullAt(r.fieldIndex("sum_gap_us")))
+      else {
+        val g = r.getAs[Long]("sum_gap_us")
+        assert(g > 0L && g <= pairs * 2L * 3600L * 1000000L,
+          s"gap sum $g outside (0, pairs*2h] for $r")
+      }
+    }
+    // completeness: per-user unmatched views == the batch count of
+    // views with no purchase in (ts, ts+2h] — null emission lost nothing
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val want = v.join(p, col("user_id") === col("pu")
+        && col("pts") > col("vts")
+        && col("pts") <= col("vts") + expr("INTERVAL 2 HOURS"), "left_outer")
+      .groupBy("user_id")
+      .agg(sum(when(col("pts").isNull, 1L).otherwise(0L)).as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n"))
+      .toMap
+    val got = out
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_unconverted"))
+      .toMap
+    assert(got === want)
+  }
 }
