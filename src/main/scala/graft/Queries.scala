@@ -13436,6 +13436,299 @@ object Queries {
       |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
 
+  /** Kendall's tau-b rank correlation (Kendall '38, tau-b tie
+    * correction '45) between document length band and token-count band
+    * — completing the correlation trio with q288's Pearson/Spearman:
+    * tau is the pair-concordance view, the one robust to monotone
+    * re-binning. The O(n²) pair enumeration never happens: on a
+    * BOUNDED ordinal grid (10×10 bands) concordant/discordant pair
+    * counts are cell-pair sums over the ≤100-row contingency frame —
+    * C = Σ n_ab·n_cd over (c>a, d>b), D over (c>a, d<b), tie terms
+    * from the marginals — so the corpus is scanned once and all pair
+    * algebra runs on the grid self-join (≤10⁴ cell pairs at ANY corpus
+    * size). Everything is exact integers in DECIMAL(38,0) (pair counts
+    * are ~n²/2 — wraps int64 at 100 TB); the single division and two
+    * sqrts happen once, in the same op order both engines.
+    */
+  val kendallTau: Q = (s, dir) => {
+    val cells = Dedup.pin(t(s, dir, "documents")
+      .select(col("n_chars"),
+        size(TextStats.tokens(lower(col("text")))).cast("long").as("tok"))
+      .select(least(expr("n_chars div 200"), lit(9)).as("i"),
+        least(expr("tok div 40"), lit(9)).as("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("cnt")))
+    val zero = lit(0).cast("decimal(38,0)")
+    val pairs = cells.as("a")
+      .join(broadcast(cells).as("b"), col("b.i") > col("a.i"))
+      .agg(
+        coalesce(sum(when(col("b.j") > col("a.j"),
+          col("a.cnt") * col("b.cnt")).otherwise(zero)), zero)
+          .as("c_pairs"),
+        coalesce(sum(when(col("b.j") < col("a.j"),
+          col("a.cnt") * col("b.cnt")).otherwise(zero)), zero)
+          .as("d_pairs"))
+    val m = cells.agg(sum(col("cnt")).as("n"))
+    // t(t-1) is always even, so /2 is exact; re-anchor to scale 0
+    val rowt = cells.groupBy(col("i")).agg(sum(col("cnt")).as("t"))
+      .agg((sum(col("t") * (col("t") - 1)) / 2)
+        .cast("decimal(38,0)").as("n1"))
+    val colt = cells.groupBy(col("j")).agg(sum(col("cnt")).as("u"))
+      .agg((sum(col("u") * (col("u") - 1)) / 2)
+        .cast("decimal(38,0)").as("n2"))
+    val one = broadcast(m).crossJoin(broadcast(rowt))
+      .crossJoin(broadcast(colt)).crossJoin(broadcast(pairs))
+    val n0 = (col("n") * (col("n") - 1)) / 2
+    one.select(
+      col("n").cast("long").as("n"),
+      col("c_pairs").cast("long").as("c_pairs"),
+      col("d_pairs").cast("long").as("d_pairs"),
+      col("n1").cast("long").as("ties_x"),
+      col("n2").cast("long").as("ties_y"),
+      round((col("c_pairs") - col("d_pairs")).cast("double")
+        / (sqrt((n0 - col("n1")).cast("double"))
+          * sqrt((n0 - col("n2")).cast("double"))), 6).as("tau_b"))
+  }
+
+  val kendallTauSql: String =
+    """WITH d AS (SELECT least(n_chars // 200, 9) AS i,
+      |    least(CAST(length(regexp_extract_all(lower(text), '\S+'))
+      |      AS BIGINT) // 40, 9) AS j
+      |  FROM documents),
+      |cells AS (SELECT i, j, CAST(count(*) AS HUGEINT) AS cnt
+      |  FROM d GROUP BY i, j),
+      |p AS (SELECT
+      |    coalesce(sum(CASE WHEN b.j > a.j THEN a.cnt * b.cnt END), 0)
+      |      AS c_pairs,
+      |    coalesce(sum(CASE WHEN b.j < a.j THEN a.cnt * b.cnt END), 0)
+      |      AS d_pairs
+      |  FROM cells a JOIN cells b ON b.i > a.i),
+      |m AS (SELECT sum(cnt) AS n FROM cells),
+      |rt AS (SELECT sum(t * (t - 1) // 2) AS n1 FROM
+      |  (SELECT sum(cnt) AS t FROM cells GROUP BY i)),
+      |ct AS (SELECT sum(u * (u - 1) // 2) AS n2 FROM
+      |  (SELECT sum(cnt) AS u FROM cells GROUP BY j))
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(c_pairs AS BIGINT) AS c_pairs,
+      |  CAST(d_pairs AS BIGINT) AS d_pairs,
+      |  CAST(n1 AS BIGINT) AS ties_x, CAST(n2 AS BIGINT) AS ties_y,
+      |  round(CAST(c_pairs - d_pairs AS DOUBLE)
+      |    / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE))
+      |      * sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))), 6) AS tau_b
+      |FROM m CROSS JOIN rt CROSS JOIN ct CROSS JOIN p""".stripMargin
+
+  /** Autocorrelation function of the daily event-count series, lags
+    * 1–7 (Box–Jenkins Ch. 2 — the first diagnostic run on any metric
+    * series before forecasting or anomaly models): the day axis is
+    * DENSIFIED to a contiguous integer grid (outage days count as 0 —
+    * silently skipping them shifts every lag), and r_k uses the
+    * standard single-mean estimator. All moments are exact integers:
+    * with S=Σx, Q=Σx², C_k=Σ x_t·x_{t+k} and A_k/B_k the truncated
+    * sums, r_k = (n²C_k − nS(A_k+B_k) + (n−k)S²) / (n(nQ − S²)) — the
+    * whole derivation rides DECIMAL(38,0) (x² sums wrap int64 at
+    * corpus scale) and leaves integer space at ONE final division per
+    * lag. Scale: one corpus scan into a |days|-row grid; the lag join
+    * is grid×7, domain-bounded forever.
+    */
+  val acfDaily: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(to_date(col("ts")).as("d"))
+    val b = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val daily = ev.crossJoin(broadcast(b))
+      .groupBy(datediff(col("d"), col("d0")).as("t"))
+      .agg(count(lit(1)).as("x"))
+    val grid = Dedup.pin(b
+      .select(explode(sequence(lit(0), datediff(col("d1"), col("d0"))))
+        .as("t"))
+      .join(daily, Seq("t"), "left")
+      .select(col("t"),
+        coalesce(col("x"), lit(0L)).cast("decimal(38,0)").as("x")))
+    val m = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    val lagged = grid.as("a")
+      .join(broadcast(grid).as("b"),
+        col("b.t") - col("a.t") >= 1 && col("b.t") - col("a.t") <= 7)
+      .groupBy((col("b.t") - col("a.t")).as("k"))
+      .agg(sum(col("a.x") * col("b.x")).as("ck"),
+        sum(col("a.x")).as("ak"), sum(col("b.x")).as("bk"))
+    val nD = col("n").cast("decimal(38,0)")
+    lagged.crossJoin(broadcast(m))
+      .select(col("k"),
+        round((nD * nD * col("ck") - nD * col("s") * (col("ak") + col("bk"))
+          + (nD - col("k")) * col("s") * col("s")).cast("double")
+          / (nD * (nD * col("q") - col("s") * col("s"))).cast("double"),
+          6).as("acf"))
+      .orderBy(col("k"))
+  }
+
+  val acfDailySql: String =
+    """WITH e AS (SELECT CAST(ts AS DATE) AS d FROM events),
+      |bnd AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+      |daily AS (SELECT datediff('day', d0, d) AS t,
+      |    CAST(count(*) AS HUGEINT) AS x
+      |  FROM e CROSS JOIN bnd GROUP BY 1),
+      |grid AS (SELECT g.t, coalesce(daily.x, 0) AS x
+      |  FROM (SELECT unnest(generate_series(0,
+      |      datediff('day', d0, d1))) AS t FROM bnd) g
+      |  LEFT JOIN daily ON daily.t = g.t),
+      |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+      |    sum(x * x) AS q FROM grid),
+      |lagged AS (SELECT b.t - a.t AS k, sum(a.x * b.x) AS ck,
+      |    sum(a.x) AS ak, sum(b.x) AS bk
+      |  FROM grid a JOIN grid b ON b.t - a.t BETWEEN 1 AND 7
+      |  GROUP BY 1)
+      |SELECT CAST(k AS INTEGER) AS k,
+      |  round(CAST(n * n * ck - n * s * (ak + bk) + (n - k) * s * s
+      |      AS DOUBLE)
+      |    / CAST(n * (n * q - s * s) AS DOUBLE), 6) AS acf
+      |FROM lagged CROSS JOIN m ORDER BY k""".stripMargin
+
+  /** Mutual information + Cramér's V between two categorical columns
+    * (nation × market segment) — the dependence audit run before
+    * treating features as independent (stratification keys, naive-Bayes
+    * style mixing, leakage screens). Complements q246's chi² DRIFT test
+    * (same-variable across time) with cross-VARIABLE association, on
+    * effect-size scales that don't grow with N the way raw chi² does.
+    * All counts reduce to the |nations|×|segments| contingency grid +
+    * two marginal frames (broadcast joins); per-cell chi²/MI terms are
+    * ONE compound float expression from exact integers (identical op
+    * order both engines), rounded to 8 dp and summed in DECIMAL — no
+    * raw float crosses a row boundary (the q287 PSI discipline). Scale:
+    * one corpus scan, then grid-sized algebra forever.
+    */
+  val mutualInformation: Q = (s, dir) => {
+    val base = t(s, dir, "customer")
+      .select(col("c_nationkey").as("i"), col("c_mktsegment").as("j"))
+    val cells = Dedup.pin(base.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("nij")))
+    val rows_ = cells.groupBy(col("i")).agg(sum(col("nij")).as("ri"))
+    val cols_ = cells.groupBy(col("j")).agg(sum(col("nij")).as("cj"))
+    val tot = cells.agg(sum(col("nij")).as("n"),
+      countDistinct(col("i")).as("r_levels"),
+      countDistinct(col("j")).as("c_levels"))
+    val joined = cells
+      .join(broadcast(rows_), Seq("i"))
+      .join(broadcast(cols_), Seq("j"))
+      .crossJoin(broadcast(tot))
+    val nd = col("nij").cast("double"); val rd = col("ri").cast("double")
+    val cd = col("cj").cast("double"); val tn = col("n").cast("double")
+    val terms = joined.select(col("n"), col("r_levels"), col("c_levels"),
+      round(pow(nd - rd * cd / tn, 2) / (rd * cd / tn), 8)
+        .cast("decimal(28,8)").as("chi_term"),
+      round((nd / tn) * log(nd * tn / (rd * cd)), 8)
+        .cast("decimal(28,8)").as("mi_term"))
+    terms.groupBy(col("n"), col("r_levels"), col("c_levels"))
+      .agg(sum(col("chi_term")).as("chi2x"), sum(col("mi_term")).as("mix"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        round(col("chi2x").cast("double"), 6).as("chi2"),
+        round(sqrt(col("chi2x").cast("double")
+          / (col("n").cast("double")
+            * least(col("r_levels") - 1, col("c_levels") - 1)
+              .cast("double"))), 6).as("cramers_v"),
+        round(col("mix").cast("double"), 6).as("mi_nats"))
+  }
+
+  val mutualInformationSql: String =
+    """WITH cells AS (SELECT c_nationkey AS i, c_mktsegment AS j,
+      |    CAST(count(*) AS BIGINT) AS nij
+      |  FROM customer GROUP BY 1, 2),
+      |r AS (SELECT i, CAST(sum(nij) AS BIGINT) AS ri FROM cells GROUP BY i),
+      |c AS (SELECT j, CAST(sum(nij) AS BIGINT) AS cj FROM cells GROUP BY j),
+      |t AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+      |    count(DISTINCT i) AS r_levels, count(DISTINCT j) AS c_levels
+      |  FROM cells),
+      |terms AS (SELECT n, r_levels, c_levels,
+      |    CAST(round(pow(CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE)
+      |          * CAST(cj AS DOUBLE) / CAST(n AS DOUBLE), 2)
+      |        / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+      |          / CAST(n AS DOUBLE)), 8) AS DECIMAL(28,8)) AS chi_term,
+      |    CAST(round((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * ln(CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)
+      |          / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE))), 8)
+      |      AS DECIMAL(28,8)) AS mi_term
+      |  FROM cells JOIN r USING (i) JOIN c USING (j) CROSS JOIN t)
+      |SELECT n, r_levels, c_levels,
+      |  round(CAST(sum(chi_term) AS DOUBLE), 6) AS chi2,
+      |  round(sqrt(CAST(sum(chi_term) AS DOUBLE)
+      |    / (CAST(n AS DOUBLE)
+      |      * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))), 6)
+      |    AS cramers_v,
+      |  round(CAST(sum(mi_term) AS DOUBLE), 6) AS mi_nats
+      |FROM terms GROUP BY n, r_levels, c_levels""".stripMargin
+
+  /** Theil T inequality index with its exact within/between
+    * decomposition (Theil '67) over order revenue grouped by priority
+    * class — the concentration audit whose decomposition answers "is
+    * revenue inequality WITHIN segments or BETWEEN them?" (Gini, which
+    * q199 ships for skew, does not decompose additively; Theil does —
+    * that is the reason it exists). Revenue rides as exact integer
+    * CENTS; every per-order term (x/μ)·ln(x/μ) is one compound float
+    * expression from exact integers (x·N/S — identical op order both
+    * engines), rounded to 8 dp and summed in DECIMAL. Group frames are
+    * |priorities|-row broadcasts; the identity Σ_g(w_g·T_g + w_g·ln(μ_g/μ))
+    * = T_total is spec-asserted from this output. Scale: two corpus
+    * scans (total + within terms), grid algebra after.
+    */
+  val theilDecomposition: Q = (s, dir) => {
+    val o = Dedup.pin(t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").as("cents")))
+    val g = Dedup.pin(o.groupBy(col("grp"))
+      .agg(count(lit(1)).as("ng"), sum(col("cents")).as("sg")))
+    val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("stot"))
+    val withG = o.join(broadcast(g), Seq("grp"))
+      .crossJoin(broadcast(tot))
+    val xd = col("cents").cast("double")
+    def term(num: Column, den: Column): Column = {
+      val ratio = xd * num.cast("double") / den.cast("double")
+      round(ratio * log(ratio), 8).cast("decimal(28,8)")
+    }
+    withG
+      .select(col("grp"), col("ng"), col("sg"), col("n"), col("stot"),
+        term(col("ng"), col("sg")).as("tw"))
+      .groupBy(col("grp"), col("ng"), col("sg"), col("n"), col("stot"))
+      .agg(sum(col("tw")).as("tws"))
+      .select(col("grp"), col("ng").as("n_orders"),
+        expr("(sg * 10000) div stot").as("rev_share_bp"),
+        round(col("tws").cast("double") / col("ng").cast("double"), 6)
+          .as("t_within"),
+        round((col("sg").cast("double") / col("stot").cast("double"))
+          * (col("tws").cast("double") / col("ng").cast("double")), 6)
+          .as("w_t_within"),
+        round((col("sg").cast("double") / col("stot").cast("double"))
+          * log((col("sg").cast("double") * col("n").cast("double"))
+            / (col("stot").cast("double") * col("ng").cast("double"))), 6)
+          .as("between_term"))
+      .orderBy(col("grp"))
+  }
+
+  val theilDecompositionSql: String =
+    """WITH o AS (SELECT o_orderpriority AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS HUGEINT) AS cents
+      |  FROM orders),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+      |    sum(cents) AS sg FROM o GROUP BY grp),
+      |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS stot FROM g),
+      |terms AS (SELECT grp, ng, sg, n, stot,
+      |    CAST(round((CAST(cents AS DOUBLE) * CAST(ng AS DOUBLE)
+      |        / CAST(sg AS DOUBLE))
+      |      * ln(CAST(cents AS DOUBLE) * CAST(ng AS DOUBLE)
+      |        / CAST(sg AS DOUBLE)), 8) AS DECIMAL(28,8)) AS tw
+      |  FROM o JOIN g USING (grp) CROSS JOIN t)
+      |SELECT grp, ng AS n_orders,
+      |  CAST(sg * 10000 // stot AS BIGINT) AS rev_share_bp,
+      |  round(CAST(sum(tw) AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS t_within,
+      |  round((CAST(sg AS DOUBLE) / CAST(stot AS DOUBLE))
+      |    * (CAST(sum(tw) AS DOUBLE) / CAST(ng AS DOUBLE)), 6)
+      |    AS w_t_within,
+      |  round((CAST(sg AS DOUBLE) / CAST(stot AS DOUBLE))
+      |    * ln((CAST(sg AS DOUBLE) * CAST(n AS DOUBLE))
+      |      / (CAST(stot AS DOUBLE) * CAST(ng AS DOUBLE))), 6)
+      |    AS between_term
+      |FROM terms GROUP BY grp, ng, sg, n, stot
+      |ORDER BY grp""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -13731,6 +14024,10 @@ object Queries {
     "q291_shapley_attribution" -> shapleyAttribution,
     "q292_wilson_interval" -> wilsonInterval,
     "q293_stream_outer_join" -> streamOuterJoin,
+    "q294_kendall_tau" -> kendallTau,
+    "q295_acf_daily" -> acfDaily,
+    "q296_mutual_information" -> mutualInformation,
+    "q297_theil_decomposition" -> theilDecomposition,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -14026,5 +14323,9 @@ object Queries {
     "q290_k_anonymity" -> kAnonymityAuditSql,
     "q291_shapley_attribution" -> shapleyAttributionSql,
     "q292_wilson_interval" -> wilsonIntervalSql,
-    "q293_stream_outer_join" -> streamOuterJoinSql)
+    "q293_stream_outer_join" -> streamOuterJoinSql,
+    "q294_kendall_tau" -> kendallTauSql,
+    "q295_acf_daily" -> acfDailySql,
+    "q296_mutual_information" -> mutualInformationSql,
+    "q297_theil_decomposition" -> theilDecompositionSql)
 }

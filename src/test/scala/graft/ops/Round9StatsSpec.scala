@@ -2,15 +2,78 @@ package graft.ops
 
 import graft.SparkSpec
 
-/** Round-9 statistics additions (q288–q291) — semantic invariants the
+/** Round-9 statistics additions (q288–q297) — semantic invariants the
   * oracle hash can't name: correlation bounds, kappa's chance-correction
-  * algebra, k-anonymity accounting identities, and Shapley's efficiency
+  * algebra, k-anonymity accounting identities, Shapley's efficiency
   * axiom recomputed from an independent formulation of the coalition
-  * game.
+  * game, Kendall's pair-count accounting, ACF bounds, MI/Cramér effect
+  * sizes, and Theil's within+between decomposition identity.
   */
 class Round9StatsSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
+
+  test("q294: tau_b bounded, sign follows C-D, pair accounting bounded " +
+    "by n(n-1)/2") {
+    val r = graft.Queries.all("q294_kendall_tau")(spark, sfDir).head()
+    val n = r.getAs[Long]("n")
+    val c = r.getAs[Long]("c_pairs"); val d = r.getAs[Long]("d_pairs")
+    val tau = r.getAs[Double]("tau_b")
+    val n0 = n * (n - 1) / 2
+    assert(tau >= -1.0 && tau <= 1.0)
+    assert(c + d <= n0, s"C+D=$c+$d exceeds total pairs $n0")
+    assert(r.getAs[Long]("ties_x") <= n0 && r.getAs[Long]("ties_y") <= n0)
+    assert(math.signum(tau) == math.signum((c - d).toDouble)
+      || math.abs(tau) < 1e-9)
+    // chars and tokens move together: concordance dominates
+    assert(tau > 0.5, s"expected strong positive tau, got $tau")
+  }
+
+  test("q295: seven lags, every acf in [-1,1]") {
+    val rows = graft.Queries.all("q295_acf_daily")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == (1 to 7))
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf out of bounds: $r")
+    }
+  }
+
+  test("q296: chi2 >= 0, V in [0,1], MI in [0, ln(min(r,c))]") {
+    val r = graft.Queries.all("q296_mutual_information")(spark, sfDir).head()
+    val chi2 = r.getAs[Double]("chi2"); val v = r.getAs[Double]("cramers_v")
+    val mi = r.getAs[Double]("mi_nats")
+    val lvl = math.min(r.getAs[Long]("r_levels"), r.getAs[Long]("c_levels"))
+    assert(chi2 >= 0.0 && v >= 0.0 && v <= 1.0)
+    // per-term 8 dp rounding can push a true ~0 MI a hair negative
+    assert(mi >= -1e-4 && mi <= math.log(lvl.toDouble) + 1e-6,
+      s"MI $mi outside [0, ln($lvl)]")
+  }
+
+  test("q297: Theil decomposition — within terms nonnegative and " +
+    "sum(w*T_g) + sum(between) equals independently recomputed total") {
+    import org.apache.spark.sql.functions._
+    val rows =
+      graft.Queries.all("q297_theil_decomposition")(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("t_within") >= -1e-8,
+        s"group Theil negative: $r")
+    }
+    val lhs = rows.map(r => r.getAs[Double]("w_t_within")
+      + r.getAs[Double]("between_term")).sum
+    // independent total: T = mean((x/mu) ln(x/mu)) straight over orders
+    val o = graft.Tables.table(spark, sfDir, "orders")
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("double").as("x"))
+    val m = o.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("s")).head()
+    val (n, s) = (m.getAs[Double]("n"), m.getAs[Double]("s"))
+    val total = o.select(((col("x") * n / s)
+      * log(col("x") * n / s)).as("t"))
+      .agg(avg(col("t"))).head().getDouble(0)
+    assert(math.abs(lhs - total) < 1e-4,
+      s"decomposition $lhs != total $total")
+  }
 
   test("q288: Pearson and Spearman both in [-1,1] and strongly positive " +
     "(chars vs tokens move together)") {
