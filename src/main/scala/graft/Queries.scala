@@ -12863,7 +12863,12 @@ object Queries {
     */
   val bucketedJoin: Q = (s, dir) => {
     val dbDir = scratch("graft_bucket_db")
-    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucket LOCATION '$dbDir'")
+    // DROP first: CREATE ... IF NOT EXISTS would silently keep the
+    // FIRST invocation's scratch location within a JVM, so a re-run
+    // would rewrite tables under a path that may already be swept —
+    // the drop makes every invocation self-contained.
+    s.sql("DROP DATABASE IF EXISTS graft_bucket CASCADE")
+    s.sql(s"CREATE DATABASE graft_bucket LOCATION '$dbDir'")
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_totalprice"))
       .write.mode("overwrite")
@@ -13074,15 +13079,19 @@ object Queries {
       .agg(coalesce(sum(col("na").cast("decimal(38,0)") * col("nb")),
         lit(0).cast("decimal(38,0)")).as("src"))
     val r = base.crossJoin(broadcast(exp))
+    // n=0 (empty corpus) ⇒ every denominator is 0 under ANSI division;
+    // emit NULL instead of DIVIDE_BY_ZERO (the q176/q250 empty-input
+    // convention — the EmptyInputSpec sweep requires it catalog-wide).
+    val kDen = (col("n").cast("decimal(38,0)") * col("n")) - col("src")
     r.select(col("n"), col("diag"),
-      round(col("diag").cast("double") / col("n"), 6).as("po"),
-      round(col("src").cast("double")
-        / (col("n").cast("decimal(38,0)") * col("n")).cast("double"), 6)
+      round(when(col("n") === 0, lit(null))
+        .otherwise(col("diag").cast("double") / col("n")), 6).as("po"),
+      round(when(col("n") === 0, lit(null)).otherwise(col("src").cast("double")
+        / (col("n").cast("decimal(38,0)") * col("n")).cast("double")), 6)
         .as("pe"),
-      round((col("n").cast("decimal(38,0)") * col("diag") - col("src"))
-          .cast("double")
-        / ((col("n").cast("decimal(38,0)") * col("n")) - col("src"))
-          .cast("double"), 6).as("kappa"))
+      round(when(kDen === 0, lit(null)).otherwise(
+        (col("n").cast("decimal(38,0)") * col("diag") - col("src"))
+          .cast("double") / kDen.cast("double")), 6).as("kappa"))
   }
 
   val cohenKappaSql: String =
@@ -13729,6 +13738,303 @@ object Queries {
       |FROM terms GROUP BY grp, ng, sg, n, stot
       |ORDER BY grp""".stripMargin
 
+  /** IVF ANN with a TRAINED codebook (r9 advice #4): q40 proved the IVF
+    * machinery at nprobe = all-cells (collapsing to brute force); this
+    * gate runs the REAL configuration — a codebook LEARNED by two Lloyd
+    * iterations ([[SimSearch.kmeansCentroids]]) and nprobe = 2 of 4
+    * cells, so the result depends on the trained cell structure and the
+    * probe pruning, not just on cosine ranking. The whole training loop
+    * is cross-engine recomputable (the q126 keyed-model pattern taken to
+    * its limit — the model here is the codebook itself): the init sample
+    * is md5-keyed ([[SimSearch.md5SampledCentroids]]), assignment is the
+    * same double-arithmetic argmax both engines evaluate, and per-dim
+    * means ride the q68 float→STRING→decimal route with a single
+    * double division + float rounding per cell — so the DuckDB oracle
+    * re-derives the identical codebook FROM THE RAW TABLE, re-assigns
+    * every vector, re-picks each query's 2 probe cells, and re-ranks.
+    * Scale: training state is k×dim aggregate rows per round; the gate's
+    * plan is the same write-time-partitionable cell join q40 runs.
+    */
+  val ivfTrained: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val init = SimSearch.md5SampledCentroids(corpus, k = 4)
+    val cents = SimSearch.kmeansCentroids(corpus, k = 4, iterations = 2,
+      init = Some(init))
+    SimSearch.ivfTopK(corpus, emb.filter(col("vec_id") < 10), k = 3,
+      centroids = cents, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfTrainedSql: String = {
+    // one Lloyd round: assign every corpus vector to its max-cosine cell
+    // (tie → min cell id), then per-(cell, dim) float→string→decimal
+    // mean → double divide → float round; empty cells keep their
+    // previous centroid. `prev` is the prior round's (cell, ce) CTE.
+    def assign(out: String, prev: String): String =
+      s"""$out AS (SELECT vec_id, v, cell FROM (
+         |  SELECT r.vec_id, r.v, c.cell, row_number() OVER (
+         |      PARTITION BY r.vec_id ORDER BY
+         |      list_dot_product(r.ve, c.ce) /
+         |        (sqrt(list_dot_product(r.ve, r.ve))
+         |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+         |  FROM corpus r CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    def refine(out: String, asg: String, prev: String): String =
+      s"""${out}m AS (SELECT cell, d,
+         |    CAST(CAST(sum(CAST(CAST(v[d] AS VARCHAR) AS DECIMAL(28,9)))
+         |        AS DOUBLE) / count(*) AS REAL) AS mu
+         |  FROM $asg CROSS JOIN generate_series(1, 64) g(d)
+         |  GROUP BY cell, d),
+         |$out AS (SELECT p.cell, coalesce(m.ml, p.ce) AS ce
+         |  FROM $prev p LEFT JOIN (SELECT cell,
+         |      list(CAST(mu AS DOUBLE) ORDER BY d) AS ml
+         |    FROM ${out}m GROUP BY cell) m USING (cell))""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id, embedding AS v,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings WHERE vec_id >= 10),
+       |qs AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings WHERE vec_id < 10),
+       |c0 AS (SELECT vec_id AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id >= 10
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+       |${assign("a1", "c0")},
+       |${refine("c1", "a1", "c0")},
+       |${assign("a2", "c1")},
+       |${refine("c2", "a2", "c1")},
+       |cc AS (SELECT vec_id, cell FROM (
+       |  SELECT r.vec_id, c.cell, row_number() OVER (
+       |      PARTITION BY r.vec_id ORDER BY
+       |      list_dot_product(r.ve, c.ce) /
+       |        (sqrt(list_dot_product(r.ve, r.ve))
+       |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+       |  FROM corpus r CROSS JOIN c2 c) WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, ve AS qve, cell FROM (
+       |  SELECT q.vec_id, q.ve, c.cell, row_number() OVER (
+       |      PARTITION BY q.vec_id ORDER BY
+       |      list_dot_product(q.ve, c.ce) /
+       |        (sqrt(list_dot_product(q.ve, q.ve))
+       |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+       |  FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
+       |cand AS (SELECT qp.query_id, r.vec_id AS neighbor_id,
+       |    list_dot_product(qp.qve, r.ve) /
+       |      (sqrt(list_dot_product(qp.qve, qp.qve))
+       |       * sqrt(list_dot_product(r.ve, r.ve))) AS score
+       |  FROM qp JOIN cc ON qp.cell = cc.cell
+       |    JOIN corpus r ON cc.vec_id = r.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(score, 6) AS score
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Day-2 incremental semantic dedup (r9 advice #5 — the embedding
+    * analog of q265's MinHash maintenance, completing the IVM family
+    * with the SEMANTIC index): a planted day-2 batch — 30 verbatim
+    * copies of day-1 vectors under shifted ids (provable dups: cosine 1
+    * ≫ 0.99, and an identical vector lands in its original's cell) plus
+    * a set of NEGATED vectors (provably fresh: cos(−a, b) = −cos(a, b)
+    * ≤ ~0.51 on this corpus) — is screened against the standing day-1
+    * index by [[Dedup.incrementalSemanticDedup]], probing ONLY index
+    * members of the batch's own cells. Day-2 completeness AND scope are
+    * both in the oracle: it recomputes every batch×index same-cell
+    * cosine (so a missed dup fails the gate) and BY CONSTRUCTION
+    * contains no index×index pair (so old×old work can't silently fund
+    * the result — the q265 scope clause, structural here). Scale: day-2
+    * cost is |Δ| × mean cell occupancy; the index is never self-joined.
+    */
+  val incrementalSemdedup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val copies = emb.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 300000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    Dedup.incrementalSemanticDedup(emb, copies.unionByName(fresh), cents,
+        threshold = 0.99)
+      .select(col("id").as("vec_id"), col("cell"), col("dup_of"), col("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val incrementalSemdedupSql: String =
+    """WITH emb AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+      |batch AS (
+      |  SELECT vec_id + 200000 AS vec_id, e FROM emb WHERE vec_id < 30
+      |  UNION ALL
+      |  SELECT vec_id + 300000, list_transform(e, x -> -x) FROM emb
+      |  WHERE vec_id % 5 = 0),
+      |ab AS (SELECT vec_id, e, cid AS cell FROM (
+      |  SELECT b.vec_id, b.e, c.cid, row_number() OVER (
+      |      PARTITION BY b.vec_id ORDER BY
+      |      coalesce(list_dot_product(b.e, c.ce) /
+      |        (sqrt(list_dot_product(b.e, b.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))), -2.0) DESC, c.cid)
+      |    AS rn
+      |  FROM batch b CROSS JOIN cents c) WHERE rn = 1),
+      |ai AS (SELECT vec_id, e, cid AS cell FROM (
+      |  SELECT v.vec_id, v.e, c.cid, row_number() OVER (
+      |      PARTITION BY v.vec_id ORDER BY
+      |      coalesce(list_dot_product(v.e, c.ce) /
+      |        (sqrt(list_dot_product(v.e, v.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))), -2.0) DESC, c.cid)
+      |    AS rn
+      |  FROM emb v CROSS JOIN cents c) WHERE rn = 1),
+      |hits AS (SELECT b.vec_id, min(i.vec_id) AS dup_of
+      |  FROM ab b JOIN ai i ON b.cell = i.cell
+      |  WHERE list_dot_product(b.e, i.e) /
+      |      (sqrt(list_dot_product(b.e, b.e))
+      |       * sqrt(list_dot_product(i.e, i.e))) >= 0.99
+      |  GROUP BY b.vec_id)
+      |SELECT b.vec_id, b.cell, h.dup_of, h.dup_of IS NULL AS kept
+      |FROM ab b LEFT JOIN hits h USING (vec_id)
+      |ORDER BY b.vec_id""".stripMargin
+
+  /** Streaming dropped-late-row observability (r9 advice #6 — the first
+    * gate on streaming's NEGATIVE space): q293 proved watermark-driven
+    * null EMISSION; this proves watermark-driven DROPPING, hash-checked
+    * through the engine's own observability surface — the
+    * `numRowsDroppedByWatermark` state-operator metric summed over the
+    * run's StreamingQueryProgress events. Arrival disorder is planted
+    * with the q258 md5 jitter model widened to [0, 60 h) — wide enough
+    * to push events MORE than one span-sixteenth micro-batch behind
+    * (~45 h here), which is what real dropping requires: Spark filters
+    * late rows against the PREVIOUS batch's watermark (lateness within
+    * one batch is admitted by design — SPARK-24634 — so the late-filter
+    * threshold for batch i is the watermark computed from data through
+    * batch i−2, while EVICTION uses the one through i−1; the two being
+    * one batch apart is also what guarantees an admitted late row never
+    * lands on an already-evicted window, i.e. append mode never emits a
+    * window twice). The jittered arrival order is staged into 16
+    * one-file micro-batches (span-sixteenths, the q209 staging idiom)
+    * plus a far-future sentinel that flushes every surviving window,
+    * and a 1-minute windowed count under a 5-second watermark then
+    * drops exactly the rows whose window end trails that lagged
+    * watermark. The DuckDB oracle REPLAYS the protocol: per-batch
+    * cumulative max event time, ms-floored, minus the delay, lagged two
+    * batches (batches 0–1 run at watermark 0), a row dropped iff
+    * window_end ≤ that value — and it counts the drops the way the
+    * METRIC does: the filter sits above the pre-shuffle PARTIAL
+    * aggregation, so same-(window, type) rows arriving in one
+    * micro-batch merge before being dropped and the metric counts
+    * dropped GROUPS per batch, not raw input rows (probed empirically
+    * via [[StreamLateProbe]]: 105 late input rows report 104 — two
+    * same-window clicks merged).
+    * Kept-window counts, kept cents, and the dropped-group count must
+    * all match the metric exactly.
+    * Scale: this is the production lateness-audit loop — the metric is
+    * free (the operator already computes it), and the gate proves it
+    * means what the runbook says it means.
+    */
+  val streamDroppedLate: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    val srcDir = scratch("graft_stream_late_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("arr", unix_micros(col("ts"))
+        + conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 216000000000L)
+    val bounds = ev.agg(min(col("arr")).as("lo"), max(col("arr")).as("hi"))
+      .head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 16L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 16L)
+    def stageFile(df: DataFrame, i: Int): Unit = {
+      val tmp = scratch(s"graft_stream_late_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = srcDir.resolve(f"part-$i%02d.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    (0 until 16).foreach { i =>
+      val a = lo + i * span / 16
+      val b = if (i == 15) hi + 1 else lo + (i + 1) * span / 16
+      stageFile(ev.filter(col("arr") >= a && col("arr") < b)
+        .select(col("event_id"), col("ts"), col("event_type"), col("cents")), i)
+    }
+    // sentinel: advances the final watermark past every real window end
+    // so append mode flushes all surviving windows at end-of-stream
+    stageFile(s.range(1).select(lit(-1L).as("event_id"),
+      timestamp_micros(lit(hi + 30L * 86400L * 1000000L)).as("ts"),
+      lit("sentinel").as("event_type"), lit(0L).as("cents")), 16)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("cents", LongType)))
+    val qname = "graft_stream_late_sink"
+    val sq = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val dropped = sq.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.toSeq)
+      .map(_.numRowsDroppedByWatermark).sum
+    s.table(qname).filter(col("event_type") =!= "sentinel")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("kept_events"),
+        sum(col("c")).as("total_cents"))
+      .withColumn("dropped_late", lit(dropped))
+      .orderBy(col("event_type"))
+  }
+
+  val streamDroppedLateSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |j AS (SELECT *, us + ('0x'||substr(md5(CAST(event_id AS VARCHAR)),
+      |    1, 15))::BIGINT % 216000000000 AS arr FROM e),
+      |b AS (SELECT min(arr) AS lo, max(arr) AS hi,
+      |    greatest(max(arr) - min(arr), 16) AS span FROM j),
+      |bo AS (SELECT i, lo + i * span // 16 AS lo_i,
+      |    CASE WHEN i = 15 THEN hi + 1 ELSE lo + (i + 1) * span // 16
+      |    END AS hi_i
+      |  FROM generate_series(0, 15) g(i), b),
+      |bat AS (SELECT j.*, bo.i AS batch FROM j JOIN bo
+      |  ON j.arr >= bo.lo_i AND j.arr < bo.hi_i),
+      |mx AS (SELECT batch, max(us) AS bmax FROM bat GROUP BY batch),
+      |wmv AS (SELECT g.i AS batch,
+      |    CASE WHEN (SELECT max(bmax) FROM mx WHERE mx.batch <= g.i)
+      |        IS NULL THEN 0
+      |      ELSE greatest(0, (SELECT max(bmax) FROM mx
+      |        WHERE mx.batch <= g.i) // 1000 - 5000) * 1000 END AS wm_us
+      |  FROM generate_series(0, 15) g(i)),
+      |cls AS (SELECT bat.*,
+      |    CASE WHEN bat.batch <= 1 THEN 0 ELSE w.wm_us END AS wm_prev,
+      |    ((us // 60000000) + 1) * 60000000 AS wend,
+      |    (us // 60000000) * 60000000 AS wstart
+      |  FROM bat LEFT JOIN wmv w ON w.batch = bat.batch - 2),
+      |drp AS (SELECT count(*) AS dropped FROM (
+      |  SELECT DISTINCT batch, wend, event_type FROM cls
+      |  WHERE wend <= wm_prev)),
+      |kept AS (SELECT event_type, wstart, count(*) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS c
+      |  FROM cls WHERE wend > wm_prev GROUP BY event_type, wstart)
+      |SELECT event_type, count(*) AS n_windows,
+      |  CAST(sum(n) AS BIGINT) AS kept_events,
+      |  CAST(sum(c) AS BIGINT) AS total_cents,
+      |  (SELECT dropped FROM drp) AS dropped_late
+      |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -14028,6 +14334,9 @@ object Queries {
     "q295_acf_daily" -> acfDaily,
     "q296_mutual_information" -> mutualInformation,
     "q297_theil_decomposition" -> theilDecomposition,
+    "q298_ivf_trained" -> ivfTrained,
+    "q299_incremental_semdedup" -> incrementalSemdedup,
+    "q300_stream_dropped_late" -> streamDroppedLate,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -14327,5 +14636,8 @@ object Queries {
     "q294_kendall_tau" -> kendallTauSql,
     "q295_acf_daily" -> acfDailySql,
     "q296_mutual_information" -> mutualInformationSql,
-    "q297_theil_decomposition" -> theilDecompositionSql)
+    "q297_theil_decomposition" -> theilDecompositionSql,
+    "q298_ivf_trained" -> ivfTrainedSql,
+    "q299_incremental_semdedup" -> incrementalSemdedupSql,
+    "q300_stream_dropped_late" -> streamDroppedLateSql)
 }

@@ -139,16 +139,20 @@ object ImageExpressions {
     * decoded buffer is real and runs in generated code per row.
     */
   def grayDhash64(b: Array[Byte], w: Int, h: Int): java.lang.Long = {
-    if (w < 9 || h < 8 || b.length < w * h) return null
+    // Long-widened guard and cell sums: w.toLong * h cannot wrap (an
+    // Int w*h overflows for large declared dims, silently passing the
+    // guard), and a Long accumulator keeps cells with area > ~8.4M
+    // pixels exact — the documented exact-integer contract.
+    if (w < 9 || h < 8 || b.length.toLong < w.toLong * h) return null
     val cw = w / 9
     val ch = h / 8
-    val area = cw * ch
+    val area = cw.toLong * ch
     val cells = new Array[Int](72)
     var r = 0
     while (r < 8) {
       var c = 0
       while (c < 9) {
-        var sum = 0
+        var sum = 0L
         var y = r * ch
         val yEnd = y + ch
         while (y < yEnd) {
@@ -161,7 +165,7 @@ object ImageExpressions {
           }
           y += 1
         }
-        cells(r * 9 + c) = sum / area
+        cells(r * 9 + c) = (sum / area).toInt
         c += 1
       }
       r += 1
@@ -188,17 +192,19 @@ object ImageExpressions {
     * buffer is short or w < 8 / h < 8.
     */
   def grayAhash64(b: Array[Byte], w: Int, h: Int): java.lang.Long = {
-    if (w < 8 || h < 8 || b.length < w * h) return null
+    // Same Long-widened guard + sums as grayDhash64 (Int w*h / cell
+    // sums wrap for large dims, breaking the exact-integer contract).
+    if (w < 8 || h < 8 || b.length.toLong < w.toLong * h) return null
     val cw = w / 8
     val ch = h / 8
-    val area = cw * ch
+    val area = cw.toLong * ch
     val cells = new Array[Int](64)
     var total = 0L
     var r = 0
     while (r < 8) {
       var c = 0
       while (c < 8) {
-        var sum = 0
+        var sum = 0L
         var y = r * ch
         val yEnd = y + ch
         while (y < yEnd) {
@@ -211,7 +217,7 @@ object ImageExpressions {
           }
           y += 1
         }
-        val v = sum / area
+        val v = (sum / area).toInt
         cells(r * 8 + c) = v
         total += v
         c += 1

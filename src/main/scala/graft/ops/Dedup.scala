@@ -681,14 +681,7 @@ object Dedup {
       // empty codebook (sampled from an empty corpus): nothing to assign
       return base.select(col("id"), lit(null).cast("long").as("cell"),
         lit(true).as("kept"))
-    val scored = centroids.map { case (cid, cv) =>
-      struct(
-        coalesce(VectorExpressions.cosine_similarity(col("v"),
-          typedLit(cv.toSeq)), lit(-2.0)).as("cos"),
-        lit(-cid).as("ncid"))
-    }
-    val assigned = pin(base.withColumn("cell",
-      -array_max(array(scored: _*)).getField("ncid")))
+    val assigned = pin(assignCells(base, centroids))
     val dups = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(VectorExpressions.cosine_similarity(col("a.v"), col("b.v"))
@@ -697,5 +690,60 @@ object Dedup {
     assigned.join(dups.withColumn("is_dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cell"),
         (!coalesce(col("is_dup"), lit(false))).as("kept"))
+  }
+
+  /** Nearest-centroid cell assignment shared by [[semanticDedup]] and
+    * [[incrementalSemanticDedup]]: argmax over k literal cosines via
+    * struct ordering (max cos, tie → min cell id); zero-norm vectors
+    * (NULL cosine) sink below any real cosine via a −2.0 sentinel. One
+    * narrow projection — at 100 TB the cell is computable at write time
+    * and becomes a partition key. Input must expose (id, v).
+    */
+  private def assignCells(base: DataFrame,
+                          centroids: Array[(Long, Array[Float])]): DataFrame = {
+    val scored = centroids.map { case (cid, cv) =>
+      struct(
+        coalesce(VectorExpressions.cosine_similarity(col("v"),
+          typedLit(cv.toSeq)), lit(-2.0)).as("cos"),
+        lit(-cid).as("ncid"))
+    }
+    base.withColumn("cell", -array_max(array(scored: _*)).getField("ncid"))
+  }
+
+  /** Day-2 incremental SemDeDup — the embedding analog of
+    * [[incrementalMinhashPairs]]: screen an incoming `batch` of vectors
+    * against a standing `index` WITHOUT any index×index work. Both sides
+    * are assigned to the same cell grid (the Δ-side twin of the stored
+    * cell index a day-1 [[semanticDedup]] run materializes); the small
+    * batch is broadcast and probes ONLY index members of its own cells,
+    * so the day-2 cost is |batch| × (mean cell occupancy) comparisons —
+    * at 100 TB the index is cell-partitioned at write time and the probe
+    * prunes to the batch's cells, never rescanning old×old pairs.
+    *
+    * Output: one row per batch vector — (id, cell, dup_of, kept) where
+    * dup_of is the smallest index id in the same cell with cosine ≥
+    * `threshold` (NULL if none) and kept = dup_of IS NULL.
+    */
+  def incrementalSemanticDedup(index: DataFrame, batch: DataFrame,
+                               centroids: Array[(Long, Array[Float])],
+                               threshold: Double, idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+    if (centroids.isEmpty)
+      return b.select(col("id"), lit(null).cast("long").as("cell"),
+        lit(null).cast("long").as("dup_of"), lit(true).as("kept"))
+    val bAssigned = assignCells(b, centroids)
+    val iAssigned = assignCells(
+      index.select(col(idCol).as("iid"), col(vecCol).as("iv"))
+        .withColumnRenamed("iv", "v"), centroids)
+      .withColumnRenamed("v", "iv")
+    val hits = iAssigned
+      .join(broadcast(bAssigned), Seq("cell"))
+      .filter(VectorExpressions.cosine_similarity(col("v"), col("iv"))
+        >= threshold)
+      .groupBy(col("id")).agg(min(col("iid")).as("dup_of"))
+    bAssigned.join(hits, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
   }
 }

@@ -94,16 +94,37 @@ object Ranks {
     * prefix max of every EARLIER partition, computed in-plan from the
     * per-partition max aggregate (≤ numPartitions rows) and broadcast
     * back. Value ordering is Spark's own `max` comparator throughout.
+    *
+    * The local running max is a sequential `mapPartitions` scan over
+    * the range-sorted partitions — NOT `Window.partitionBy(__pid)`,
+    * which demands hashpartitioning by `__pid` and inserts a SECOND
+    * corpus-sized Exchange directly above the range exchange (the
+    * exact hazard [[globalRowNumber]]'s scaladoc documents; confirmed
+    * in q237's physical plan in r9). A per-partition left-to-right
+    * fold has no Catalyst expression, so `mapPartitions` is the
+    * legitimate tool here: one pass, zero extra shuffles, and the
+    * accumulator comparison reuses [[ordGe]] (Spark's own max
+    * comparators, NaN-greatest for doubles).
     */
   def globalRunningMax(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
                        out: String, numPartitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", valueCol)
+    val vType = ranged.schema("__v").dataType
+    val runSchema = ranged.schema
+      .add(org.apache.spark.sql.types.StructField("__run", vType, nullable = true))
     val local = Dedup.pin(
-      df.repartitionByRange(numPartitions, sortCols: _*)
-        .withColumn("__pid", spark_partition_id())
-        .withColumn("__v", valueCol)
-        .withColumn("__run", max(col("__v")).over(
-          Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      ranged.mapPartitions { it =>
+        val vIdx = runSchema.fieldIndex("__v")
+        var acc: Any = null // running max so far; max() skips NULL inputs
+        it.map { r =>
+          val v = r.get(vIdx)
+          if (v != null && (acc == null || ordGe(v, acc))) acc = v
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        }
+      }(org.apache.spark.sql.Encoders.row(runSchema)))
     val spark = df.sparkSession
     val maxes = local.groupBy(col("__pid")).agg(max(col("__v")).as("__m"))
       .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
@@ -116,7 +137,6 @@ object Ranks {
         (pid, Seq(acc, Option(m)).flatten
           .reduceOption((a, b) => if (ordGe(a, b)) a else b))
     }.init.zip(maxes).map { case ((_, pre), (pid, _)) => (pid, pre) }
-    val vType = local.schema("__v").dataType
     val preSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("__pid",
         org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -131,17 +151,26 @@ object Ranks {
       .drop("__pid", "__v", "__run", "__pre")
   }
 
-  /** Value ordering for the driver-side prefix max — MUST agree with
-    * Spark's own `max` comparators or cross-partition prefixes diverge
-    * from a single-partition window: strings compare as UTF8String
-    * (UTF-8 BYTE order — JVM String `>=` is UTF-16 code-unit order and
-    * differs for supplementary-plane characters), decimals by
-    * compareTo. Bounded use: ≤ numPartitions values, driver-side.
+  /** Value ordering for the running-max fold (executor-side per-row
+    * scan AND driver-side prefix over ≤ numPartitions values) — MUST
+    * agree with Spark's own `max` comparators or cross-partition
+    * prefixes diverge from a single-partition window: strings compare
+    * as UTF8String (UTF-8 BYTE order — JVM String `>=` is UTF-16
+    * code-unit order and differs for supplementary-plane characters),
+    * doubles/floats NaN-greatest via `compare` (JVM `>=` is false for
+    * any NaN operand), decimals by compareTo.
     */
   private def ordGe(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long)     => x >= y
     case (x: Int, y: Int)       => x >= y
-    case (x: Double, y: Double) => x >= y
+    // java.lang.Double.compare, NOT `x >= y`: JVM `>=` is false for any
+    // NaN operand, while Spark's max/greatest ordering (TypeUtils) puts
+    // NaN above every double — the two must agree or the cross-partition
+    // prefix diverges from a single-partition window on NaN inputs.
+    case (x: Double, y: Double) =>
+      java.lang.Double.compare(x, y) >= 0
+    case (x: Float, y: Float) =>
+      java.lang.Float.compare(x, y) >= 0
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
       x.compareTo(y) >= 0
     case (x: String, y: String) =>

@@ -173,19 +173,43 @@ object SimSearch {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
   }
 
+  /** md5-keyed variant of [[sampledCentroids]]: the k corpus vectors with
+    * the smallest md5 of their id — the SAME distributed-top-k shape, but
+    * the sampling key is SQL-recomputable in any engine (a correctness
+    * oracle can rebuild the identical codebook), where xxhash64 is
+    * Spark-specific. Use this when the codebook must be auditable by an
+    * external system; [[sampledCentroids]] when it only has to be
+    * deterministic.
+    */
+  def md5SampledCentroids(corpus: DataFrame, k: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[(Long, Array[Float])] = {
+    require(k >= 1)
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  }
+
   /** Lloyd-refined codebook for [[ivfTopK]]: start from the bounded
-    * deterministic sample, then `iterations` rounds of assign (native
+    * deterministic sample (or the caller-supplied `init` codebook), then
+    * `iterations` rounds of assign (native
     * [[VectorExpressions.NearestCells]], a narrow map over the corpus) +
     * exact per-dimension decimal mean per cell. Only k×dim aggregate rows
     * ever reach the driver, so memory is bounded by the codebook, never
-    * the corpus; per-dim means use decimal sums + driver-side division so
-    * the refined codebook is bit-identical across partitionings. Cells
-    * that lose all members keep their previous centroid.
+    * the corpus; per-dim sums go float→STRING→decimal (the engine-
+    * independent shortest-round-trip route — direct float→decimal
+    * rounding differs in ulps across engines) + driver-side division, so
+    * the refined codebook is bit-identical across partitionings AND
+    * recomputable by an external SQL engine. Cells that lose all members
+    * keep their previous centroid.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iterations: Int = 3,
-                      idCol: String = "vec_id", vecCol: String = "embedding")
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      init: Option[Array[(Long, Array[Float])]] = None)
       : Array[(Long, Array[Float])] = {
-    var cents = sampledCentroids(corpus, k, idCol, vecCol)
+    var cents = init.getOrElse(sampledCentroids(corpus, k, idCol, vecCol))
     for (_ <- 1 to iterations if cents.nonEmpty) {
       val cellIds = cents.map(_._1)
       val cvs = cents.map(_._2)
@@ -195,7 +219,8 @@ object SimSearch {
             .getItem(0).as("cell"),
           posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("x").cast("decimal(28,12)")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(col("x").cast("string").cast("decimal(28,9)")).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
       val byCell = stats.groupBy(_.getLong(0))
       cents = cents.map { case (cid, old) =>
