@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.{Readers, Writers}
-import graft.ops.{Dedup, Multimodal, Ranks, SimSearch, Skew, TextStats, TopK}
+import graft.ops.{Dedup, Layout, Multimodal, Ranks, SimSearch, Skew, TextStats, TopK}
 import graft.transform.{Canonicalize, Enrich, Harmonize, Normalize}
 import graft.quality.Expectations._
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, Staging}
 
 /** The declared query catalog: one entry per operator family from
   * SURVEY.md §2 (reference parity) plus the north-star LLM-pipeline
@@ -8224,29 +8224,14 @@ object Queries {
       if (bounds.isNullAt(0)) (0L, 4L)
       else (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(hi - lo, 4L)
-    def stageFile(df: DataFrame, i: Int): Unit = {
-      val tmp = scratch(s"graft_stream_sess_tmp$i")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dst = srcDir.resolve(f"part-$i%02d.parquet")
-      java.nio.file.Files.move(part, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-    }
-    (0 until 4).foreach { i =>
-      val a = lo + i * span / 4
-      val b = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
-      stageFile(ev.filter(unix_micros(col("ts")) >= a
-        && unix_micros(col("ts")) < b), i)
-    }
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, srcDir,
+      scratch("graft_stream_sess_stage"), Seq(col("event_id")))
     // sentinel: one far-future event advances the watermark past every
     // pending session timeout so append-mode state flushes at end-of-stream
-    stageFile(s.range(1).select(lit(-1L).as("event_id"),
+    Staging.stageOne(s.range(1).select(lit(-1L).as("event_id"),
       timestamp_micros(lit(hi + 30L * 86400L * 1000000L)).as("ts"),
       lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-      lit(0.0).as("value")), 4)
+      lit(0.0).as("value")), 4, srcDir, scratch("graft_stream_sess_sent"))
     val stream = s.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
@@ -11423,26 +11408,12 @@ object Queries {
       if (bounds.isNullAt(0)) (0L, 4L)
       else (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(hi - lo, 4L)
-    def stageFile(df: DataFrame, i: Int): Unit = {
-      val tmp = scratch(s"graft_stream_swin_tmp$i")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dst = srcDir.resolve(f"part-$i%02d.parquet")
-      java.nio.file.Files.move(part, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-    }
-    (0 until 4).foreach { i =>
-      val a = lo + i * span / 4
-      val b = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
-      stageFile(ev.filter(unix_micros(col("ts")) >= a
-        && unix_micros(col("ts")) < b), i)
-    }
-    stageFile(s.range(1).select(lit(-1L).as("event_id"),
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, srcDir,
+      scratch("graft_stream_swin_stage"), Seq(col("event_id")))
+    Staging.stageOne(s.range(1).select(lit(-1L).as("event_id"),
       timestamp_micros(lit(hi + 30L * 86400L * 1000000L)).as("ts"),
-      lit(-1L).as("user_id"), lit(0.0).as("cents")), 4)
+      lit(-1L).as("user_id"), lit(0.0).as("cents")), 4, srcDir,
+      scratch("graft_stream_swin_sent"))
     val stream = s.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
@@ -11583,23 +11554,8 @@ object Queries {
       if (bounds.isNullAt(0)) (0L, 4L)
       else (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(hi - lo, 4L)
-    def stageFile(df: DataFrame, i: Int): Unit = {
-      val tmp = scratch(s"graft_stream_tws_tmp$i")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dst = srcDir.resolve(f"part-$i%02d.parquet")
-      java.nio.file.Files.move(part, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-    }
-    (0 until 4).foreach { i =>
-      val a = lo + i * span / 4
-      val b = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
-      stageFile(ev.filter(unix_micros(col("ts")) >= a
-        && unix_micros(col("ts")) < b), i)
-    }
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, srcDir,
+      scratch("graft_stream_tws_stage"), Seq(col("event_id")))
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(providerKey)
     s.conf.set(providerKey,
@@ -13381,33 +13337,18 @@ object Queries {
       if (bounds.isNullAt(0)) (0L, 4L)
       else (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(hi - lo, 4L)
-    def stageFile(df: DataFrame, i: Int): Unit = {
-      val tmp = scratch(s"graft_stream_ssouter_tmp$i")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dst = srcDir.resolve(f"part-$i%02d.parquet")
-      java.nio.file.Files.move(part, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-    }
-    (0 until 4).foreach { i =>
-      val a = lo + i * span / 4
-      val b = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
-      stageFile(ev.filter(unix_micros(col("ts")) >= a
-        && unix_micros(col("ts")) < b), i)
-    }
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, srcDir,
+      scratch("graft_stream_ssouter_stage"), Seq(col("event_id")))
     // sentinel PAIR: the stream watermark is min over BOTH filtered
     // inputs, so each side needs its own far-future row to advance
     val sentinelUs = hi + 30L * 86400L * 1000000L
-    stageFile(s.range(2).select(
+    Staging.stageOne(s.range(2).select(
       (lit(-1L) - col("id")).as("event_id"),
       timestamp_micros(lit(sentinelUs)).as("ts"),
       lit(-1L).as("user_id"),
       when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
         .as("event_type"),
-      lit(0.0).as("value")), 4)
+      lit(0.0).as("value")), 4, srcDir, scratch("graft_stream_ssouter_sent"))
     def side(tpe: String) = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
       .filter(col("event_type") === tpe)
@@ -13950,28 +13891,21 @@ object Queries {
       if (bounds.isNullAt(0)) (0L, 16L)
       else (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(hi - lo, 16L)
-    def stageFile(df: DataFrame, i: Int): Unit = {
-      val tmp = scratch(s"graft_stream_late_tmp$i")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst().get()
-      val dst = srcDir.resolve(f"part-$i%02d.parquet")
-      java.nio.file.Files.move(part, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-    }
-    (0 until 16).foreach { i =>
-      val a = lo + i * span / 16
-      val b = if (i == 15) hi + 1 else lo + (i + 1) * span / 16
-      stageFile(ev.filter(col("arr") >= a && col("arr") < b)
-        .select(col("event_id"), col("ts"), col("event_type"), col("cents")), i)
-    }
+    // arrival-order key recomputed from the STAGED columns (the staged
+    // files carry exactly the stream schema, not the jitter column)
+    Staging.stageSlices(
+      ev.select(col("event_id"), col("ts"), col("event_type"), col("cents")),
+      unix_micros(col("ts"))
+        + conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 216000000000L,
+      16, lo, span, srcDir, scratch("graft_stream_late_stage"),
+      Seq(col("event_id")))
     // sentinel: advances the final watermark past every real window end
     // so append mode flushes all surviving windows at end-of-stream
-    stageFile(s.range(1).select(lit(-1L).as("event_id"),
+    Staging.stageOne(s.range(1).select(lit(-1L).as("event_id"),
       timestamp_micros(lit(hi + 30L * 86400L * 1000000L)).as("ts"),
-      lit("sentinel").as("event_type"), lit(0L).as("cents")), 16)
+      lit("sentinel").as("event_type"), lit(0L).as("cents")), 16, srcDir,
+      scratch("graft_stream_late_sent"))
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("event_type", StringType), StructField("cents", LongType)))
@@ -14034,6 +13968,223 @@ object Queries {
       |  CAST(sum(c) AS BIGINT) AS total_cents,
       |  (SELECT dropped FROM drp) AS dropped_late
       |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** IVF serving from a CELL-PARTITIONED layout — the 100 TB read path
+    * the ivf scaladocs promise (q298 trains the codebook; this gate
+    * materializes the serving layout): the corpus is written
+    * hive-partitioned by its cell assignment, and queries are answered
+    * by reading ONLY their probe cells. The executed plan's
+    * PartitionFilters prove the scan touched nprobe directories, not
+    * the corpus, and that proof rides IN the result row (the q107
+    * pruned-flag pattern) — a pruning regression is a hash mismatch,
+    * not a silent slowdown. The codebook is the q299 keyed slice
+    * (vec_id < 4 — bounded, cross-engine recomputable); the probe-cell
+    * set collected to the driver is ≤ k cells by construction. Scale:
+    * write-time cell assignment is a narrow projection over the
+    * corpus; each query's read is nprobe directory scans + a broadcast
+    * hash join on cell.
+    */
+  val ivfPartitioned: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 4)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (cents.isEmpty) {
+      // empty corpus ⇒ empty codebook ⇒ no candidates, not a crash
+      emb.select(col("vec_id").as("query_id"), lit(1).as("rank"),
+        col("vec_id").as("neighbor_id"), lit(0.0).as("score"),
+        lit(true).as("pruned")).filter(lit(false))
+    } else {
+      val cellIds = cents.map(_._1)
+      val cvs = cents.map(_._2)
+      val assigned = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("embedding"),
+          VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
+            .getItem(0).as("cell"))
+      val tmp = scratch("graft_ivf_part").toString
+      Writers.parquet(assigned, s"$tmp/corpus", partitionBy = Seq("cell"))
+      val q = Dedup.pin(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(VectorExpressions.nearest_cells(col("embedding"), cellIds,
+            cvs, 2)).as("cell")))
+      // ≤ k distinct cells by construction — the driver-side collect is
+      // bounded by the codebook, never the query set or the corpus
+      val probeCells = q.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val probe = if (probeCells.isEmpty) lit(false)
+        else col("cell").isin(probeCells: _*)
+      val rd = Readers.parquetWithSchema(s, s"$tmp/corpus", assigned.schema)
+        .filter(probe)
+      val pruned = "PartitionFilters: \\[[^\\]]*(IN|INSET)[^\\]]*".r
+        .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      rd.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          col("cell"))
+        .join(broadcast(q), Seq("cell"))
+        .withColumn("score",
+          VectorExpressions.cosine_similarity(col("qv"), col("cv")))
+        .filter(col("score").isNotNull)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), lit(pruned).as("pruned"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  }
+
+  val ivfPartitionedSql: String =
+    """WITH emb AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < 4),
+      |corpus AS (SELECT vec_id, e FROM emb WHERE vec_id >= 10),
+      |qs AS (SELECT vec_id, e FROM emb WHERE vec_id < 10),
+      |cc AS (SELECT vec_id, e, cell FROM (
+      |  SELECT r.vec_id, r.e, c.cell, row_number() OVER (
+      |      PARTITION BY r.vec_id ORDER BY
+      |      list_dot_product(r.e, c.ce) /
+      |        (sqrt(list_dot_product(r.e, r.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM corpus r CROSS JOIN cents c) WHERE rn = 1),
+      |qp AS (SELECT vec_id AS query_id, e AS qe, cell FROM (
+      |  SELECT q.vec_id, q.e, c.cell, row_number() OVER (
+      |      PARTITION BY q.vec_id ORDER BY
+      |      list_dot_product(q.e, c.ce) /
+      |        (sqrt(list_dot_product(q.e, q.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+      |cand AS (SELECT qp.query_id, r.vec_id AS neighbor_id,
+      |    list_dot_product(qp.qe, r.e) /
+      |      (sqrt(list_dot_product(qp.qe, qp.qe))
+      |       * sqrt(list_dot_product(r.e, r.e))) AS score
+      |  FROM qp JOIN cc r USING (cell)),
+      |ranked AS (SELECT query_id, neighbor_id, score, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  round(score, 6) AS score, TRUE AS pruned
+      |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Z-order layout audit ([[Layout]]): documents bucketized on two
+    * INDEPENDENT dimensions — length (width-16 buckets) and an md5
+    * source bucket (the q238 idiom) — written z-clustered with the
+    * stored Morton key (q111 gates the interleave bit-for-bit), then
+    * the pruning power of the layout is measured against the
+    * lexicographic (a-major) alternative on a three-shape box workload:
+    * narrow-in-a, narrow-in-b, narrow-in-both. For each layout, rows
+    * are assigned to 16 equal-count files in layout-key order (a
+    * DETERMINISTIC stand-in for the range-partitioned file boundaries,
+    * which a sampling partitioner would draw non-reproducibly —
+    * SCALE.md r9), per-file (min, max) of both dimensions are computed
+    * — exactly what parquet footers store — and `files_*` counts the
+    * files whose stats-box intersects each query box. The hash-checked
+    * claim is z-order's WORST-CASE boundedness: the a-major layout
+    * serves narrow-a queries perfectly but degenerates to a FULL scan
+    * (16/16 files) on narrow-b shapes, while the z-clustered files are
+    * quadtree boxes that serve every shape (file ranks recomputed from
+    * the round-tripped parquet via the two-phase [[Ranks]] rank — one
+    * range shuffle, no corpus-global window). `pushed` pins that the
+    * base-column predicate reaches the scan as PushedFilters — the
+    * read-side mechanism that turns those footer stats into skipped
+    * row groups at 100 TB.
+    */
+  val zorderLayout: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Layout.bucket(col("n_chars"), 4).as("a"),
+        (conv(substring(md5(col("source")), 1, 15), 16, 10).cast("long")
+          % 256).as("b"))
+    val tmp = scratch("graft_zorder").toString
+    Layout.zorderWrite(base, col("a"), col("b"), s"$tmp/docs",
+      numPartitions = 8)
+    val schema = base.withColumn("z", Layout.zkey(col("a"), col("b"))).schema
+    val rdAll = Readers.parquetWithSchema(s, s"$tmp/docs", schema)
+    val pushed = "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(a,".r
+      .findFirstIn(rdAll.filter(col("a").between(8, 15))
+        .queryExecution.executedPlan.toString).isDefined
+    val keyed = Dedup.pin(rdAll
+      .withColumn("rm", col("a") * 256 + col("b")))
+    val n1 = keyed.agg(count(lit(1)).as("nn"))
+    def fileStats(key: String): DataFrame =
+      Ranks.globalRowNumber(keyed, Seq(col(key), col("doc_id")), "rn",
+          numPartitions = 8)
+        .crossJoin(broadcast(n1))
+        .select(expr("((rn - 1) * 16) div nn").as("f"), col("a"), col("b"))
+        .groupBy(col("f"))
+        .agg(min(col("a")).as("amn"), max(col("a")).as("amx"),
+          min(col("b")).as("bmn"), max(col("b")).as("bmx"))
+    val shapes = s.range(1).select(explode(array(
+        struct(lit("narrow_a").as("shape"), lit(8L).as("alo"),
+          lit(15L).as("ahi"), lit(0L).as("blo"), lit(255L).as("bhi")),
+        struct(lit("narrow_b").as("shape"), lit(0L).as("alo"),
+          lit(255L).as("ahi"), lit(64L).as("blo"), lit(127L).as("bhi")),
+        struct(lit("both").as("shape"), lit(8L).as("alo"),
+          lit(15L).as("ahi"), lit(64L).as("blo"), lit(127L).as("bhi"))))
+        .as("q"))
+      .select(col("q.*"))
+    val hit = col("amn") <= col("ahi") && col("amx") >= col("alo") &&
+      col("bmn") <= col("bhi") && col("bmx") >= col("blo")
+    def touched(stats: DataFrame, out: String): DataFrame =
+      stats.crossJoin(broadcast(shapes)) // ≤16 files × 3 shapes
+        .groupBy(col("shape"))
+        .agg(coalesce(sum(when(hit, 1L)), lit(0L)).as(out))
+    val nBox = keyed.crossJoin(broadcast(shapes))
+      .groupBy(col("shape"))
+      .agg(coalesce(sum(when(col("a").between(col("alo"), col("ahi"))
+        && col("b").between(col("blo"), col("bhi")), 1L)), lit(0L))
+        .as("n_box"))
+    nBox.join(touched(fileStats("z"), "files_z"), Seq("shape"))
+      .join(touched(fileStats("rm"), "files_amajor"), Seq("shape"))
+      .select(col("shape"), col("n_box"), col("files_z"),
+        col("files_amajor"), lit(16L).as("n_files"),
+        lit(pushed).as("pushed"))
+      .orderBy(col("shape"))
+  }
+
+  val zorderLayoutSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    least(n_chars >> 4, 255) AS a,
+      |    ('0x' || substr(md5(source), 1, 15))::BIGINT % 256 AS b
+      |  FROM documents),
+      |k AS (SELECT doc_id, a, b,
+      |    CAST(list_sum(list_transform(generate_series(0, 7),
+      |      i -> ((a >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+      |         + ((b >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1))))
+      |      AS BIGINT) AS z,
+      |    a * 256 + b AS rm
+      |  FROM d),
+      |n AS (SELECT count(*) AS nn FROM k),
+      |sz AS (SELECT ((row_number() OVER (ORDER BY z, doc_id)) - 1) * 16
+      |      // nn AS f, a, b FROM k, n),
+      |fz AS (SELECT f, min(a) AS amn, max(a) AS amx,
+      |    min(b) AS bmn, max(b) AS bmx FROM sz GROUP BY f),
+      |sr AS (SELECT ((row_number() OVER (ORDER BY rm, doc_id)) - 1) * 16
+      |      // nn AS f, a, b FROM k, n),
+      |fr AS (SELECT f, min(a) AS amn, max(a) AS amx,
+      |    min(b) AS bmn, max(b) AS bmx FROM sr GROUP BY f),
+      |shapes AS (SELECT * FROM (VALUES
+      |    ('narrow_a', 8, 15, 0, 255),
+      |    ('narrow_b', 0, 255, 64, 127),
+      |    ('both', 8, 15, 64, 127)) t(shape, alo, ahi, blo, bhi)),
+      |zc AS (SELECT shape, CAST(coalesce(sum(CASE WHEN amn <= ahi
+      |      AND amx >= alo AND bmn <= bhi AND bmx >= blo THEN 1 END), 0)
+      |    AS BIGINT) AS files_z
+      |  FROM shapes CROSS JOIN fz GROUP BY shape),
+      |rc AS (SELECT shape, CAST(coalesce(sum(CASE WHEN amn <= ahi
+      |      AND amx >= alo AND bmn <= bhi AND bmx >= blo THEN 1 END), 0)
+      |    AS BIGINT) AS files_amajor
+      |  FROM shapes CROSS JOIN fr GROUP BY shape),
+      |bx AS (SELECT shape, CAST(coalesce(sum(CASE WHEN a BETWEEN alo
+      |      AND ahi AND b BETWEEN blo AND bhi THEN 1 END), 0)
+      |    AS BIGINT) AS n_box
+      |  FROM shapes CROSS JOIN k GROUP BY shape)
+      |SELECT shape, n_box, files_z, files_amajor,
+      |  CAST(16 AS BIGINT) AS n_files, TRUE AS pushed
+      |FROM bx JOIN zc USING (shape) JOIN rc USING (shape)
+      |ORDER BY shape""".stripMargin
 
   // ============================================================== catalog
 
@@ -14337,6 +14488,8 @@ object Queries {
     "q298_ivf_trained" -> ivfTrained,
     "q299_incremental_semdedup" -> incrementalSemdedup,
     "q300_stream_dropped_late" -> streamDroppedLate,
+    "q301_ivf_partitioned" -> ivfPartitioned,
+    "q302_zorder_layout" -> zorderLayout,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -14639,5 +14792,7 @@ object Queries {
     "q297_theil_decomposition" -> theilDecompositionSql,
     "q298_ivf_trained" -> ivfTrainedSql,
     "q299_incremental_semdedup" -> incrementalSemdedupSql,
-    "q300_stream_dropped_late" -> streamDroppedLateSql)
+    "q300_stream_dropped_late" -> streamDroppedLateSql,
+    "q301_ivf_partitioned" -> ivfPartitionedSql,
+    "q302_zorder_layout" -> zorderLayoutSql)
 }

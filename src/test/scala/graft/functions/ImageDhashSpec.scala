@@ -57,6 +57,21 @@ class ImageDhashSpec extends SparkSpec {
     assert(hashOf(Array.fill(63)(1.toByte), 9, 7) === None) // h < 8
   }
 
+  test("declared dims whose product overflows Int still hit the guard") {
+    // 1_000_000 x 9_000: w*h = 9e9 wraps to 410_065_408 as Int — an
+    // Int-arithmetic guard would pass and then AIOOBE inside the cell
+    // loop (r9 ADVICE). The Long-widened guard must return NULL for
+    // both hashes against any short buffer.
+    val b = Array.fill(1024)(1.toByte)
+    assert(ImageExpressions.grayDhash64(b, 1000000, 9000) === null)
+    assert(ImageExpressions.grayAhash64(b, 1000000, 9000) === null)
+    // and the extreme corner: dims at Int.MaxValue each
+    assert(ImageExpressions.grayDhash64(b, Int.MaxValue, Int.MaxValue)
+      === null)
+    assert(ImageExpressions.grayAhash64(b, Int.MaxValue, Int.MaxValue)
+      === null)
+  }
+
   test("interpreted eval agrees with codegen") {
     val b = Array.tabulate(18 * 16)(i => (i * 37 % 256).toByte)
     val expected = ImageExpressions.grayDhash64(b, 18, 16)

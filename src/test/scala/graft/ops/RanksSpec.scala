@@ -67,6 +67,31 @@ class RanksSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("globalRunningMax doubles: NaN-greatest and NULL-skipping like " +
+      "Spark max") {
+    // Spark's max ordering puts NaN ABOVE every double and skips NULLs;
+    // the executor-side fold must agree (JVM `>=` is false for any NaN
+    // operand, so a naive compare would silently drop NaN prefixes —
+    // the r9 ADVICE hazard).
+    val df = Seq[(Long, java.lang.Double)](
+      (1L, 1.5), (2L, null), (3L, Double.NaN), (4L, 7.0), (5L, null),
+      (6L, Double.PositiveInfinity), (7L, 2.0), (8L, Double.NaN))
+      .toDF("id", "v")
+    val ref = df.withColumn("rm_ref",
+      max(col("v")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    for (p <- Seq(1, 3, 8)) {
+      val got = Ranks.globalRunningMax(df, Seq(col("id")), col("v"),
+        "rm", numPartitions = p)
+      // NaN != NaN under `=!=`, so compare via NaN-aware equality
+      val diff = got.join(ref, Seq("id"))
+        .filter(!(col("rm") <=> col("rm_ref")
+          || (isnan(col("rm")) && isnan(col("rm_ref"))))).count()
+      assert(diff === 0L, s"numPartitions=$p")
+      Dedup.releaseCaches()
+    }
+  }
+
   test("ntileFromRank reproduces SQL ntile semantics incl. remainder") {
     val df = (1 to 103).map(_.toLong).toDF("id")
     val ref = df.withColumn("nt_ref",
