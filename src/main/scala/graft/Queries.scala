@@ -14186,6 +14186,212 @@ object Queries {
       |FROM bx JOIN zc USING (shape) JOIN rc USING (shape)
       |ORDER BY shape""".stripMargin
 
+  /** Dynamic partition pruning (DPP) — the RUNTIME sibling of q107's
+    * static partition pruning, and the optimization that makes
+    * hive-partitioned fact tables queryable by DIMENSION attributes at
+    * 100 TB: the fact is partitioned by order month, but the filter
+    * lives on a dim ATTRIBUTE (`mon <= 3`) that Catalyst cannot
+    * statically map to fact partitions — the only way to avoid
+    * scanning every partition is the DPP subquery, which at execution
+    * turns the broadcast dim's join keys into an IN-filter on the
+    * fact's partition column (reusing the join's own broadcast, so the
+    * filter costs nothing extra). The `dynamicpruning` expression's
+    * presence in the fact scan's PartitionFilters is pinned IN the
+    * result row (the q107/q301 pattern): if a config or plan change
+    * ever drops DPP, the gate hash-mismatches instead of silently
+    * scanning 4× the data. At 100 TB this is the difference between
+    * reading three months and reading the table.
+    */
+  val dppPruning: Q = (s, dir) => {
+    val tmp = scratch("graft_dpp").toString
+    val fact = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("om"))
+    Writers.parquet(fact, s"$tmp/fact", partitionBy = Seq("om"))
+    val dim = fact.select(col("om")).distinct()
+      .withColumn("mon", substring(col("om"), 6, 2).cast("int"))
+    Writers.parquet(dim, s"$tmp/dim")
+    val f = Readers.parquetWithSchema(s, s"$tmp/fact", fact.schema)
+    val d = Readers.parquetWithSchema(s, s"$tmp/dim", dim.schema)
+      .filter(col("mon") <= 3)
+    val joined = f.join(broadcast(d), Seq("om"))
+    val dpp = "dynamicpruning".r.findFirstIn(
+      joined.queryExecution.executedPlan.toString).isDefined
+    joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .withColumn("dpp", lit(dpp))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val dppPruningSql: String =
+    """WITH f AS (SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    strftime(o_orderdate, '%Y-%m') AS om FROM orders),
+      |d AS (SELECT DISTINCT om,
+      |    CAST(substr(om, 6, 2) AS INTEGER) AS mon FROM f)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS dpp
+      |FROM f JOIN d USING (om) WHERE mon <= 3
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Cost-based join REORDER — the optimizer capability multi-join SQL
+    * lives on at 100 TB: the query is WRITTEN in the worst order (the
+    * fact joins customer FIRST; the one-nation filter joins LAST), and
+    * with table + column statistics ANALYZEd and `spark.sql.cbo.
+    * joinReorder` enabled, Catalyst's DP-based CostBasedJoinReorder
+    * rewrites the tree so the selective customer⋈nation pair runs
+    * first and the fact joins the already-filtered key set. The
+    * reorder is pinned STRUCTURALLY, not by string luck: the optimized
+    * plan must contain a Join whose two sides are the customer and
+    * nation relations with no fact column on either side — a join the
+    * written order never creates. Stats discipline matters as much as
+    * the flag: without `FOR ALL COLUMNS` ndv the planner has no
+    * selectivity to reorder on. Conf keys are set per-query and
+    * RESTORED (the q263 provider pattern).
+    */
+  val cboReorder: Q = (s, dir) => {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val dbDir = scratch("graft_cbo_db")
+    s.sql("DROP DATABASE IF EXISTS graft_cbo CASCADE")
+    s.sql(s"CREATE DATABASE graft_cbo LOCATION '$dbDir'")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_cbo.orders_t")
+    t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_cbo.customer_t")
+    t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_cbo.nation_t")
+    Seq("orders_t", "customer_t", "nation_t").foreach(tn =>
+      s.sql(s"ANALYZE TABLE graft_cbo.$tn COMPUTE STATISTICS FOR ALL COLUMNS"))
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    keys.foreach(k => s.conf.set(k, "true"))
+    try {
+      val q = s.table("graft_cbo.orders_t")
+        .join(s.table("graft_cbo.customer_t"),
+          col("o_custkey") === col("c_custkey"))
+        .join(s.table("graft_cbo.nation_t")
+            .filter(col("n_name") === "NATION_7"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("sum_cents"))
+      val reordered = q.queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+        .exists { j =>
+          val sides = j.children.map(_.output.map(_.name).toSet)
+          sides.exists(_.contains("c_custkey")) &&
+            sides.exists(_.contains("n_nationkey")) &&
+            !sides.exists(_.exists(_.startsWith("o_")))
+        }
+      q.withColumn("reordered", lit(reordered))
+        .orderBy(col("o_orderpriority"))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val cboReorderSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents, TRUE AS reordered
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_7'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Stream-stream FULL OUTER interval join — the THIRTEENTH streaming
+    * gate, completing the stream-stream join family (q208 inner, q293
+    * left-outer): the funnel that keeps BOTH miss sets — unconverted
+    * views AND unattributed purchases (the revenue rows marketing
+    * can't explain). Right-side null emission is the new semantics
+    * under test: a purchase is released null-padded only when the
+    * watermark proves no view with l_ts ∈ [r_ts − 2 h, r_ts) can still
+    * arrive. Event-time-ordered staging keeps BOTH directions exact
+    * under any delay: a view arriving in a later batch has l_ts ≥ that
+    * purchase's batch max ≥ r_ts, violating the l_ts < r_ts bound — so
+    * cross-batch probes of evicted state are impossible on either
+    * side. Per-side far-future sentinels flush both unmatched sets
+    * (the global watermark is the MIN across inputs). Scale: state is
+    * the 2 h + delay band per side, evicted continuously.
+    */
+  val streamFullOuterJoin: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = scratch("graft_stream_ssfull_src")
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, srcDir,
+      scratch("graft_stream_ssfull_stage"), Seq(col("event_id")))
+    val sentinelUs = hi + 30L * 86400L * 1000000L
+    Staging.stageOne(s.range(2).select(
+      (lit(-1L) - col("id")).as("event_id"),
+      timestamp_micros(lit(sentinelUs)).as("ts"),
+      lit(-1L).as("user_id"),
+      when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
+        .as("event_type"),
+      lit(0.0).as("value")), 4, srcDir, scratch("graft_stream_ssfull_sent"))
+    def side(tpe: String) = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .filter(col("event_type") === tpe)
+    val joined = EventStreams.joinWithinWindow(
+      side("view"), side("purchase"), "user_id", "2 hours", "2 hours",
+      "full_outer")
+    val qname = "graft_stream_ssfull_sink"
+    val sq = joined
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("l_id").isNotNull && col("r_id").isNotNull, 1))
+          .as("n_pairs"),
+        sum(when(col("l_id").isNotNull && col("r_id").isNull, 1L)
+          .otherwise(0L)).as("n_unconverted"),
+        sum(when(col("l_id").isNull, 1L).otherwise(0L)).as("n_orphans"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamFullOuterJoinSql: String =
+    """WITH v AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |fj AS (SELECT coalesce(v.user_id, p.user_id) AS user_id,
+      |    v.event_id AS l_id, p.event_id AS r_id,
+      |    epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |  FROM v FULL JOIN p ON v.user_id = p.user_id
+      |    AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR)
+      |SELECT user_id,
+      |  CAST(count(CASE WHEN l_id IS NOT NULL AND r_id IS NOT NULL
+      |    THEN 1 END) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(sum(CASE WHEN l_id IS NOT NULL AND r_id IS NULL
+      |    THEN 1 END), 0) AS BIGINT) AS n_unconverted,
+      |  CAST(coalesce(sum(CASE WHEN l_id IS NULL THEN 1 END), 0)
+      |    AS BIGINT) AS n_orphans,
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+      |FROM fj GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -14490,6 +14696,9 @@ object Queries {
     "q300_stream_dropped_late" -> streamDroppedLate,
     "q301_ivf_partitioned" -> ivfPartitioned,
     "q302_zorder_layout" -> zorderLayout,
+    "q303_dpp_pruning" -> dppPruning,
+    "q304_cbo_reorder" -> cboReorder,
+    "q305_stream_full_outer" -> streamFullOuterJoin,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -14794,5 +15003,8 @@ object Queries {
     "q299_incremental_semdedup" -> incrementalSemdedupSql,
     "q300_stream_dropped_late" -> streamDroppedLateSql,
     "q301_ivf_partitioned" -> ivfPartitionedSql,
-    "q302_zorder_layout" -> zorderLayoutSql)
+    "q302_zorder_layout" -> zorderLayoutSql,
+    "q303_dpp_pruning" -> dppPruningSql,
+    "q304_cbo_reorder" -> cboReorderSql,
+    "q305_stream_full_outer" -> streamFullOuterJoinSql)
 }

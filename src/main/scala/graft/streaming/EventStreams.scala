@@ -134,8 +134,10 @@ object EventStreams {
         col("r_ts") > col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"),
         joinType)
-      .select(col("k").as(keyCol), col("l_id"), col("r_id"),
-        col("l_ts"), col("r_ts"), col("value"))
+      // coalesce: under full_outer a right-unmatched row carries its key
+      // only in rk (k is null); a no-op for inner/left_outer rows
+      .select(coalesce(col("k"), col("rk")).as(keyCol), col("l_id"),
+        col("r_id"), col("l_ts"), col("r_ts"), col("value"))
   }
 
   /** foreachBatch idempotent-append sink: per micro-batch, dedup the batch
