@@ -14392,6 +14392,73 @@ object Queries {
       |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
       |FROM fj GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** AQE skew-join split — the RUNTIME answer to key skew, completing
+    * the skew family ([[Skew]] covers detection q141 and manual salting
+    * q142): a planted 90%-hot key makes one shuffle partition dwarf the
+    * rest, and Adaptive Query Execution's OptimizeSkewedJoin splits
+    * that partition into parallel sub-reads (duplicating the matching
+    * build rows) instead of letting a single task own the hot key — no
+    * salting rewrite, no manual key surgery. The split is pinned via
+    * the `skew=true` marker the SortMergeJoin node carries in the FINAL
+    * adaptive plan, which only exists after execution — so the gate
+    * executes the join once for the flag, then returns the aggregate
+    * whose hash carries it (a disabled or mis-thresholded AQE is a
+    * mismatch, not a silent one-task straggler). Skew thresholds are
+    * lowered to gate scale and RESTORED (the q263 provider pattern);
+    * broadcast is disabled statically AND adaptively so the join stays
+    * a shuffled SMJ — the shape skew splitting applies to. At 100 TB
+    * this is the difference between a 10-minute straggler task and a
+    * few hundred parallel sub-tasks.
+    */
+  val aqeSkewJoin: Q = (s, dir) => withShufflePartitions(s, 8) {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val vals = Seq("-1", "-1", "1KB", "2KB", "2.0")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    keys.zip(vals).foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"),
+          when(col("event_id") % 10 < 9, 0L)
+            .otherwise(col("event_id") % 100).as("k"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        // 8 upstream mappers: skew splits are MAP-OUTPUT ranges, so a
+        // single-file scan (one mapper) leaves the hot partition
+        // unsplittable no matter how skewed — the same reason a 100 TB
+        // job wants many map tasks feeding a skewed exchange
+        .repartition(8, col("event_id"))
+      val dim = s.range(100).select(col("id").as("k"),
+        concat(lit("grp_"), (col("id") % 4).cast("string")).as("grp"))
+      val joined = ev.join(dim, Seq("k"))
+      val qe = joined.queryExecution
+      qe.toRdd.count() // finalize the adaptive plan
+      val skewed = qe.executedPlan.toString.contains("skew=true")
+      joined.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("skew_split", lit(skewed))
+        .orderBy(col("grp"))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val aqeSkewJoinSql: String =
+    """WITH e AS (SELECT CASE WHEN event_id % 10 < 9 THEN 0
+      |      ELSE event_id % 100 END AS k,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT i AS k, 'grp_' || CAST(i % 4 AS VARCHAR) AS grp
+      |  FROM generate_series(0, 99) t(i))
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS skew_split
+      |FROM e JOIN d USING (k) GROUP BY grp ORDER BY grp""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -14699,6 +14766,7 @@ object Queries {
     "q303_dpp_pruning" -> dppPruning,
     "q304_cbo_reorder" -> cboReorder,
     "q305_stream_full_outer" -> streamFullOuterJoin,
+    "q306_aqe_skew_join" -> aqeSkewJoin,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -15006,5 +15074,6 @@ object Queries {
     "q302_zorder_layout" -> zorderLayoutSql,
     "q303_dpp_pruning" -> dppPruningSql,
     "q304_cbo_reorder" -> cboReorderSql,
-    "q305_stream_full_outer" -> streamFullOuterJoinSql)
+    "q305_stream_full_outer" -> streamFullOuterJoinSql,
+    "q306_aqe_skew_join" -> aqeSkewJoinSql)
 }
