@@ -14459,6 +14459,134 @@ object Queries {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS skew_split
       |FROM e JOIN d USING (k) GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** One 288-byte 18×16 grayscale FRAME of a planted video: block i of
+    * frame j is md5("<id>|f<j>|<i>"); the variant rendition edits the
+    * LAST frame's last block ("17v") — every other frame is
+    * byte-identical to the base. Shared by [[videoFrameSample]].
+    */
+  private def plantedVideoFrame(idCol: Column, j: Int, nfCol: Column,
+                                variant: Boolean): Column = {
+    def block(i: Int): Column = {
+      val tag =
+        if (variant)
+          when(lit(j) === nfCol - 1 && lit(i) === 17, lit("17v"))
+            .otherwise(lit(i.toString))
+        else lit(i.toString)
+      unhex(md5(concat(idCol.cast("string"), lit(s"|f$j|"), tag)
+        .cast("binary")))
+    }
+    concat((0 until 18).map(block): _*)
+  }
+
+  /** VIDEO frame-sampling + near-dup detection — the third multimodal
+    * modality (q277/q279 image, q280 audio): each document plants a
+    * video as ONE opaque container binary (3–7 concatenated 288-byte
+    * 18×16 grayscale frames — the fixed-frame-size raw layout) plus
+    * typed metadata (`nf`), and docs with doc_id % 7 == 0 plant a
+    * VARIANT rendition identical except the last frame (a re-encode
+    * tail edit). The OP is the real pipeline shape: parse the
+    * container back into frames by offset arithmetic
+    * (`substring(video, fidx*288+1, 288)` — binary substring, one
+    * row-local expression), sample at stride 2 (every other frame —
+    * the standard cost/recall dial: sampling halves the hash work and
+    * still catches any edit that leaves ≥2 sampled frames intact),
+    * perceptual-hash each sampled frame with the q277 codegen
+    * [[graft.functions.ImageExpressions.gray_dhash64]], and pair
+    * videos BY SHARED SAMPLED-FRAME HASH through an equi-join on the
+    * 8-byte fingerprint — bucketed by content, never an all-pairs
+    * product. shared ≥ 2 admits exactly the base↔variant pairs with
+    * nf ≥ 4 (nf = 3 samples frames {0, 2} and 2 IS the edited frame —
+    * the deterministic miss both engines agree on; unrelated videos
+    * collide on a 64-bit gradient hash with negligible probability and
+    * the oracle would catch any such pair exactly). The DuckDB twin
+    * recomputes every sampled frame's pixels, cells, and gradient bits
+    * from the same md5 arithmetic and joins on the 64-bit BITSTRING —
+    * so the gate pins the container round-trip byte-for-byte. Scale:
+    * sampling and hashing are row-local (map-only over the container
+    * bytes); join state is 8 bytes per sampled frame.
+    */
+  val videoFrameSample: Q = (s, dir) => {
+    import graft.functions.ImageExpressions
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), (lit(3L) + col("doc_id") % 5).as("nf"))
+    def render(variant: Boolean): Column =
+      concat((0 until 7).map(j =>
+        when(lit(j) < col("nf"),
+          plantedVideoFrame(col("doc_id"), j, col("nf"), variant))
+          .otherwise(lit(Array.empty[Byte]))): _*)
+    val vids = base
+      .select(col("doc_id").as("vid"), col("nf"),
+        render(variant = false).as("video"))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("vid"), col("nf"),
+          render(variant = true).as("video")))
+    val frames = Dedup.pin(vids
+      .select(col("vid"), col("nf"),
+        explode(expr("sequence(CAST(0 AS BIGINT), (nf - 1) div 2)"))
+          .as("k"))
+      .withColumn("fidx", col("k") * 2)
+      .join(vids.select(col("vid"), col("video")), Seq("vid"))
+      .select(col("vid"),
+        ImageExpressions.gray_dhash64(
+          expr("substring(video, CAST(fidx * 288 + 1 AS INT), 288)"),
+          18, 16).as("fh")))
+    val counts = frames.groupBy(col("vid"))
+      .agg(count(lit(1)).as("ns"))
+    frames.as("a")
+      .join(frames.as("b"),
+        col("a.fh") === col("b.fh") && col("a.vid") < col("b.vid"))
+      .groupBy(col("a.vid").as("vid1"), col("b.vid").as("vid2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .join(counts.select(col("vid").as("vid1"), col("ns").as("n1")),
+        Seq("vid1"))
+      .join(counts.select(col("vid").as("vid2"), col("ns").as("n2")),
+        Seq("vid2"))
+      .select(col("vid1"), col("vid2"), col("shared"), col("n1"),
+        col("n2"))
+      .orderBy(col("vid1"), col("vid2"))
+  }
+
+  val videoFrameSampleSql: String =
+    """WITH base AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+      |    3 + doc_id % 5 AS nf FROM documents),
+      |vids AS (
+      |  SELECT doc_id AS vid, s, nf, FALSE AS v FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, s, nf, TRUE FROM base
+      |  WHERE doc_id % 7 = 0),
+      |sf AS (SELECT vid, s, nf, v,
+      |    unnest(generate_series(0, (nf - 1) // 2)) * 2 AS j FROM vids),
+      |px AS (SELECT vid, j, list_transform(generate_series(0, 287), k ->
+      |    ('0x' || substr(md5(s || '|f' || CAST(j AS VARCHAR) || '|' ||
+      |        CASE WHEN v AND j = nf - 1 AND k // 16 = 17 THEN '17v'
+      |          ELSE CAST(k // 16 AS VARCHAR) END),
+      |      (k % 16) * 2 + 1, 2))::BIGINT) AS p
+      |  FROM sf),
+      |cells AS (SELECT vid, j, list_transform(generate_series(0, 71), g ->
+      |    (p[(g // 9) * 2 * 18 + (g % 9) * 2 + 1]
+      |     + p[(g // 9) * 2 * 18 + (g % 9) * 2 + 2]
+      |     + p[((g // 9) * 2 + 1) * 18 + (g % 9) * 2 + 1]
+      |     + p[((g // 9) * 2 + 1) * 18 + (g % 9) * 2 + 2]) // 4) AS cell
+      |  FROM px),
+      |h AS (SELECT vid, j, array_to_string(
+      |    list_transform(generate_series(0, 63), b ->
+      |      CASE WHEN cell[(b // 8) * 9 + (b % 8) + 2]
+      |             > cell[(b // 8) * 9 + (b % 8) + 1]
+      |        THEN '1' ELSE '0' END), '') AS hs
+      |  FROM cells),
+      |pairs AS (SELECT a.vid AS vid1, b.vid AS vid2,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM h a JOIN h b ON a.hs = b.hs AND a.vid < b.vid
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |cnt AS (SELECT vid, CAST(count(*) AS BIGINT) AS ns
+      |  FROM h GROUP BY vid)
+      |SELECT vid1, vid2, shared, c1.ns AS n1, c2.ns AS n2
+      |FROM pairs
+      |JOIN cnt c1 ON c1.vid = vid1
+      |JOIN cnt c2 ON c2.vid = vid2
+      |ORDER BY vid1, vid2""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -14767,6 +14895,7 @@ object Queries {
     "q304_cbo_reorder" -> cboReorder,
     "q305_stream_full_outer" -> streamFullOuterJoin,
     "q306_aqe_skew_join" -> aqeSkewJoin,
+    "q307_video_framesample" -> videoFrameSample,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -15075,5 +15204,6 @@ object Queries {
     "q303_dpp_pruning" -> dppPruningSql,
     "q304_cbo_reorder" -> cboReorderSql,
     "q305_stream_full_outer" -> streamFullOuterJoinSql,
-    "q306_aqe_skew_join" -> aqeSkewJoinSql)
+    "q306_aqe_skew_join" -> aqeSkewJoinSql,
+    "q307_video_framesample" -> videoFrameSampleSql)
 }
