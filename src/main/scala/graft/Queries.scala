@@ -14587,6 +14587,60 @@ object Queries {
       |JOIN cnt c2 ON c2.vid = vid2
       |ORDER BY vid1, vid2""".stripMargin
 
+  /** Image RESIZE (thumbnailing) — the remaining verb of the multimodal
+    * surface (decode → q30/q125 header parse, feature-extract →
+    * q277/q279/q280, frame-sample → q307, resize → HERE): the planted
+    * 18×16 images are downsampled to a 9×8 thumbnail with the codegen
+    * nearest-neighbor [[graft.functions.ImageExpressions.gray_resize]]
+    * (exact floor source-index map), and the gate pins every output
+    * BYTE (the 72-byte thumb as hex) plus an independent CONSUMER of
+    * the resized buffer — the 9×8 aHash — against a DuckDB twin that
+    * recomputes both the resize and the hash from the md5 pixel
+    * stream. Scale: resize is a row-local generated-code pass — at
+    * 100 TB thumbnailing is map-only, and the thumbnail column is what
+    * downstream perceptual indexing reads instead of full frames.
+    */
+  val imageResize: Q = (s, dir) => {
+    import graft.functions.ImageExpressions
+    t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        plantedImagePixels(col("doc_id"), variant = false).as("px"))
+      .withColumn("thumb",
+        ImageExpressions.gray_resize(col("px"), 18, 16, 9, 8))
+      .select(col("id"), lower(hex(col("thumb"))).as("thumb_hex"),
+        lpad(lower(hex(
+          ImageExpressions.gray_ahash64(col("thumb"), 9, 8))), 16, "0")
+          .as("thumb_ahash"))
+      .orderBy(col("id"))
+  }
+
+  val imageResizeSql: String =
+    """WITH px AS (SELECT doc_id AS id,
+      |    list_transform(generate_series(0, 287), k ->
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+      |          CAST(k // 16 AS VARCHAR)), (k % 16) * 2 + 1, 2))::BIGINT)
+      |      AS p
+      |  FROM documents),
+      |th AS (SELECT id, list_transform(generate_series(0, 71), k ->
+      |      p[(k // 9) * 2 * 18 + (k % 9) * 2 + 1]) AS t FROM px),
+      |mn AS (SELECT id, t,
+      |    list_sum(list_transform(generate_series(0, 63), j ->
+      |      t[(j // 8) * 9 + (j % 8) + 1])) // 64 AS mean FROM th),
+      |bits AS (SELECT id, t,
+      |    list_transform(generate_series(0, 63), i ->
+      |      t[(i // 8) * 9 + (i % 8) + 1] > mean) AS abit FROM mn)
+      |SELECT id,
+      |  array_to_string(list_transform(generate_series(1, 72), k ->
+      |    printf('%02x', t[k])), '') AS thumb_hex,
+      |  array_to_string(list_transform(generate_series(1, 16), j ->
+      |    substr('0123456789abcdef',
+      |      (CASE WHEN abit[4 * (16 - j) + 1] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN abit[4 * (16 - j) + 2] THEN 2 ELSE 0 END)
+      |      + (CASE WHEN abit[4 * (16 - j) + 3] THEN 4 ELSE 0 END)
+      |      + (CASE WHEN abit[4 * (16 - j) + 4] THEN 8 ELSE 0 END) + 1,
+      |      1)), '') AS thumb_ahash
+      |FROM bits ORDER BY id""".stripMargin
+
   // ============================================================== catalog
 
   val all: Map[String, Q] = Map(
@@ -14896,6 +14950,7 @@ object Queries {
     "q305_stream_full_outer" -> streamFullOuterJoin,
     "q306_aqe_skew_join" -> aqeSkewJoin,
     "q307_video_framesample" -> videoFrameSample,
+    "q308_image_resize" -> imageResize,
     "q53_regex_extract" -> regexExtract)
 
   val oracles: Map[String, String] = Map(
@@ -15205,5 +15260,6 @@ object Queries {
     "q304_cbo_reorder" -> cboReorderSql,
     "q305_stream_full_outer" -> streamFullOuterJoinSql,
     "q306_aqe_skew_join" -> aqeSkewJoinSql,
-    "q307_video_framesample" -> videoFrameSampleSql)
+    "q307_video_framesample" -> videoFrameSampleSql,
+    "q308_image_resize" -> imageResizeSql)
 }

@@ -289,4 +289,63 @@ object ImageExpressions {
   def gray_dhash64(bin: Column, w: Int, h: Int): Column =
     GraftColumnBridge.column(
       GrayDhash64(GraftColumnBridge.expression(bin), w, h))
+
+  /** Nearest-neighbor grayscale RESIZE of a raw w×h 8-bit buffer to
+    * ow×oh: out(y, x) = in((y·h) div oh, (x·w) div ow) — the standard
+    * floor source-index map, exact integer arithmetic end to end, so a
+    * SQL oracle can recompute every output byte. NULL on short buffers,
+    * non-positive dims, or an output larger than 2^26 pixels (the same
+    * guard class as the Long-widened w·h check — a hostile header
+    * cannot make the expression allocate unboundedly). This is the
+    * thumbnail step of the multimodal surface; the CODEC step (PNG/JPEG
+    * entropy decode to the raw buffer) remains the documented
+    * container-library stub.
+    */
+  def grayResize(b: Array[Byte], w: Int, h: Int,
+                 ow: Int, oh: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0 || ow <= 0 || oh <= 0
+        || b.length.toLong < w.toLong * h
+        || ow.toLong * oh > (1L << 26)) return null
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val rowOff = ((y.toLong * h) / oh).toInt * w
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = b(rowOff + ((x.toLong * w) / ow).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  case class GrayResize(child: Expression, w: Int, h: Int, ow: Int, oh: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      ImageExpressions.grayResize(input.asInstanceOf[Array[Byte]], w, h,
+        ow, oh)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val v = ctx.freshName("rz")
+        val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |byte[] $v = $cls.grayResize($bin, $w, $h, $ow, $oh);
+           |if ($v == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $v; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Nearest-neighbor resize of a raw w×h gray buffer to ow×oh. */
+  def gray_resize(bin: Column, w: Int, h: Int, ow: Int, oh: Int): Column =
+    GraftColumnBridge.column(
+      GrayResize(GraftColumnBridge.expression(bin), w, h, ow, oh))
 }

@@ -22,6 +22,28 @@ class ImageDhashSpec extends SparkSpec {
     assert(hashOf(Array.fill(9 * 8)(42.toByte), 9, 8) === Some(0L))
   }
 
+  test("gray_resize: floor index map, identity, guards, codegen parity") {
+    // 4×4 ramp down to 2×2: out(y,x) = in(2y, 2x) = (2y)*4 + 2x
+    val in = Array.tabulate(16)(_.toByte)
+    val got = Seq(Tuple1(in)).toDF("px")
+      .select(ImageExpressions.gray_resize(col("px"), 4, 4, 2, 2).as("t"))
+      .head().getAs[Array[Byte]](0)
+    assert(got.toSeq === Seq[Byte](0, 2, 8, 10))
+    // identity resize returns the same bytes
+    assert(ImageExpressions.grayResize(in, 4, 4, 4, 4).toSeq === in.toSeq)
+    // guards: short buffer, bad dims, oversized output
+    assert(ImageExpressions.grayResize(in, 5, 4, 2, 2) === null)
+    assert(ImageExpressions.grayResize(in, 0, 4, 2, 2) === null)
+    assert(ImageExpressions.grayResize(in, 4, 4, 1 << 14, 1 << 14) === null)
+    // interpreted eval agrees with the driver-side method (codegen path
+    // is exercised by the q308 gate end-to-end)
+    val df = Seq(Tuple1(in)).toDF("px")
+    val viaExpr = df.select(
+      ImageExpressions.gray_resize(col("px"), 4, 4, 3, 2)).head()
+      .getAs[Array[Byte]](0).toSeq
+    assert(viaExpr === ImageExpressions.grayResize(in, 4, 4, 3, 2).toSeq)
+  }
+
   test("strictly increasing row gradient sets all 64 bits") {
     // 9×8 buffer where each column is brighter than the last
     val b = Array.tabulate(9 * 8)(i => ((i % 9) * 20).toByte)
