@@ -13879,25 +13879,23 @@ object Queries {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
     val srcDir = scratch("graft_stream_late_src")
+    // ONE arrival-key expression, used for BOTH the lo/hi bounds and
+    // the slice bucketing — computable from the staged columns (the
+    // staged files carry exactly the stream schema, not the jitter
+    // column), and hoisted so the two uses can never desynchronize
+    val arrKey = (unix_micros(col("ts"))
+      + conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 216000000000L)
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("event_type"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .withColumn("arr", unix_micros(col("ts"))
-        + conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 216000000000L)
-    val bounds = ev.agg(min(col("arr")).as("lo"), max(col("arr")).as("hi"))
+    val bounds = ev.agg(min(arrKey).as("lo"), max(arrKey).as("hi"))
       .head()
     val (lo, hi) =
       if (bounds.isNullAt(0)) (0L, 16L)
       else (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(hi - lo, 16L)
-    // arrival-order key recomputed from the STAGED columns (the staged
-    // files carry exactly the stream schema, not the jitter column)
-    Staging.stageSlices(
-      ev.select(col("event_id"), col("ts"), col("event_type"), col("cents")),
-      unix_micros(col("ts"))
-        + conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 216000000000L,
+    Staging.stageSlices(ev, arrKey,
       16, lo, span, srcDir, scratch("graft_stream_late_stage"),
       Seq(col("event_id")))
     // sentinel: advances the final watermark past every real window end
@@ -14086,10 +14084,12 @@ object Queries {
     * (16/16 files) on narrow-b shapes, while the z-clustered files are
     * quadtree boxes that serve every shape (file ranks recomputed from
     * the round-tripped parquet via the two-phase [[Ranks]] rank — one
-    * range shuffle, no corpus-global window). `pushed` pins that the
-    * base-column predicate reaches the scan as PushedFilters — the
-    * read-side mechanism that turns those footer stats into skipped
-    * row groups at 100 TB.
+    * range shuffle, no corpus-global window). `pushed` pins phase-1 of
+    * the two-phase z-order read: the "both" box's z-WINDOW
+    * ([[Layout.zWindow]] — a superset interval on the STORED cluster
+    * key, correct by the Morton code's componentwise monotonicity)
+    * reaches the scan as PushedFilters on z — the read-side mechanism
+    * that turns those footer stats into skipped row groups at 100 TB.
     */
   val zorderLayout: Q = (s, dir) => {
     val base = t(s, dir, "documents")
@@ -14102,8 +14102,14 @@ object Queries {
       numPartitions = 8)
     val schema = base.withColumn("z", Layout.zkey(col("a"), col("b"))).schema
     val rdAll = Readers.parquetWithSchema(s, s"$tmp/docs", schema)
-    val pushed = "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(a,".r
-      .findFirstIn(rdAll.filter(col("a").between(8, 15))
+    // phase-1 of the two-phase z-order read: the box's z-window (a
+    // SUPERSET interval on the stored cluster key, [[Layout.zWindow]])
+    // must reach the scan as PushedFilters on z — the mechanism that
+    // turns the per-file footer stats measured below into skipped row
+    // groups at read time
+    val (zlo, zhi) = Layout.zWindow(8, 64, 15, 127)
+    val pushed = "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(z,".r
+      .findFirstIn(rdAll.filter(col("z").between(zlo, zhi))
         .queryExecution.executedPlan.toString).isDefined
     val keyed = Dedup.pin(rdAll
       .withColumn("rm", col("a") * 256 + col("b")))
@@ -14291,7 +14297,16 @@ object Queries {
             sides.exists(_.contains("n_nationkey")) &&
             !sides.exists(_.exists(_.startsWith("o_")))
         }
-      q.withColumn("reordered", lit(reordered))
+      // collect INSIDE the conf window so the hash-checked rows come
+      // from the REORDERED execution the flag certifies (returning the
+      // lazy frame would re-optimize it after the finally restores
+      // cbo.* to default-off — the written worst order); ≤ 5 priority
+      // groups, so the collect is bounded
+      val rows = q.collect()
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("o_orderpriority", "n_orders", "sum_cents")
+        .withColumn("reordered", lit(reordered))
         .orderBy(col("o_orderpriority"))
     } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
@@ -14401,9 +14416,11 @@ object Queries {
     * salting rewrite, no manual key surgery. The split is pinned via
     * the `skew=true` marker the SortMergeJoin node carries in the FINAL
     * adaptive plan, which only exists after execution — so the gate
-    * executes the join once for the flag, then returns the aggregate
-    * whose hash carries it (a disabled or mis-thresholded AQE is a
-    * mismatch, not a silent one-task straggler). Skew thresholds are
+    * collects the aggregate ONCE inside the conf window and reads the
+    * flag off that same execution's final plan: the hash-checked rows
+    * are the rows the split plan produced (a disabled or
+    * mis-thresholded AQE is a mismatch, not a silent one-task
+    * straggler). Skew thresholds are
     * lowered to gate scale and RESTORED (the q263 provider pattern);
     * broadcast is disabled statically AND adaptively so the join stays
     * a shuffled SMJ — the shape skew splitting applies to. At 100 TB
@@ -14434,12 +14451,20 @@ object Queries {
         .repartition(8, col("event_id"))
       val dim = s.range(100).select(col("id").as("k"),
         concat(lit("grp_"), (col("id") % 4).cast("string")).as("grp"))
-      val joined = ev.join(dim, Seq("k"))
-      val qe = joined.queryExecution
-      qe.toRdd.count() // finalize the adaptive plan
-      val skewed = qe.executedPlan.toString.contains("skew=true")
-      joined.groupBy(col("grp"))
+      val agg = ev.join(dim, Seq("k"))
+        .groupBy(col("grp"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      // collect INSIDE the conf window so the hash-checked rows are the
+      // ones the skew-split plan produced (returning the lazy frame
+      // would re-plan it AFTER the finally restores the thresholds —
+      // broadcast-shaped, and the flag would describe a different run);
+      // group count is ≤ 4 by construction, so the collect is bounded
+      val rows = agg.collect()
+      val skewed = agg.queryExecution.executedPlan.toString
+        .contains("skew=true")
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("grp", "n", "sum_cents")
         .withColumn("skew_split", lit(skewed))
         .orderBy(col("grp"))
     } finally prev.foreach {
