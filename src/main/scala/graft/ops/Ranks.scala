@@ -113,6 +113,19 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", valueCol)
     val vType = ranged.schema("__v").dataType
+    // Fail fast on the DRIVER for value types [[ordGe]] cannot order —
+    // otherwise the mismatch only surfaces as an executor-side
+    // IllegalArgumentException mid-job. Keep in sync with ordGe.
+    vType match {
+      case _: org.apache.spark.sql.types.LongType | _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.DoubleType | _: org.apache.spark.sql.types.FloatType |
+           _: org.apache.spark.sql.types.DecimalType | _: org.apache.spark.sql.types.StringType |
+           _: org.apache.spark.sql.types.DateType | _: org.apache.spark.sql.types.TimestampType => ()
+      case other => throw new IllegalArgumentException(
+        s"globalRunningMax: unsupported value type $other (supported: " +
+          "long/int/short/byte/double/float/decimal/string/date/timestamp)")
+    }
     val runSchema = ranged.schema
       .add(org.apache.spark.sql.types.StructField("__run", vType, nullable = true))
     val local = Dedup.pin(
@@ -163,6 +176,16 @@ object Ranks {
   private def ordGe(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long)     => x >= y
     case (x: Int, y: Int)       => x >= y
+    case (x: Short, y: Short)   => x >= y
+    case (x: Byte, y: Byte)     => x >= y
+    // Row API surfaces dates/timestamps as java.sql types (or java.time
+    // when spark.sql.datetime.java8API.enabled) — both are Comparable
+    // with orderings that agree with Spark's max (days / micros since
+    // epoch), so compareTo is exact here.
+    case (x: java.sql.Date, y: java.sql.Date)           => x.compareTo(y) >= 0
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y) >= 0
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y) >= 0
+    case (x: java.time.Instant, y: java.time.Instant)     => x.compareTo(y) >= 0
     // java.lang.Double.compare, NOT `x >= y`: JVM `>=` is false for any
     // NaN operand, while Spark's max/greatest ordering (TypeUtils) puts
     // NaN above every double — the two must agree or the cross-partition

@@ -52,6 +52,16 @@ object Staging {
     * the span-slice of `ord`, using `tmp` as scratch. `ord` must be
     * computable from `df`'s own columns; the staged files carry exactly
     * `df`'s schema.
+    *
+    * Contract (matches the N-filter loop this replaced): rows with a
+    * NULL `ord` or with `ord < lo` are DROPPED, explicitly. The loop's
+    * `ord >= b && ord < e` was never true for NULL and its first slice
+    * started at `lo`; without the filter, NULL-ord rows would vanish
+    * into an unread `__HIVE_DEFAULT_PARTITION__` directory and
+    * below-lo rows would land in bucket 0 (the indicator sum is 0 for
+    * them), silently reshaping slice membership for a caller that
+    * passes a clamped `lo`. Every current caller passes lo = min(ord),
+    * so the lower-bound filter is a no-op for them.
     */
   def stageSlices(df: DataFrame, ord: Column, n: Int, lo: Long, span: Long,
                   srcDir: Path, tmp: Path,
@@ -61,7 +71,8 @@ object Staging {
       .map(j => (ord >= lit(lo + j.toLong * span / n)).cast("int"))
       .reduceOption[Column](_ + _).getOrElse(lit(0))
     val bucketed = tmp.resolve("buckets")
-    df.withColumn("__b", bucket)
+    df.filter(ord.isNotNull && ord >= lit(lo))
+      .withColumn("__b", bucket)
       .repartition(n, col("__b"))
       .sortWithinPartitions(col("__b") +: ord +: tieKeys: _*)
       .write.mode("overwrite").partitionBy("__b").parquet(bucketed.toString)

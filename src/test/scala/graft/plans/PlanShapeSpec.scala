@@ -151,8 +151,9 @@ class PlanShapeSpec extends SparkSpec {
   // both unbounded. Queries whose product sides are bounded by a VALUE
   // DOMAIN the detector can't see structurally are allowlisted with
   // the reason, mirroring the partition-less-window allowlist above.
-  import org.apache.spark.sql.execution.{LocalTableScanExec, RangeExec,
-    GlobalLimitExec, TakeOrderedAndProjectExec, UnionExec, UnaryExecNode}
+  import org.apache.spark.sql.execution.{GenerateExec, LocalTableScanExec,
+    RangeExec, GlobalLimitExec, TakeOrderedAndProjectExec, UnionExec,
+    UnaryExecNode}
   import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
   import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
   import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
@@ -216,6 +217,12 @@ class PlanShapeSpec extends SparkSpec {
       case s: InMemoryTableScanExec => boundedSide(s.relation.cachedPlan)
       case j: BaseJoinExec => boundedSide(j.left) && boundedSide(j.right)
       case u: UnionExec => u.children.forall(boundedSide)
+      // A generator (explode/posexplode/inline/stack) can blow a
+      // bounded child up by an unbounded per-row factor — a limit-100
+      // of rows each carrying a million-element array is NOT a bounded
+      // join side. Treat as unbounded; a genuinely bounded generate
+      // must earn an explicit allowlist entry with its reviewed bound.
+      case _: GenerateExec => false
       case u: UnaryExecNode => boundedSide(u.child)
       case _ => false
     }
