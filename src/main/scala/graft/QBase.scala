@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{Readers, Writers}
+import graft.ops.{Dedup, Layout, Multimodal, Ranks, SimSearch, Skew, TextStats, TopK}
+import graft.transform.{Canonicalize, Enrich, Harmonize, Normalize}
+import graft.quality.Expectations._
+import graft.streaming.{EventStreams, Staging}
+
+/** Shared catalog plumbing: the `Q` query type, table access, scratch-dir lifecycle, shuffle-partition scoping, and exact decimal sums.
+  *
+  * Mechanical split of the former single-file catalog (r10 verdict
+  * hygiene note): one trait per family, linear chain, zero behavior
+  * change. `Queries` mixes the chain in; entries register in
+  * `Queries.all` / `Queries.oracles`.
+  */
+trait QBase {
+  type Q = (SparkSession, String) => DataFrame
+
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---- scratch-dir lifecycle (ADVICE r6: sink/stream gates were leaving
+  // per-invocation temp copies behind — disk grew linearly with reruns).
+  // One JVM-exit hook sweeps every dir handed out by `scratch`.
+  protected val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    scratchDirs.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+  }))
+  protected def scratch(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p
+  }
+
+  /** Run `body` with a reduced shuffle-partition count, restoring the
+    * session value after. Streaming gates use this: a stateful query
+    * instantiates one state store per shuffle partition PER micro-batch
+    * (checkpoint fsync each), so 32 partitions over gate-sized state is
+    * pure per-batch overhead — 8 cuts the constant without touching
+    * results (all gates end in deterministic sorts/aggs; outputs are
+    * checked value-identical across parallelism). Production sizes this
+    * to state volume, not to the batch default.
+    */
+  protected def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  /** Exact order-independent sum of a money-ish double column: per-row
+    * decimal cast → decimal sum → double.
+    */
+  protected def decSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+}
