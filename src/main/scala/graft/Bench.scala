@@ -14,13 +14,26 @@ object Bench {
     // on whichever query happens to run first (VERDICT r1 bench hygiene)
     try { SparkEntry.queries("q01_gold_flagship")(spark, sfDir).count() }
     catch { case _: Throwable => () }
+    // Per-query rep-min (r10 verdict #2): six same-code full runs spread
+    // ~30% with a DIFFERENT "regressed" set each run — single-shot
+    // timings carry accumulated GC/alloc/page-cache drag that reads as
+    // regression. SPARK_GRAFT_BENCH_REPS=k (default 1, the driver's
+    // cheap mode) times each query k times and reports the per-query
+    // MIN — the standard noise-floor estimator for same-code wall
+    // clock. BENCH_QUIET artifacts ship with reps=2.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // cache lifecycle: result consumed, release dedup-pinned caches
-      // (inside the timed window — the release is part of the query's cost)
-      graft.ops.Dedup.releaseCaches()
+      val sec = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        // cache lifecycle: result consumed, release dedup-pinned caches
+        // (inside the timed window — the release is part of the query's
+        // cost)
+        graft.ops.Dedup.releaseCaches()
+        t
+      }.min
       name -> sec
     }
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)

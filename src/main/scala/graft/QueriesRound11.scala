@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.{Readers, Writers}
-import graft.ops.Dedup
+import graft.ops.{Dedup, Layout, Ranks}
+import graft.streaming.{EventStreams, Staging}
 
 /** Round-11 gates: the two extension gaps the r10 verdict named —
   * REAL compressed-payload decode (PNG zlib for images, gzip for text)
@@ -243,6 +244,419 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         .orderBy(col("query_id"), col("rank"))
     }
   }
+
+  /** Streaming STATE-SCHEMA-EVOLUTION restart — the FOURTEENTH streaming
+    * gate (r10 verdict next-round #4): q276 proves a restart recovers
+    * state; no prior gate proves state survives an OPERATOR-SCHEMA
+    * change — the day-2 reality of any long-lived 100 TB ingest stream,
+    * where the processor that runs in month 2 is never byte-identical
+    * to the one that wrote month 1's checkpoint. Harness: the q263
+    * running-totals pipeline runs phase 1 (first two event-time slices)
+    * with the v1 processor — ValueState schema (n, cents) — under the
+    * RocksDB provider with the AVRO state encoding
+    * (`spark.sql.streaming.stateStore.encodingFormat=avro`, the
+    * documented evolution knob; the default unsaferow encoding REJECTS
+    * any schema change), stops, then restarts on the SAME checkpoint
+    * with [[graft.streaming.EventStreams.RunningTotalsProcessorV2]],
+    * whose state ADDS a nullable field (running max cents). Avro decode
+    * fills the missing field with null for every v1 record, so
+    * (cum_n, cum_cents) must CONTINUE exactly where phase 1 left off —
+    * a fresh-state restart would restart the counts, an incompatible-
+    * evolution failure would abort the query — while max_cents tracks
+    * only events seen since the field existed. The batch oracle
+    * recomputes all three: the cumulative window over ALL events for
+    * (cum_n, cum_cents) — continuity across the restart is what makes
+    * equality a recovery proof — and, for phase-2 rows only (slice
+    * boundary us >= lo + 2*span/4, the staging arithmetic verbatim),
+    * the running max over phase-2 events. Phase-1 output rows carry
+    * max_cents = NULL (the v1 processor has no such column), pinning
+    * WHICH rows each processor version produced. Scale: evolution cost
+    * is zero at restart (records re-encode lazily on next write);
+    * state stays one small record per user.
+    */
+  val stateSchemaEvolution: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import s.implicits._
+    val holdDir = scratch("graft_tws_evo_hold")
+    val srcDir = scratch("graft_tws_evo_src")
+    val ckptDir = scratch("graft_tws_evo_ckpt")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, holdDir,
+      scratch("graft_tws_evo_stage"), Seq(col("event_id")))
+    // promote slice i from the holding dir into the live source dir,
+    // preserving the staging mtime convention (ascending mtimes are what
+    // order AvailableNow's file batches)
+    def promote(i: Int): Unit = {
+      val dst = srcDir.resolve(f"part-$i%02d.parquet")
+      Files.copy(holdDir.resolve(f"part-$i%02d.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1000000000000L + i * 10000L))
+      ()
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val encodingKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val prevProvider = s.conf.getOption(providerKey)
+    val prevEncoding = s.conf.getOption(encodingKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(encodingKey, "avro")
+    try {
+      def stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .as[graft.streaming.EventStreams.Event]
+      // foreachBatch parquet-append sinks: the memory sink cannot
+      // RESUME from a checkpoint in append mode (exactly the machinery
+      // under test), foreachBatch can — each phase lands in its own
+      // directory so the final frame also pins WHICH processor version
+      // emitted each row
+      val out1 = scratch("graft_tws_evo_out1")
+      val out2 = scratch("graft_tws_evo_out2")
+      promote(0); promote(1)
+      val sq1 = EventStreams.runningTotals(stream)(s).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            b.write.mode("append").parquet(out1.toString); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      sq1.awaitTermination()
+      promote(2); promote(3)
+      val sq2 = EventStreams.runningTotalsV2(stream)(s).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            b.write.mode("append").parquet(out2.toString); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      sq2.awaitTermination()
+      val p1Schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cum_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cum_cents",
+          org.apache.spark.sql.types.LongType)))
+      val p2Schema = p1Schema.add("max_cents",
+        org.apache.spark.sql.types.LongType)
+      Readers.parquetWithSchema(s, out1.toString, p1Schema)
+        .withColumn("max_cents", lit(null).cast("long"))
+        .unionByName(Readers.parquetWithSchema(s, out2.toString, p2Schema))
+        .orderBy(col("user_id"), col("event_id"))
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None    => s.conf.unset(providerKey)
+      }
+      prevEncoding match {
+        case (Some(p)) => s.conf.set(encodingKey, p)
+        case None      => s.conf.unset(encodingKey)
+      }
+    }
+  }
+
+  /** Streaming-sink COMPACTION composition (r10 verdict next-round #5 —
+    * the operational failure mode of streaming parquet sinks at scale):
+    * q214 proves the exactly-once append sink, q112 proves compaction;
+    * this gate composes them into the maintain-while-live contract.
+    * Events stage into 6 event-time micro-batches and stream through
+    * [[EventStreams.idempotentAppendSink]] into a target HIVE-PARTITIONED
+    * by event_type — each micro-batch appends exactly ONE file per
+    * partition value it carries (the sink repartitions fresh rows by the
+    * partition column), so the accreted small-file count is
+    * DETERMINISTIC and the DuckDB oracle recomputes it as the number of
+    * distinct staging slices containing each type (the q300 slice
+    * arithmetic, 6-way). Then every partition directory is compacted
+    * ([[Writers.compact]], single-file target at gate scale) and the
+    * stream REPLAYS from a fresh checkpoint — worst-case full
+    * re-delivery against the rewritten target. The hash-checked row
+    * carries, per event_type: exact row fidelity (n_events,
+    * total_cents — integer cents, unchanged through accrete → compact →
+    * replay), the before file count (files_streamed = slices carrying
+    * the type), the after count (files_compacted = 1), and the
+    * post-replay count (files_replay = 1 — the anti-join absorbed every
+    * re-delivered row, so compaction did not break sink idempotence:
+    * dedup keys live in the DATA, not in file names or mtimes the
+    * rewrite destroyed). Driver-side file listing is bounded by the
+    * event-type vocabulary. Scale: this is the nightly OPTIMIZE loop of
+    * a 100 TB streaming lakehouse — compaction cost is one read+write of
+    * the partition, replay safety is what lets it run without pausing
+    * ingest.
+    */
+  val streamCompact: Q = (s, dir) => withShufflePartitions(s, 8) {
+    val srcDir = scratch("graft_stream_cmp_src")
+    val tgtDir = scratch("graft_stream_cmp_tgt")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 6L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 6L)
+    Staging.stageSlices(ev, unix_micros(col("ts")), 6, lo, span, srcDir,
+      scratch("graft_stream_cmp_stage"), Seq(col("event_id")))
+    def deliver(cpName: String): Unit = {
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val sq = EventStreams.idempotentAppendSink(stream, tgtDir.toString,
+        scratch(cpName).toString, "event_id", availableNow = true,
+        partitionBy = Seq("event_type"))
+      sq.awaitTermination()
+    }
+    deliver("graft_stream_cmp_cp1")
+    // partition dirs: bounded by the event-type vocabulary (a handful)
+    def partDirs: Seq[java.io.File] = {
+      val kids = tgtDir.toFile.listFiles()
+      (if (kids == null) Array.empty[java.io.File] else kids).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+        .sortBy(_.getName)
+    }
+    def fileCounts: Map[String, Long] = partDirs.map { d =>
+      d.getName.stripPrefix("event_type=") ->
+        Writers.listParquetFiles(d.toString).size.toLong
+    }.toMap
+    val before = fileCounts
+    // single-file target: deterministic at gate scale (the 128 MB
+    // default would also yield 1 here, but pinning the target makes the
+    // oracle's files_compacted = 1 hold at ANY sf)
+    partDirs.foreach(d =>
+      Writers.compact(s, d.toString, targetBytesPerFile = 1L << 40))
+    val after = fileCounts
+    deliver("graft_stream_cmp_cp2") // fresh checkpoint: full re-delivery
+    val replay = fileCounts
+    import s.implicits._
+    val countsDf = before.keys.toSeq.sorted
+      .map(k => (k, before(k), after(k), replay(k)))
+      .toDF("event_type", "files_streamed", "files_compacted", "files_replay")
+    s.read.parquet(tgtDir.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+      .join(broadcast(countsDf), Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("total_cents"),
+        col("files_streamed"), col("files_compacted"), col("files_replay"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamCompactSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(us) AS lo,
+      |    greatest(max(us) - min(us), 6) AS span FROM e),
+      |sl AS (SELECT event_type, cents,
+      |    CAST(list_sum(list_transform(generate_series(1, 5), j ->
+      |      CASE WHEN us >= lo + j * span // 6 THEN 1 ELSE 0 END))
+      |      AS INTEGER) AS slice
+      |  FROM e CROSS JOIN b)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST(count(DISTINCT slice) AS BIGINT) AS files_streamed,
+      |  CAST(1 AS BIGINT) AS files_compacted,
+      |  CAST(1 AS BIGINT) AS files_replay
+      |FROM sl GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** 3-D Morton layout (r10 verdict next-round #7): [[Layout.zkey3]]
+    * extends the gated 2-D interleave to three dimensions — bit i of
+    * each dim at positions 3i/3i+1/3i+2, 21 bits per dim — because real
+    * corpus layouts cluster THREE dimensions at once (date × source ×
+    * length), and a 2-D key leaves the third unserved exactly the way a
+    * lexicographic sort leaves the second unserved. This gate MEASURES
+    * both degenerations with the q302 analytic file model: documents
+    * bucketized on length (a), an md5 source bucket (b), and an md5
+    * doc_id bucket (c) are written z3-clustered; rows are assigned to 16
+    * equal-count files in layout-key order for each of THREE layouts —
+    * z3, 2-D z(a,b), lexicographic a-major — per-file (min,max) of all
+    * three dims stand in for parquet footer stats, and `files_*` counts
+    * stats-box intersections for a four-shape box workload (narrow in
+    * each single dim, narrow in all three). The hash pins the measured
+    * trade-off surface: z3 is STRICTLY BEST on the all-three shape
+    * (4 < 6 ≤ 6 files at sf0.01) and the ONLY layout bounded on both b
+    * and c (8/16 each), where z2 full-scans narrow_c (c is uniform
+    * inside every z2 file) and a-major full-scans narrow_b AND
+    * narrow_c; the price is the leading-dim advantage — narrow_a
+    * full-scans under z3 because the length bucket's values never reach
+    * bits 6–7, so with 16 files the curve's top bits are ALL b/c bits
+    * (the classic bit-budget effect: interleaving serves the dimensions
+    * whose values fill their bit range — production layouts scale each
+    * dim to its quantile grid first). `pushed` pins phase-1 of the
+    * two-phase read: the all-three box's z3-window ([[Layout.zWindow3]],
+    * a superset interval by componentwise monotonicity) reaches the scan
+    * as PushedFilters on the stored key. File ranks come from the
+    * two-phase [[Ranks]] rank — one range shuffle per layout, no
+    * corpus-global window.
+    */
+  val zorder3Layout: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Layout.bucket(col("n_chars"), 4).as("a"),
+        (conv(substring(md5(col("source")), 1, 15), 16, 10).cast("long")
+          % 256).as("b"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 256).as("c"))
+    val tmp = scratch("graft_zorder3").toString
+    Layout.zorderWrite3(base, col("a"), col("b"), col("c"), s"$tmp/docs",
+      numPartitions = 8)
+    val schema = base
+      .withColumn("z", Layout.zkey3(col("a"), col("b"), col("c"))).schema
+    val rdAll = Readers.parquetWithSchema(s, s"$tmp/docs", schema)
+    val (zlo, zhi) = Layout.zWindow3(8, 64, 32, 15, 127, 95)
+    val pushed = "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(z,".r
+      .findFirstIn(rdAll.filter(col("z").between(zlo, zhi))
+        .queryExecution.executedPlan.toString).isDefined
+    val keyed = Dedup.pin(rdAll
+      .withColumn("z2", Layout.zkey(col("a"), col("b")))
+      .withColumn("rm", (col("a") * 256 + col("b")) * 256 + col("c")))
+    val n1 = keyed.agg(count(lit(1)).as("nn"))
+    def fileStats(key: String): DataFrame =
+      Ranks.globalRowNumber(keyed, Seq(col(key), col("doc_id")), "rn",
+          numPartitions = 8)
+        .crossJoin(broadcast(n1))
+        .select(expr("((rn - 1) * 16) div nn").as("f"), col("a"), col("b"),
+          col("c"))
+        .groupBy(col("f"))
+        .agg(min(col("a")).as("amn"), max(col("a")).as("amx"),
+          min(col("b")).as("bmn"), max(col("b")).as("bmx"),
+          min(col("c")).as("cmn"), max(col("c")).as("cmx"))
+    val shapes = s.range(1).select(explode(array(
+        struct(lit("narrow_a").as("shape"), lit(8L).as("alo"),
+          lit(15L).as("ahi"), lit(0L).as("blo"), lit(255L).as("bhi"),
+          lit(0L).as("clo"), lit(255L).as("chi")),
+        struct(lit("narrow_b").as("shape"), lit(0L).as("alo"),
+          lit(255L).as("ahi"), lit(64L).as("blo"), lit(127L).as("bhi"),
+          lit(0L).as("clo"), lit(255L).as("chi")),
+        struct(lit("narrow_c").as("shape"), lit(0L).as("alo"),
+          lit(255L).as("ahi"), lit(0L).as("blo"), lit(255L).as("bhi"),
+          lit(32L).as("clo"), lit(95L).as("chi")),
+        struct(lit("all3").as("shape"), lit(8L).as("alo"),
+          lit(15L).as("ahi"), lit(64L).as("blo"), lit(127L).as("bhi"),
+          lit(32L).as("clo"), lit(95L).as("chi"))))
+        .as("q"))
+      .select(col("q.*"))
+    val hit = col("amn") <= col("ahi") && col("amx") >= col("alo") &&
+      col("bmn") <= col("bhi") && col("bmx") >= col("blo") &&
+      col("cmn") <= col("chi") && col("cmx") >= col("clo")
+    def touched(stats: DataFrame, out: String): DataFrame =
+      stats.crossJoin(broadcast(shapes)) // ≤16 files × 4 shapes
+        .groupBy(col("shape"))
+        .agg(coalesce(sum(when(hit, 1L)), lit(0L)).as(out))
+    val nBox = keyed.crossJoin(broadcast(shapes))
+      .groupBy(col("shape"))
+      .agg(coalesce(sum(when(col("a").between(col("alo"), col("ahi"))
+        && col("b").between(col("blo"), col("bhi"))
+        && col("c").between(col("clo"), col("chi")), 1L)), lit(0L))
+        .as("n_box"))
+    nBox.join(touched(fileStats("z"), "files_z3"), Seq("shape"))
+      .join(touched(fileStats("z2"), "files_z2"), Seq("shape"))
+      .join(touched(fileStats("rm"), "files_amajor"), Seq("shape"))
+      .select(col("shape"), col("n_box"), col("files_z3"), col("files_z2"),
+        col("files_amajor"), lit(16L).as("n_files"),
+        lit(pushed).as("pushed"))
+      .orderBy(col("shape"))
+  }
+
+  val zorder3LayoutSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    least(n_chars >> 4, 255) AS a,
+      |    ('0x' || substr(md5(source), 1, 15))::BIGINT % 256 AS b,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 256 AS c
+      |  FROM documents),
+      |k AS (SELECT doc_id, a, b, c,
+      |    CAST(list_sum(list_transform(generate_series(0, 7),
+      |      i -> ((a >> i) & 1) * (CAST(1 AS BIGINT) << (3*i))
+      |         + ((b >> i) & 1) * (CAST(1 AS BIGINT) << (3*i + 1))
+      |         + ((c >> i) & 1) * (CAST(1 AS BIGINT) << (3*i + 2))))
+      |      AS BIGINT) AS z3,
+      |    CAST(list_sum(list_transform(generate_series(0, 7),
+      |      i -> ((a >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+      |         + ((b >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1))))
+      |      AS BIGINT) AS z2,
+      |    (a * 256 + b) * 256 + c AS rm
+      |  FROM d),
+      |n AS (SELECT count(*) AS nn FROM k),
+      |s3 AS (SELECT ((row_number() OVER (ORDER BY z3, doc_id)) - 1) * 16
+      |      // nn AS f, a, b, c FROM k, n),
+      |f3 AS (SELECT f, min(a) AS amn, max(a) AS amx, min(b) AS bmn,
+      |    max(b) AS bmx, min(c) AS cmn, max(c) AS cmx FROM s3 GROUP BY f),
+      |s2 AS (SELECT ((row_number() OVER (ORDER BY z2, doc_id)) - 1) * 16
+      |      // nn AS f, a, b, c FROM k, n),
+      |f2 AS (SELECT f, min(a) AS amn, max(a) AS amx, min(b) AS bmn,
+      |    max(b) AS bmx, min(c) AS cmn, max(c) AS cmx FROM s2 GROUP BY f),
+      |sr AS (SELECT ((row_number() OVER (ORDER BY rm, doc_id)) - 1) * 16
+      |      // nn AS f, a, b, c FROM k, n),
+      |fr AS (SELECT f, min(a) AS amn, max(a) AS amx, min(b) AS bmn,
+      |    max(b) AS bmx, min(c) AS cmn, max(c) AS cmx FROM sr GROUP BY f),
+      |shapes AS (SELECT * FROM (VALUES
+      |    ('narrow_a', 8, 15, 0, 255, 0, 255),
+      |    ('narrow_b', 0, 255, 64, 127, 0, 255),
+      |    ('narrow_c', 0, 255, 0, 255, 32, 95),
+      |    ('all3', 8, 15, 64, 127, 32, 95))
+      |    t(shape, alo, ahi, blo, bhi, clo, chi)),
+      |c3 AS (SELECT shape, CAST(coalesce(sum(CASE WHEN amn <= ahi
+      |      AND amx >= alo AND bmn <= bhi AND bmx >= blo
+      |      AND cmn <= chi AND cmx >= clo THEN 1 END), 0)
+      |    AS BIGINT) AS files_z3
+      |  FROM shapes CROSS JOIN f3 GROUP BY shape),
+      |c2 AS (SELECT shape, CAST(coalesce(sum(CASE WHEN amn <= ahi
+      |      AND amx >= alo AND bmn <= bhi AND bmx >= blo
+      |      AND cmn <= chi AND cmx >= clo THEN 1 END), 0)
+      |    AS BIGINT) AS files_z2
+      |  FROM shapes CROSS JOIN f2 GROUP BY shape),
+      |cr AS (SELECT shape, CAST(coalesce(sum(CASE WHEN amn <= ahi
+      |      AND amx >= alo AND bmn <= bhi AND bmx >= blo
+      |      AND cmn <= chi AND cmx >= clo THEN 1 END), 0)
+      |    AS BIGINT) AS files_amajor
+      |  FROM shapes CROSS JOIN fr GROUP BY shape),
+      |bx AS (SELECT shape, CAST(coalesce(sum(CASE WHEN a BETWEEN alo
+      |      AND ahi AND b BETWEEN blo AND bhi AND c BETWEEN clo AND chi
+      |      THEN 1 END), 0) AS BIGINT) AS n_box
+      |  FROM shapes CROSS JOIN k GROUP BY shape)
+      |SELECT shape, n_box, files_z3, files_z2, files_amajor,
+      |  CAST(16 AS BIGINT) AS n_files, TRUE AS pushed
+      |FROM bx JOIN c3 USING (shape) JOIN c2 USING (shape)
+      |JOIN cr USING (shape)
+      |ORDER BY shape""".stripMargin
+
+  val stateSchemaEvolutionSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(us) AS lo,
+      |    greatest(max(us) - min(us), 4) AS span FROM e),
+      |p AS (SELECT user_id, event_id, us, cents,
+      |    us >= lo + 2 * span // 4 AS ph2 FROM e CROSS JOIN b)
+      |SELECT user_id, event_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS cum_n,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cum_cents,
+      |  CASE WHEN ph2 THEN
+      |    CAST(max(CASE WHEN ph2 THEN cents END) OVER w AS BIGINT)
+      |  END AS max_cents
+      |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |  ROWS UNBOUNDED PRECEDING)
+      |ORDER BY user_id, event_id""".stripMargin
 
   val ivfpqAdcSql: String =
     """WITH emb AS (SELECT vec_id,

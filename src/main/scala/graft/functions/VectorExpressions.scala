@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -471,6 +471,70 @@ object VectorExpressions {
     def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
   }
 
+  /** 3-D Morton interleave: bit i of `a` lands at position 3i, of `b`
+    * at 3i+1, of `c` at 3i+2 — 21 bits per dimension fill 63 bits of
+    * the long. The 3-D sibling of [[MortonInterleave]], for corpus
+    * layouts clustered on THREE independent dimensions at once
+    * (date × source × length): a 2-D key leaves the third dimension
+    * unserved exactly the way a lexicographic sort leaves the second
+    * unserved (q314 measures both degenerations).
+    */
+  case class MortonInterleave3(first: Expression, second: Expression,
+                               third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean =
+      first.nullable || second.nullable || third.nullable
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      java.lang.Long.valueOf(MortonInterleave3.interleave3(
+        a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue(),
+        c.asInstanceOf[Number].longValue()))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = MortonInterleave3.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (a, b, c) =>
+        s"${ev.value} = $cls.interleave3((long) $a, (long) $b, (long) $c);")
+    }
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(first, second, third).forall(_.dataType match {
+        case IntegerType | LongType | ShortType | ByteType => true
+        case _                                             => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"morton_interleave3 needs integral inputs, got " +
+          s"${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
+          s"${third.dataType.catalogString}")
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  object MortonInterleave3 {
+    /** Spread the low 21 bits of x so bit i lands at position 3i (the
+      * textbook 64-bit 3-D dilation masks, public domain).
+      */
+    def spread3(x0: Long): Long = {
+      var x = x0 & 0x1fffffL
+      x = (x | (x << 32)) & 0x1f00000000ffffL
+      x = (x | (x << 16)) & 0x1f0000ff0000ffL
+      x = (x | (x << 8)) & 0x100f00f00f00f00fL
+      x = (x | (x << 4)) & 0x10c30c30c30c30c3L
+      x = (x | (x << 2)) & 0x1249249249249249L
+      x
+    }
+
+    def interleave3(a: Long, b: Long, c: Long): Long =
+      spread3(a) | (spread3(b) << 1) | (spread3(c) << 2)
+  }
+
   // Column-facing wrappers.
   def cosine_similarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(GraftColumnBridge.expression(a),
@@ -492,4 +556,8 @@ object VectorExpressions {
   def morton_interleave(a: Column, b: Column): Column =
     GraftColumnBridge.column(MortonInterleave(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
+  def morton_interleave3(a: Column, b: Column, c: Column): Column =
+    GraftColumnBridge.column(MortonInterleave3(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      GraftColumnBridge.expression(c)))
 }

@@ -72,4 +72,35 @@ object Layout {
       .repartitionByRange(numPartitions, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)
+
+  /** 3-D cluster key: Morton interleave of three bucketized dimensions
+    * (`a` at positions 3i, `b` at 3i+1, `c` at 3i+2 —
+    * [[VectorExpressions.MortonInterleave3]]). Real corpus layouts
+    * cluster three dimensions at once (date × source × length); a 2-D
+    * key leaves the third unserved the way a lexicographic sort leaves
+    * the second unserved — q314 measures both degenerations.
+    */
+  def zkey3(a: Column, b: Column, c: Column): Column =
+    VectorExpressions.morton_interleave3(a.cast("int"), b.cast("int"),
+      c.cast("int"))
+
+  /** Inclusive 3-D z-window — a superset interval of the query box, by
+    * the same componentwise monotonicity as [[zWindow]]; scan the
+    * window, then re-apply the exact box predicate.
+    */
+  def zWindow3(aLo: Long, bLo: Long, cLo: Long,
+               aHi: Long, bHi: Long, cHi: Long): (Long, Long) =
+    (VectorExpressions.MortonInterleave3.interleave3(aLo, bLo, cLo),
+      VectorExpressions.MortonInterleave3.interleave3(aHi, bHi, cHi))
+
+  /** Write `df` clustered by the 3-D Morton key (the [[zorderWrite]]
+    * layout with [[zkey3]]); the stored `z` column serves pushdown-able
+    * window filters identically to the 2-D case.
+    */
+  def zorderWrite3(df: DataFrame, a: Column, b: Column, c: Column,
+                   path: String, numPartitions: Int = 8): Unit =
+    df.withColumn("z", zkey3(a, b, c))
+      .repartitionByRange(numPartitions, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(path)
 }

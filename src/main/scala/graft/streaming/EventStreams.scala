@@ -148,7 +148,8 @@ object EventStreams {
     */
   def idempotentAppendSink(events: DataFrame, targetDir: String,
                            checkpointDir: String, idCol: String = "event_id",
-                           availableNow: Boolean = false)
+                           availableNow: Boolean = false,
+                           partitionBy: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val base = events.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -165,7 +166,19 @@ object EventStreams {
             val existing = s.read.parquet(targetDir).select(col(idCol))
             deduped.join(existing, Seq(idCol), "left_anti")
           } catch { case _: org.apache.spark.sql.AnalysisException => deduped }
-        fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(targetDir)
+        if (partitionBy.nonEmpty) {
+          // one task per partition value → exactly ONE file per
+          // (micro-batch, partition value) that has fresh rows: the
+          // deterministic small-file accretion model the q313 compaction
+          // oracle counts (an unrepartitioned write would emit one file
+          // per shuffle task per value — a nondeterministic count)
+          fresh.repartition(partitionBy.map(col): _*)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy(partitionBy: _*).parquet(targetDir)
+        } else {
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(targetDir)
+        }
         ()
       }
       .start()
@@ -224,6 +237,66 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OM.Append())
+  }
+
+  // ------------------------------- state-schema evolution (v2 processor)
+
+  final case class CumRowV2(user_id: Long, event_id: Long, cum_n: Long,
+                            cum_cents: Long, max_cents: Option[Long])
+  // v2 of CumState: ADDS max_cents. The new field must be NULLABLE
+  // (Option) — Avro state-schema evolution fills it with null when the
+  // store holds a v1 record; a primitive Long would be rejected as an
+  // incompatible evolution (no default).
+  final case class CumStateV2(n: Long, cents: Long, maxCents: Option[Long])
+
+  /** Day-2 version of [[RunningTotalsProcessor]]: the SAME state variable
+    * ("cum") with an EVOLVED schema — (n, cents) grows a third field,
+    * the running max of per-event cents. Restarted on a v1 checkpoint
+    * with the Avro state encoding
+    * (`spark.sql.streaming.stateStore.encodingFormat=avro`), the store
+    * decodes each v1 record against the v2 schema and surfaces
+    * maxCents = None; the fold keeps (n, cents) continuing EXACTLY where
+    * v1 left off — which is what the q312 gate hash-checks — while
+    * max_cents tracks only events seen since the field existed. The
+    * default unsaferow encoding rejects this restart outright
+    * (STATE_STORE_STATE_SCHEMA_FILES_THRESHOLD / invalid-change errors);
+    * Avro encoding is the documented day-2 knob for long-lived streams.
+    */
+  class RunningTotalsProcessorV2
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, CumRowV2] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[CumStateV2] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[CumStateV2]("cum",
+        org.apache.spark.sql.Encoders.product[CumStateV2], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CumRowV2] = {
+      val sorted = rows.toArray.sortBy(e => (tsToUs(e.ts), e.event_id))
+      var st = if (state.exists()) state.get() else CumStateV2(0L, 0L, None)
+      val out = sorted.map { e =>
+        val c = math.round(e.value)
+        st = CumStateV2(st.n + 1, st.cents + c,
+          Some(st.maxCents.fold(c)(m => math.max(m, c))))
+        CumRowV2(key, e.event_id, st.n, st.cents, st.maxCents)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Wire [[RunningTotalsProcessorV2]] over a keyed event stream. */
+  def runningTotalsV2(events: Dataset[Event])
+                     (implicit spark: SparkSession): Dataset[CumRowV2] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessorV2,
         TimeMode.None(), OM.Append())
   }
 }

@@ -5,7 +5,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.VectorExpressions.MortonInterleave
+import graft.functions.VectorExpressions
+import graft.functions.VectorExpressions.{MortonInterleave, MortonInterleave3}
 import graft.streaming.Staging
 
 /** Unit pins for the r10 layout + staging primitives: the Morton-curve
@@ -34,6 +35,60 @@ class LayoutStagingSpec extends SparkSpec {
     for (a <- 3L to 9L; b <- 5L to 12L) {
       val z = MortonInterleave.interleave(a, b)
       assert(z >= zlo && z <= zhi, s"($a,$b)")
+    }
+  }
+
+  test("morton3 interleave matches the per-bit reference formula") {
+    def ref(a: Long, b: Long, c: Long): Long =
+      (0 until 21).map { i =>
+        (((a >> i) & 1L) << (3 * i)) | (((b >> i) & 1L) << (3 * i + 1)) |
+          (((c >> i) & 1L) << (3 * i + 2))
+      }.reduce(_ | _)
+    val probes = Seq[(Long, Long, Long)](
+      (0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (255, 0, 0),
+      (0, 255, 0), (0, 0, 255), (255, 255, 255), (0x1fffffL, 0x1fffffL,
+        0x1fffffL), (123456, 654321, 777777), (1, 2, 4))
+    probes.foreach { case (a, b, c) =>
+      assert(MortonInterleave3.interleave3(a, b, c) === ref(a, b, c),
+        s"($a,$b,$c)")
+    }
+    // bits above 21 per dim are masked off, key stays non-negative
+    assert(MortonInterleave3.interleave3(0x200000L, 0, 0) === 0L)
+    assert(MortonInterleave3.interleave3(0x1fffffL, 0x1fffffL,
+      0x1fffffL) === 0x7fffffffffffffffL)
+  }
+
+  test("morton3 zkey is componentwise monotone on the 8x8x8 grid") {
+    for (a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L) {
+      if (a > 0)
+        assert(MortonInterleave3.interleave3(a, b, c) >
+          MortonInterleave3.interleave3(a - 1, b, c))
+      if (b > 0)
+        assert(MortonInterleave3.interleave3(a, b, c) >
+          MortonInterleave3.interleave3(a, b - 1, c))
+      if (c > 0)
+        assert(MortonInterleave3.interleave3(a, b, c) >
+          MortonInterleave3.interleave3(a, b, c - 1))
+    }
+  }
+
+  test("zWindow3 brackets every point of its box (superset property)") {
+    val (zlo, zhi) = Layout.zWindow3(3, 5, 2, 9, 12, 7)
+    for (a <- 3L to 9L; b <- 5L to 12L; c <- 2L to 7L) {
+      val z = MortonInterleave3.interleave3(a, b, c)
+      assert(z >= zlo && z <= zhi, s"($a,$b,$c)")
+    }
+  }
+
+  test("morton3 column expression agrees with the driver-side object") {
+    val df = spark.range(0, 64)
+      .selectExpr("id % 4 AS a", "(id div 4) % 4 AS b", "(id div 16) % 4 AS c")
+      .select(col("a"), col("b"), col("c"),
+        VectorExpressions.morton_interleave3(col("a"), col("b"), col("c"))
+          .as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) === MortonInterleave3.interleave3(
+        r.getLong(0), r.getLong(1), r.getLong(2)))
     }
   }
 
