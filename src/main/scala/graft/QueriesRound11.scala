@@ -374,6 +374,155 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     }
   }
 
+  /** Batch-backfill → streaming HANDOFF — the FIFTEENTH streaming gate,
+    * on the transformWithState INITIAL-STATE surface
+    * ([[graft.streaming.EventStreams.RunningTotalsFromInitial]]): every
+    * real streaming pipeline is born from a batch one, and the cutover
+    * day the stream must pick up EXACTLY where the backfill stopped —
+    * without replaying history through the stream. Harness: events
+    * split at the event-time midpoint (the q312 slice arithmetic);
+    * the BACKFILL half is aggregated in one batch job to per-user
+    * (n, cents) seeds; the streaming query starts with that
+    * KeyValueGroupedDataset as initialState (`handleInitialState` seeds
+    * each user's ValueState before batch 0) and consumes ONLY the live
+    * half's staged micro-batches. The emitted totals must be
+    * value-identical to the whole-corpus batch cumulative window
+    * RESTRICTED to live-half rows — continuity across the handoff is
+    * the proof: a lost seed restarts a user's count at 1, a
+    * double-counted backfill doubles cents, a stream that replayed
+    * history would emit backfill rows the oracle excludes. Users first
+    * seen live start from zero (no seed); users only in the backfill
+    * hold their seed silently. Scale: the backfill agg is one keyed
+    * shuffle of the HISTORY (run once, at cutover); the stream carries
+    * one small record per user — this is how a 100 TB corpus's years of
+    * history enter a streaming ingest without a years-long replay.
+    */
+  val streamBackfillHandoff: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import s.implicits._
+    val holdDir = scratch("graft_tws_bf_hold")
+    val srcDir = scratch("graft_tws_bf_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    val cut = lo + 2L * span / 4
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, holdDir,
+      scratch("graft_tws_bf_stage"), Seq(col("event_id")))
+    // only the LIVE half reaches the source dir — the stream never sees
+    // backfill rows (mtime convention as staged)
+    Seq(2, 3).foreach { i =>
+      val dst = srcDir.resolve(f"part-$i%02d.parquet")
+      Files.copy(holdDir.resolve(f"part-$i%02d.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    // batch backfill: per-user seeds from pre-cutover history (cents are
+    // whole doubles — the decimal hop keeps the long exact)
+    val seeds = ev.filter(unix_micros(col("ts")) < cut)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,0)")).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+      .map { case (u, n, c) =>
+        (u, graft.streaming.EventStreams.CumState(n, c))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .as[graft.streaming.EventStreams.Event]
+      val qname = "graft_tws_bf_sink"
+      val sq = graft.streaming.EventStreams
+        .runningTotalsWithInitial(stream, seeds)(s).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname).trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(qname)
+        .select(col("user_id"), col("event_id"), col("cum_n"),
+          col("cum_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  val streamBackfillHandoffSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(us) AS lo,
+      |    greatest(max(us) - min(us), 4) AS span FROM e),
+      |p AS (SELECT user_id, event_id, us, cents,
+      |    us >= lo + 2 * span // 4 AS live FROM e CROSS JOIN b),
+      |w AS (SELECT user_id, event_id, live,
+      |    CAST(row_number() OVER w AS BIGINT) AS cum_n,
+      |    CAST(sum(cents) OVER w AS BIGINT) AS cum_cents
+      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, event_id, cum_n, cum_cents FROM w WHERE live
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Compressed-payload near-dup pairing — the decode→fingerprint
+    * composition the r10 verdict named: q277 pairs near-duplicate
+    * images given RAW pixels; q309 proves the PNG codec recovers pixels
+    * byte-exactly; this gate runs the pipeline a crawl actually runs —
+    * the stored column is PNG BINARIES (every image zlib-compressed,
+    * per-row filter variety as q309), and the near-dup join operates on
+    * dHashes of DECODED pixels, all inside one scan-fused projection
+    * (encode and decode are row-local codegen; only the 8-byte
+    * fingerprint reaches the pigeonhole bucket join). The oracle is
+    * q277's, verbatim BY CONSTRUCTION: the codec is lossless, so the
+    * compressed path must produce the identical pair set — any
+    * unfilter/inflate defect surfaces as a dHash bit flip and a
+    * hash-mismatched pair list. Scale: compressed bytes never leave
+    * their partition; the pair join sees only fingerprints — the q277
+    * cost model unchanged at 100 TB of stored PNGs.
+    */
+  val pngDedupPairs: Q = (s, dir) => {
+    import graft.functions.{ImageExpressions, PngExpressions}
+    val docs = t(s, dir, "documents")
+    val basePngs = docs.select(col("doc_id").as("id"),
+      PngExpressions.png_encode_gray(
+        plantedImagePixels(col("doc_id"), variant = false), 18, 16)
+        .as("png"))
+    val varPngs = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000000L).as("id"),
+        PngExpressions.png_encode_gray(
+          plantedImagePixels(col("doc_id"), variant = true), 18, 16)
+          .as("png"))
+    val withFp = basePngs.unionByName(varPngs)
+      .select(col("id"),
+        ImageExpressions.gray_dhash64(
+          PngExpressions.png_decode_gray(col("png")), 18, 16).as("fp"))
+    Dedup.simhashPairs(withFp, maxHammingDistance = 6)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Same text as q277's oracle: the lossless codec makes "identical
+    * pair set" the claim under test.
+    */
+  val pngDedupPairsSql: String = imageDhashPairsSql
+
   /** Streaming-sink COMPACTION composition (r10 verdict next-round #5 —
     * the operational failure mode of streaming parquet sinks at scale):
     * q214 proves the exactly-once append sink, q112 proves compaction;
@@ -449,7 +598,10 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     val countsDf = before.keys.toSeq.sorted
       .map(k => (k, before(k), after(k), replay(k)))
       .toDF("event_type", "files_streamed", "files_compacted", "files_replay")
-    s.read.parquet(tgtDir.toString)
+    // explicit schema: an all-empty stream leaves the target with no
+    // footers to infer from (the empty-corpus contract), and the
+    // partition column resolves by name from the directory structure
+    s.read.schema(ev.schema).parquet(tgtDir.toString)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
       .join(broadcast(countsDf), Seq("event_type"))
@@ -638,6 +790,213 @@ trait QueriesRound11 extends QueriesSeriesOpt {
       |FROM bx JOIN c3 USING (shape) JOIN c2 USING (shape)
       |JOIN cr USING (shape)
       |ORDER BY shape""".stripMargin
+
+  /** IVF-PQ with RESIDUAL encoding and exact re-rank — the full IVFADC
+    * of Jégou/Douze/Schmid '11, completing q311 (which quantized raw
+    * vectors "sans residuals"): PQ codes are trained on and assigned to
+    * residuals r = v − centroid(cell), which is what makes a SHARED
+    * codebook work across cells (residual distributions cluster near
+    * zero regardless of where the cell sits), and the serve path adds
+    * the third stage production ANN always runs — EXACT re-rank of the
+    * ADC top-k. Everything stays on the 1e3 integer grid: centroids'
+    * grid twins are Spark-computed and collected (4×64 longs), the
+    * codebook is the residuals of the 16 lowest-id vectors w.r.t. their
+    * own Spark-assigned cells (collected, 16×64 longs — never driver
+    * float math, so the round conventions can't drift), corpus codes
+    * are argmin over integer residual distances, and a query probed
+    * into cell c ranks candidates by ADC over ITS OWN residual vs that
+    * cell — Σ_m ‖(q − c)_m − cb_m[code_m]‖² — then the ADC top-8 join
+    * back to full grid vectors for exact ‖q − v‖² top-3. The oracle
+    * re-derives centroids, assignments, residual codebook, codes, both
+    * distances, and both ranks through the composed CTE chain; the
+    * PartitionFilters pruning proof rides in the row (q301 pattern).
+    * Scale: the re-rank join touches ≤ 8 full vectors per query — the
+    * only full-vector reads in the serve path; everything else is
+    * 4-byte codes in nprobe directories.
+    */
+  val ivfpqResidual: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions
+    val M = 4; val SUB = 16; val K = 16
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val centRows = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"), qv.as("cg")).collect()
+    def emptyOut = emb.select(col("vec_id").as("query_id"),
+      lit(1).as("rank"), col("vec_id").as("neighbor_id"),
+      lit(0L).as("adc_dist"), lit(0L).as("exact_dist"),
+      lit(true).as("pruned")).filter(lit(false))
+    if (centRows.isEmpty) emptyOut
+    else {
+      val cellIds = centRows.map(_.getLong(0))
+      val cvs = centRows.map(_.getSeq[Float](1).toArray)
+      val cg: Array[Array[Long]] = centRows.map(_.getSeq[Long](2).toArray)
+      // 16 lowest-id vectors, their grid twins and SPARK-assigned cells
+      // (k×dim bounded collect — the codebook, not the corpus)
+      val lows = emb.orderBy(col("vec_id")).limit(K)
+        .select(qv.as("g"),
+          VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
+            .getItem(0).as("cell"))
+        .collect()
+      if (lows.isEmpty) emptyOut
+      else {
+        val cellIndex = cellIds.zipWithIndex.toMap
+        val codebook: Array[Array[Long]] = lows.map { r =>
+          val g = r.getSeq[Long](0).toArray
+          val c = cg(cellIndex(r.getLong(1)))
+          Array.tabulate(g.length)(i => g(i) - c(i))
+        }
+        val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
+        val cgLit = typedLit(cg.map(_.toSeq).toSeq)
+        val cellIdsLit = typedLit(cellIds.toSeq)
+        def residual(vec: Column, cell: Column): Column =
+          zip_with(vec,
+            element_at(cgLit, array_position(cellIdsLit, cell).cast("int")),
+            (a, b) => a - b)
+        val codes = transform(typedLit(List.range(0, M)), sIdx =>
+          array_min(transform(cbLit, (cbv, ci) => struct(
+            aggregate(
+              zip_with(slice(col("rv"), sIdx * SUB + 1, lit(SUB)),
+                slice(cbv, sIdx * SUB + 1, lit(SUB)),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("d"),
+            ci.as("code")))).getField("code"))
+        val assigned = emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id"), qv.as("qvv"),
+            VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
+              .getItem(0).as("cell"))
+          .withColumn("rv", residual(col("qvv"), col("cell")))
+          .select(col("vec_id"), codes.as("codes"), col("cell"))
+        val tmp = scratch("graft_ivfpq_res").toString
+        Writers.parquet(assigned, s"$tmp/codes", partitionBy = Seq("cell"))
+        val q = Dedup.pin(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), qv.as("qq"),
+            explode(VectorExpressions.nearest_cells(col("embedding"),
+              cellIds, cvs, 2)).as("cell"))
+          .withColumn("rq", residual(col("qq"), col("cell"))))
+        // ≤ k distinct cells by construction (bounded by the codebook)
+        val probeCells = q.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val probe = if (probeCells.isEmpty) lit(false)
+          else col("cell").isin(probeCells: _*)
+        val rd = Readers.parquetWithSchema(s, s"$tmp/codes", assigned.schema)
+          .filter(probe)
+        val pruned = "PartitionFilters: \\[[^\\]]*(IN|INSET)[^\\]]*".r
+          .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
+        val adc = aggregate(
+          transform(typedLit(List.range(0, M)), sIdx =>
+            aggregate(
+              zip_with(slice(col("rq"), sIdx * SUB + 1, lit(SUB)),
+                slice(element_at(cbLit,
+                  element_at(col("codes"), sIdx + 1) + 1),
+                  sIdx * SUB + 1, lit(SUB)),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x)),
+          lit(0L), (acc, x) => acc + x)
+        val wAdc = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("neighbor_id"))
+        val cand = rd
+          .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
+          .join(broadcast(q), Seq("cell"))
+          .withColumn("adc_dist", adc)
+          .withColumn("arank", row_number().over(wAdc))
+          .filter(col("arank") <= 8)
+          .select(col("query_id"), col("neighbor_id"), col("qq"),
+            col("adc_dist"))
+        // exact re-rank: the ONLY full-vector reads in the serve path —
+        // ≤ 8 per query, fetched by key
+        val corpusG = emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("neighbor_id"), qv.as("nv"))
+        val exact = aggregate(zip_with(col("qq"), col("nv"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+        val wExact = Window.partitionBy(col("query_id"))
+          .orderBy(col("exact_dist"), col("neighbor_id"))
+        broadcast(cand).join(corpusG, Seq("neighbor_id"))
+          .withColumn("exact_dist", exact)
+          .withColumn("rank", row_number().over(wExact))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("adc_dist"), col("exact_dist"), lit(pruned).as("pruned"))
+          .orderBy(col("query_id"), col("rank"))
+      }
+    }
+  }
+
+  val ivfpqResidualSql: String =
+    """WITH emb AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cell, e AS ce, qv AS cg FROM emb
+      |  WHERE vec_id < 4),
+      |lows AS (SELECT vec_id, e, qv FROM emb ORDER BY vec_id LIMIT 16),
+      |lowcell AS (SELECT vec_id, qv, cell, cg FROM (
+      |  SELECT l.vec_id, l.qv, c.cell, c.cg, row_number() OVER (
+      |      PARTITION BY l.vec_id ORDER BY
+      |      list_dot_product(l.e, c.ce) /
+      |        (sqrt(list_dot_product(l.e, l.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM lows l CROSS JOIN cents c) WHERE rn = 1),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      |    list_transform(generate_series(1, 64),
+      |      i -> qv[i] - cg[i]) AS rqv
+      |  FROM lowcell),
+      |corpus AS (SELECT vec_id, e, qv FROM emb WHERE vec_id >= 10),
+      |qs AS (SELECT vec_id, e, qv FROM emb WHERE vec_id < 10),
+      |cc AS (SELECT vec_id, qv, cell,
+      |    list_transform(generate_series(1, 64), i -> qv[i] - cg[i]) AS rv
+      |  FROM (
+      |  SELECT r.vec_id, r.qv, c.cell, c.cg, row_number() OVER (
+      |      PARTITION BY r.vec_id ORDER BY
+      |      list_dot_product(r.e, c.ce) /
+      |        (sqrt(list_dot_product(r.e, r.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM corpus r CROSS JOIN cents c) WHERE rn = 1),
+      |pairs AS (SELECT v.vec_id, ss.s AS s, cb.code,
+      |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (v.rv[ss.s*16 + i] - cb.rqv[ss.s*16 + i])
+      |      * (v.rv[ss.s*16 + i] - cb.rqv[ss.s*16 + i]))) AS BIGINT) AS d
+      |  FROM cc v
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+      |  CROSS JOIN cb),
+      |codes AS (SELECT vec_id, s, min([d, code])[2] AS code
+      |  FROM pairs GROUP BY vec_id, s),
+      |qp AS (SELECT vec_id AS query_id, qv AS qq, cell,
+      |    list_transform(generate_series(1, 64), i -> qv[i] - cg[i]) AS rq
+      |  FROM (
+      |  SELECT q.vec_id, q.qv, c.cell, c.cg, row_number() OVER (
+      |      PARTITION BY q.vec_id ORDER BY
+      |      list_dot_product(q.e, c.ce) /
+      |        (sqrt(list_dot_product(q.e, q.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+      |cand AS (SELECT qp.query_id, v.vec_id AS neighbor_id, qp.qq,
+      |    CAST(sum(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (qp.rq[k.s*16 + i] - b.rqv[k.s*16 + i])
+      |      * (qp.rq[k.s*16 + i] - b.rqv[k.s*16 + i])))) AS BIGINT)
+      |      AS adc_dist
+      |  FROM qp JOIN cc v USING (cell)
+      |  JOIN codes k ON k.vec_id = v.vec_id
+      |  JOIN cb b ON b.code = k.code
+      |  GROUP BY qp.query_id, v.vec_id, qp.qq),
+      |short AS (SELECT query_id, neighbor_id, qq, adc_dist FROM (
+      |  SELECT cand.*, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS arank FROM cand)
+      |  WHERE arank <= 8),
+      |rer AS (SELECT s.query_id, s.neighbor_id, s.adc_dist,
+      |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      |      (s.qq[i] - r.qv[i]) * (s.qq[i] - r.qv[i]))) AS BIGINT)
+      |      AS exact_dist
+      |  FROM short s JOIN corpus r ON r.vec_id = s.neighbor_id),
+      |ranked AS (SELECT query_id, neighbor_id, adc_dist, exact_dist,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY exact_dist, neighbor_id) AS rank
+      |  FROM rer)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  adc_dist, exact_dist, TRUE AS pruned
+      |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val stateSchemaEvolutionSql: String =
     """WITH e AS (SELECT user_id, event_id,

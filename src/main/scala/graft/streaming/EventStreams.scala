@@ -299,4 +299,54 @@ object EventStreams {
       .transformWithState(new RunningTotalsProcessorV2,
         TimeMode.None(), OM.Append())
   }
+
+  // --------------------------- batch-backfill initial-state handoff
+
+  /** [[RunningTotalsProcessor]] that BOOTSTRAPS from batch-computed
+    * state: `handleInitialState` seeds each user's (n, cents) from a
+    * batch aggregate before the first micro-batch runs, so the stream
+    * processes only post-cutover events yet emits totals continuous
+    * with the backfilled history — the standard day-0 handoff when a
+    * streaming pipeline takes over from a batch one (q315). Keys
+    * present only in the initial state hold their seed silently; keys
+    * arriving only in the stream start from zero.
+    */
+  class RunningTotalsFromInitial
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, CumRow, CumState] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[CumState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[CumState]("cum",
+        org.apache.spark.sql.Encoders.product[CumState], TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: Long, initial: CumState,
+        timerValues: TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[CumRow] = {
+      val sorted = rows.toArray.sortBy(e => (tsToUs(e.ts), e.event_id))
+      var st = if (state.exists()) state.get() else CumState(0L, 0L)
+      val out = sorted.map { e =>
+        st = CumState(st.n + 1, st.cents + math.round(e.value))
+        CumRow(key, e.event_id, st.n, st.cents)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Wire [[RunningTotalsFromInitial]] with a batch-computed seed. */
+  def runningTotalsWithInitial(events: Dataset[Event],
+      initial: org.apache.spark.sql.KeyValueGroupedDataset[Long, CumState])
+      (implicit spark: SparkSession): Dataset[CumRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsFromInitial,
+        TimeMode.None(), OM.Append(), initial)
+  }
 }
