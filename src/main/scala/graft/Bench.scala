@@ -18,13 +18,19 @@ object Bench {
     // ~30% with a DIFFERENT "regressed" set each run — single-shot
     // timings carry accumulated GC/alloc/page-cache drag that reads as
     // regression. SPARK_GRAFT_BENCH_REPS=k (default 1, the driver's
-    // cheap mode) times each query k times and reports the per-query
-    // MIN — the standard noise-floor estimator for same-code wall
-    // clock. BENCH_QUIET artifacts ship with reps=2.
+    // cheap mode) runs k FULL PASSES over the catalog and reports each
+    // query's MIN across passes. Passes, not back-to-back reps: box
+    // noise arrives in multi-minute PHASES (cgroup throttling, kernel
+    // background work), and back-to-back reps of one query sit inside
+    // the same phase — measured: back-to-back rep-min still left 11.8%
+    // median / 50% worst same-code disagreement on the slowest-20,
+    // while pass-interleaving puts ~12 minutes between a query's two
+    // timings so a phase poisons at most one of them. BENCH_QUIET
+    // artifacts ship with reps=2.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val sec = (0 until reps).map { _ =>
+    def onePass(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
@@ -32,9 +38,12 @@ object Bench {
         // (inside the timed window — the release is part of the query's
         // cost)
         graft.ops.Dedup.releaseCaches()
-        t
-      }.min
-      name -> sec
+        name -> t
+    }
+    val passes = (0 until reps).map(_ => onePass())
+    // preserve the catalog's iteration order in the emitted map
+    val results = SparkEntry.queries.map { case (name, _) =>
+      name -> passes.map(_(name)).min
     }
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0

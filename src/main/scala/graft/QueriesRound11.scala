@@ -998,6 +998,83 @@ trait QueriesRound11 extends QueriesSeriesOpt {
       |  adc_dist, exact_dist, TRUE AS pruned
       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Runtime BLOOM-FILTER join pruning — the shuffle-side sibling of
+    * q303's DPP, completing the runtime-optimization battery
+    * (q303 partition pruning / q304 CBO / q306 AQE skew / HERE row-level
+    * runtime filtering): when the fact side of a shuffled join is NOT
+    * hive-partitioned on the join key, DPP has nothing to prune — but
+    * Catalyst's InjectRuntimeFilter can still build a Bloom filter from
+    * the FILTERED dim side's join keys and push a `might_contain`
+    * predicate into the fact scan, discarding non-joining rows BEFORE
+    * the shuffle instead of after it. At 100 TB that is the difference
+    * between shuffling the table and shuffling the ~25% that survives
+    * an URGENT-priority filter. Gate: lineitem⋈orders (merge-hinted so
+    * broadcast doesn't preempt the rule) under a selective dim filter;
+    * the application-side scan threshold is lowered to gate scale (and
+    * RESTORED — the q306 conf discipline); the `might_contain`
+    * expression's presence in the optimized plan is pinned IN the
+    * hash-checked row, so a config or rule change that silently drops
+    * the runtime filter is a hash mismatch, not a quiet full shuffle.
+    * Bloom false positives cannot affect results — the join itself
+    * re-checks equality; the filter only sheds rows early.
+    */
+  val bloomJoinFilter: Q = (s, dir) => {
+    val enabledKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val appSideKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevEnabled = s.conf.getOption(enabledKey)
+    val prevAppSide = s.conf.getOption(appSideKey)
+    val prevAbt = s.conf.getOption(abtKey)
+    s.conf.set(enabledKey, "true")
+    s.conf.set(appSideKey, "0")
+    // InjectRuntimeFilter only fires on PROBABLY-SHUFFLE joins — if
+    // either side is broadcast-able by size there is no shuffle to
+    // save. At gate scale the filtered dim fits under the 10 MB
+    // default, so model the 100 TB reality (neither side broadcasts)
+    // inside the conf window; restored below.
+    s.conf.set(abtKey, "-1")
+    try {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim.hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      val bloom = "might_contain".r.findFirstIn(
+        joined.queryExecution.optimizedPlan.toString).isDefined
+      joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
+        .withColumn("bloom_pushed", lit(bloom))
+        .orderBy(col("l_returnflag"))
+    } finally {
+      prevEnabled match {
+        case Some(p) => s.conf.set(enabledKey, p)
+        case None    => s.conf.unset(enabledKey)
+      }
+      prevAppSide match {
+        case Some(p) => s.conf.set(appSideKey, p)
+        case None    => s.conf.unset(appSideKey)
+      }
+      prevAbt match {
+        case Some(p) => s.conf.set(abtKey, p)
+        case None    => s.conf.unset(abtKey)
+      }
+    }
+  }
+
+  val bloomJoinFilterSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  TRUE AS bloom_pushed
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val stateSchemaEvolutionSql: String =
     """WITH e AS (SELECT user_id, event_id,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
