@@ -1075,6 +1075,78 @@ trait QueriesRound11 extends QueriesSeriesOpt {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Event-time TIMER sessionization — the SIXTEENTH streaming gate,
+    * covering the one transformWithState surface q263/q312/q315 leave
+    * ungated: TIMERS (TimeMode.EventTime + registerTimer /
+    * handleExpiredTimer — the new API's replacement for
+    * flatMapGroupsWithState's timeouts, whose old surface q209 gates).
+    * Same contract as q209: 30-minute-gap user sessions over the 4+1
+    * staged micro-batches, sessions closed mid-stream by gap-exceeding
+    * events and at end-of-stream by the sentinel-driven watermark
+    * firing every pending timer; the batch gaps-and-islands oracle is
+    * IDENTICAL — the gate proves the new timer machinery reproduces the
+    * old API's semantics exactly (the migration contract for every
+    * production sessionizer moving to transformWithState).
+    * [[graft.streaming.EventStreams.TimerSessionProcessor]] deletes
+    * stale timers per input batch so a cross-batch-extended session
+    * never double-emits through its superseded timer. Scale: one
+    * struct + one timer per ACTIVE user, both evicted at expiry.
+    */
+  val streamTimerSessions: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = scratch("graft_stream_tsess_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, srcDir,
+      scratch("graft_stream_tsess_stage"), Seq(col("event_id")))
+    // sentinel: advances the watermark past every pending timer so the
+    // trailing batch flushes all open sessions (the q209 idiom)
+    Staging.stageOne(s.range(1).select(lit(-1L).as("event_id"),
+      timestamp_micros(lit(hi + 30L * 86400L * 1000000L)).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value")), 4, srcDir, scratch("graft_stream_tsess_sent"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .as[graft.streaming.EventStreams.Event]
+      val sessions = graft.streaming.EventStreams.timerSessions(stream)(s)
+      val qname = "graft_stream_tsess_sink"
+      val sq = sessions.toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname).trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(qname)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), col("total_cents"))
+        .orderBy(col("user_id"), col("start_us"))
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** Same text as q209's oracle: the new-API sessionizer must
+    * reproduce the old API's gaps-and-islands semantics exactly.
+    */
+  val streamTimerSessionsSql: String = streamSessionsSql
+
   val stateSchemaEvolutionSql: String =
     """WITH e AS (SELECT user_id, event_id,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,

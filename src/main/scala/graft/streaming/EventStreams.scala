@@ -349,4 +349,86 @@ object EventStreams {
       .transformWithState(new RunningTotalsFromInitial,
         TimeMode.None(), OM.Append(), initial)
   }
+
+  // ----------------------------- event-time TIMER sessionization
+
+  final case class TimerSessState(startUs: Long, lastUs: Long, n: Long,
+                                  cents: Long)
+  final case class SessRow(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long, total_cents: Long)
+
+  /** Sessionization on transformWithState's EVENT-TIME TIMER surface
+    * (TimeMode.EventTime + registerTimer/handleExpiredTimer — the new
+    * API's replacement for flatMapGroupsWithState's timeouts, q209's
+    * machinery): a session closes either when a later event exceeds the
+    * gap (emitted inline) or when the watermark passes
+    * lastSeen + gap and the registered timer fires (emitted in
+    * handleExpiredTimer, state cleared). Stale timers are deleted on
+    * every input batch, so a session extended across batches never
+    * double-emits through its superseded timer. Event-time-ordered
+    * arrival (the staged-file harness) makes a post-timer event for the
+    * same user necessarily a NEW session: the watermark that fired the
+    * timer trails every later event's time by the full delay, which
+    * exceeds the gap. State: one small struct per ACTIVE user plus one
+    * timer — both evicted at expiry.
+    */
+  class TimerSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[TimerSessState] = _
+    private val gapUs = gapMs * 1000L
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[TimerSessState]("sess",
+        org.apache.spark.sql.Encoders.product[TimerSessState], TTLConfig.NONE)
+    }
+
+    private def emit(key: Long, st: TimerSessState): SessRow =
+      SessRow(key, st.startUs, st.lastUs, st.n, st.cents)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessRow] = {
+      val sorted = rows.toArray.sortBy(e => (tsToUs(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+      var st: TimerSessState = if (state.exists()) state.get() else null
+      sorted.foreach { e =>
+        val us = tsToUs(e.ts); val c = math.round(e.value)
+        if (st == null) st = TimerSessState(us, us, 1L, c)
+        else if (us - st.lastUs > gapUs) {
+          out += emit(key, st)
+          st = TimerSessState(us, us, 1L, c)
+        } else st = TimerSessState(st.startUs, us, st.n + 1, st.cents + c)
+      }
+      state.update(st)
+      // one live timer per key: drop any stale expiry, register the
+      // current session's (materialize before deleting — the iterator
+      // reads the store being mutated)
+      val stale = getHandle.listTimers().toArray
+      stale.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(st.lastUs / 1000L + gapMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessRow] = {
+      if (state.exists()) {
+        val st = state.get()
+        state.clear()
+        Iterator.single(emit(key, st))
+      } else Iterator.empty
+    }
+  }
+
+  /** Wire [[TimerSessionProcessor]] over a watermarked event stream. */
+  def timerSessions(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+                   (implicit spark: SparkSession): Dataset[SessRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        TimeMode.EventTime(), OM.Append())
+  }
 }
