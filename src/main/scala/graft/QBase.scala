@@ -56,6 +56,23 @@ trait QBase {
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  /** Run `body` with the given conf keys set, restoring (or unsetting)
+    * each prior value after — the list-driven conf window every
+    * plan-capability gate needs (q306/q312/q315/q318/q319). Anything
+    * whose PLAN the gate certifies must be EXECUTED inside the window:
+    * returning a lazy frame re-plans it after the restore and the
+    * pinned flag describes a run that never happened.
+    */
+  protected def withConfs[T](s: SparkSession, pairs: (String, String)*)
+                            (body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** Exact order-independent sum of a money-ish double column: per-row
     * decimal cast → decimal sum → double.
     */

@@ -12,6 +12,59 @@ import graft.streaming.{EventStreams, Staging}
   */
 trait QueriesRound11 extends QueriesSeriesOpt {
 
+  // ---------------- shared IVF-PQ building blocks (q311 / q317) ----------
+
+  /** m×sub-grid PQ codes for `vec`: per subspace, struct-min over the
+    * codebook literal of (squared integer grid distance, code) — ties
+    * to the smaller code (the q175 convention).
+    */
+  private def pqCodes(cbLit: Column, vec: Column, m: Int, sub: Int): Column =
+    transform(typedLit(List.range(0, m)), sIdx =>
+      array_min(transform(cbLit, (cbv, ci) => struct(
+        aggregate(
+          zip_with(slice(vec, sIdx * sub + 1, lit(sub)),
+            slice(cbv, sIdx * sub + 1, lit(sub)),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        ci.as("code")))).getField("code"))
+
+  /** Asymmetric distance: Σ over subspaces of ‖q_m − cb_m[code_m]‖² —
+    * the query's exact (sub)vector against each candidate's
+    * RECONSTRUCTED codeword, all integer-exact on the grid.
+    */
+  private def adcDist(cbLit: Column, q: Column, codes: Column,
+                      m: Int, sub: Int): Column =
+    aggregate(
+      transform(typedLit(List.range(0, m)), sIdx =>
+        aggregate(
+          zip_with(slice(q, sIdx * sub + 1, lit(sub)),
+            slice(element_at(cbLit, element_at(codes, sIdx + 1) + 1),
+              sIdx * sub + 1, lit(sub)),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Write the coded corpus hive-partitioned by cell and read it back
+    * pruned to `q`'s probe cells (≤ k distinct by construction —
+    * bounded by the codebook, never the corpus); returns the filtered
+    * read plus the PartitionFilters pruning proof that rides in the
+    * gate's hash-checked row.
+    */
+  private def cellServe(s: SparkSession, assigned: DataFrame, prefix: String,
+                        q: DataFrame): (DataFrame, Boolean) = {
+    val tmp = scratch(prefix).toString
+    Writers.parquet(assigned, s"$tmp/codes", partitionBy = Seq("cell"))
+    val probeCells = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val probe = if (probeCells.isEmpty) lit(false)
+      else col("cell").isin(probeCells: _*)
+    val rd = Readers.parquetWithSchema(s, s"$tmp/codes", assigned.schema)
+      .filter(probe)
+    val pruned = "PartitionFilters: \\[[^\\]]*(IN|INSET)[^\\]]*".r
+      .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
+    (rd, pruned)
+  }
+
   /** REAL compressed-image decode round-trip (r10 verdict "what's
     * missing" #1 — the last distance between "multimodal columns" and
     * what a crawl pipeline ingests): every earlier image gate operated
@@ -191,52 +244,22 @@ trait QueriesRound11 extends QueriesSeriesOpt {
       val cellIds = cents.map(_._1)
       val cvs = cents.map(_._2)
       val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
-      // 4 PQ codes per vector: per subspace, struct-min over the 16
-      // codebook entries of (grid sq-dist, code) — ties to smaller code
-      val codes = transform(typedLit(List.range(0, M)), sIdx =>
-        array_min(transform(cbLit, (cbv, ci) => struct(
-          aggregate(
-            zip_with(slice(col("qvv"), sIdx * SUB + 1, lit(SUB)),
-              slice(cbv, sIdx * SUB + 1, lit(SUB)),
-              (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d"),
-          ci.as("code")))).getField("code"))
       val assigned = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id"), qv.as("qvv"),
           VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
             .getItem(0).as("cell"))
-        .select(col("vec_id"), codes.as("codes"), col("cell"))
-      val tmp = scratch("graft_ivfpq").toString
-      Writers.parquet(assigned, s"$tmp/codes", partitionBy = Seq("cell"))
+        .select(col("vec_id"), pqCodes(cbLit, col("qvv"), M, SUB).as("codes"),
+          col("cell"))
       val q = Dedup.pin(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), qv.as("qq"),
           explode(VectorExpressions.nearest_cells(col("embedding"), cellIds,
             cvs, 2)).as("cell")))
-      // ≤ k distinct cells by construction (bounded by the codebook)
-      val probeCells = q.select(col("cell")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      val probe = if (probeCells.isEmpty) lit(false)
-        else col("cell").isin(probeCells: _*)
-      val rd = Readers.parquetWithSchema(s, s"$tmp/codes", assigned.schema)
-        .filter(probe)
-      val pruned = "PartitionFilters: \\[[^\\]]*(IN|INSET)[^\\]]*".r
-        .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
-      // ADC: Σ over subspaces of ‖q_m − cb_m[code_m]‖² — exact longs
-      val adc = aggregate(
-        transform(typedLit(List.range(0, M)), sIdx =>
-          aggregate(
-            zip_with(slice(col("qq"), sIdx * SUB + 1, lit(SUB)),
-              slice(element_at(cbLit,
-                element_at(col("codes"), sIdx + 1) + 1),
-                sIdx * SUB + 1, lit(SUB)),
-              (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x)),
-        lit(0L), (acc, x) => acc + x)
+      val (rd, pruned) = cellServe(s, assigned, "graft_ivfpq", q)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("adc_dist"), col("neighbor_id"))
       rd.select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
         .join(broadcast(q), Seq("cell"))
-        .withColumn("adc_dist", adc)
+        .withColumn("adc_dist", adcDist(cbLit, col("qq"), col("codes"), M, SUB))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -305,14 +328,10 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         FileTime.fromMillis(1000000000000L + i * 10000L))
       ()
     }
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val encodingKey = "spark.sql.streaming.stateStore.encodingFormat"
-    val prevProvider = s.conf.getOption(providerKey)
-    val prevEncoding = s.conf.getOption(encodingKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(encodingKey, "avro")
-    try {
+    withConfs(s,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.encodingFormat" -> "avro") {
       def stream = s.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -362,15 +381,6 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         .withColumn("max_cents", lit(null).cast("long"))
         .unionByName(Readers.parquetWithSchema(s, out2.toString, p2Schema))
         .orderBy(col("user_id"), col("event_id"))
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None    => s.conf.unset(providerKey)
-      }
-      prevEncoding match {
-        case (Some(p)) => s.conf.set(encodingKey, p)
-        case None      => s.conf.unset(encodingKey)
-      }
     }
   }
 
@@ -437,11 +447,8 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         (u, graft.streaming.EventStreams.CumState(n, c))
       }
       .groupByKey(_._1).mapValues(_._2)
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withConfs(s, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val stream = s.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -457,11 +464,6 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         .select(col("user_id"), col("event_id"), col("cum_n"),
           col("cum_cents"))
         .orderBy(col("user_id"), col("event_id"))
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None    => s.conf.unset(providerKey)
-      }
     }
   }
 
@@ -854,52 +856,25 @@ trait QueriesRound11 extends QueriesSeriesOpt {
           zip_with(vec,
             element_at(cgLit, array_position(cellIdsLit, cell).cast("int")),
             (a, b) => a - b)
-        val codes = transform(typedLit(List.range(0, M)), sIdx =>
-          array_min(transform(cbLit, (cbv, ci) => struct(
-            aggregate(
-              zip_with(slice(col("rv"), sIdx * SUB + 1, lit(SUB)),
-                slice(cbv, sIdx * SUB + 1, lit(SUB)),
-                (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x).as("d"),
-            ci.as("code")))).getField("code"))
         val assigned = emb.filter(col("vec_id") >= 10)
           .select(col("vec_id"), qv.as("qvv"),
             VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
               .getItem(0).as("cell"))
           .withColumn("rv", residual(col("qvv"), col("cell")))
-          .select(col("vec_id"), codes.as("codes"), col("cell"))
-        val tmp = scratch("graft_ivfpq_res").toString
-        Writers.parquet(assigned, s"$tmp/codes", partitionBy = Seq("cell"))
+          .select(col("vec_id"), pqCodes(cbLit, col("rv"), M, SUB).as("codes"),
+            col("cell"))
         val q = Dedup.pin(emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), qv.as("qq"),
             explode(VectorExpressions.nearest_cells(col("embedding"),
               cellIds, cvs, 2)).as("cell"))
           .withColumn("rq", residual(col("qq"), col("cell"))))
-        // ≤ k distinct cells by construction (bounded by the codebook)
-        val probeCells = q.select(col("cell")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        val probe = if (probeCells.isEmpty) lit(false)
-          else col("cell").isin(probeCells: _*)
-        val rd = Readers.parquetWithSchema(s, s"$tmp/codes", assigned.schema)
-          .filter(probe)
-        val pruned = "PartitionFilters: \\[[^\\]]*(IN|INSET)[^\\]]*".r
-          .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
-        val adc = aggregate(
-          transform(typedLit(List.range(0, M)), sIdx =>
-            aggregate(
-              zip_with(slice(col("rq"), sIdx * SUB + 1, lit(SUB)),
-                slice(element_at(cbLit,
-                  element_at(col("codes"), sIdx + 1) + 1),
-                  sIdx * SUB + 1, lit(SUB)),
-                (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x)),
-          lit(0L), (acc, x) => acc + x)
+        val (rd, pruned) = cellServe(s, assigned, "graft_ivfpq_res", q)
         val wAdc = Window.partitionBy(col("query_id"))
           .orderBy(col("adc_dist"), col("neighbor_id"))
         val cand = rd
           .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
           .join(broadcast(q), Seq("cell"))
-          .withColumn("adc_dist", adc)
+          .withColumn("adc_dist", adcDist(cbLit, col("rq"), col("codes"), M, SUB))
           .withColumn("arank", row_number().over(wAdc))
           .filter(col("arank") <= 8)
           .select(col("query_id"), col("neighbor_id"), col("qq"),
@@ -1018,52 +993,38 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     * Bloom false positives cannot affect results — the join itself
     * re-checks equality; the filter only sheds rows early.
     */
-  val bloomJoinFilter: Q = (s, dir) => {
-    val enabledKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
-    val appSideKey =
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
-    val prevEnabled = s.conf.getOption(enabledKey)
-    val prevAppSide = s.conf.getOption(appSideKey)
-    val prevAbt = s.conf.getOption(abtKey)
-    s.conf.set(enabledKey, "true")
-    s.conf.set(appSideKey, "0")
+  val bloomJoinFilter: Q = (s, dir) => withConfs(s,
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // default demands a >10 GB application-side scan; gate scale
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
     // InjectRuntimeFilter only fires on PROBABLY-SHUFFLE joins — if
     // either side is broadcast-able by size there is no shuffle to
     // save. At gate scale the filtered dim fits under the 10 MB
     // default, so model the 100 TB reality (neither side broadcasts)
-    // inside the conf window; restored below.
-    s.conf.set(abtKey, "-1")
-    try {
-      val fact = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_returnflag"),
-          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
-      val dim = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"))
-      val joined = fact.join(dim.hint("merge"),
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val dim = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val agg = fact.join(dim.hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
-      val bloom = "might_contain".r.findFirstIn(
-        joined.queryExecution.optimizedPlan.toString).isDefined
-      joined.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
-        .withColumn("bloom_pushed", lit(bloom))
-        .orderBy(col("l_returnflag"))
-    } finally {
-      prevEnabled match {
-        case Some(p) => s.conf.set(enabledKey, p)
-        case None    => s.conf.unset(enabledKey)
-      }
-      prevAppSide match {
-        case Some(p) => s.conf.set(appSideKey, p)
-        case None    => s.conf.unset(appSideKey)
-      }
-      prevAbt match {
-        case Some(p) => s.conf.set(abtKey, p)
-        case None    => s.conf.unset(abtKey)
-      }
-    }
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
+    // collect INSIDE the conf window (the q306 discipline): returning
+    // the lazy frame would re-plan it AFTER the restore — bloom-free
+    // full-shuffle execution under a bloom_pushed=true flag. Group
+    // count is bounded by the returnflag vocabulary (3).
+    val rows = agg.collect()
+    val bloom = "might_contain".r.findFirstIn(
+      agg.queryExecution.optimizedPlan.toString).isDefined
+    import s.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("l_returnflag", "n_items", "sum_cents")
+      .withColumn("bloom_pushed", lit(bloom))
+      .orderBy(col("l_returnflag"))
   }
 
   val bloomJoinFilterSql: String =
@@ -1113,11 +1074,8 @@ trait QueriesRound11 extends QueriesSeriesOpt {
       timestamp_micros(lit(hi + 30L * 86400L * 1000000L)).as("ts"),
       lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
       lit(0.0).as("value")), 4, srcDir, scratch("graft_stream_tsess_sent"))
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withConfs(s, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val stream = s.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1134,11 +1092,6 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         .select(col("user_id"), col("start_us"), col("end_us"),
           col("n_events"), col("total_cents"))
         .orderBy(col("user_id"), col("start_us"))
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None    => s.conf.unset(providerKey)
-      }
     }
   }
 

@@ -173,7 +173,10 @@ object PngExpressions {
         case "IHDR" =>
           if (seenIhdr || len != 13) return null
           val ww = be32(png, p + 8); val hh = be32(png, p + 12)
-          if (ww <= 0 || hh <= 0 || ww * hh > MaxPixels) return null
+          // bound each dim BEFORE multiplying: two ~2^31 dims wrap the
+          // signed-64 product negative and would slip past the cap
+          if (ww <= 0 || hh <= 0 || ww > MaxPixels || hh > MaxPixels ||
+            ww * hh > MaxPixels) return null
           if (png(p + 16) != 8 || png(p + 17) != 0 || png(p + 18) != 0 ||
               png(p + 19) != 0 || png(p + 20) != 0) return null
           w = ww.toInt; h = hh.toInt; seenIhdr = true
@@ -188,6 +191,10 @@ object PngExpressions {
       p += 12 + len.toInt
     }
     if (!seenIhdr || !seenIend) return null
+    // trailing bytes after IEND are a malformation (the gzip decoder
+    // rejects the same class): two different binaries must not decode
+    // to identical pixels
+    if (p != png.length) return null
     val expect = h * (w + 1)
     val filt = new Array[Byte](expect)
     val inf = new Inflater(/*nowrap=*/ false)
@@ -197,7 +204,11 @@ object PngExpressions {
       try {
         while (got < expect && !inf.finished()) {
           val n = inf.inflate(filt, got, expect - got)
-          if (n == 0 && inf.needsInput()) return null // truncated stream
+          // truncated stream, or a zlib header demanding a preset
+          // dictionary (FDICT) — without the second check the loop
+          // spins forever on n == 0 with needsInput() false
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return null
           got += n
         }
         // drain: a spec-valid stream must END here (adler verified);

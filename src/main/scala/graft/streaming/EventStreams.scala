@@ -406,7 +406,11 @@ object EventStreams {
       // reads the store being mutated)
       val stale = getHandle.listTimers().toArray
       stale.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(st.lastUs / 1000L + gapMs)
+      // CEIL the µs→ms conversion (the sessionize timeout's +999
+      // convention): a floored expiry can fire up to 999 µs before
+      // lastUs + gapUs and split a session a tight watermark would
+      // otherwise keep whole
+      getHandle.registerTimer(Math.floorDiv(st.lastUs + gapUs + 999L, 1000L))
       out.iterator
     }
 

@@ -83,6 +83,45 @@ class CodecSpec extends SparkSpec {
     assert(PngExpressions.pngEncodeGray(px, 1 << 14, 1 << 13) == null)
   }
 
+  test("png: hostile-input hardening — FDICT, trailing bytes, dim overflow") {
+    val px = pixels(288, 11)
+    val png = PngExpressions.pngEncodeGray(px, 18, 16)
+    def dec(b: Array[Byte]) = PngExpressions.pngDecodeGray(b)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be(v: Long): Unit = {
+        out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+        out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      be(payload.length.toLong)
+      out.write(typ.getBytes("US-ASCII")); out.write(payload)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+      be(crc.getValue)
+      out.toByteArray
+    }
+    // zlib header demanding a preset dictionary (FDICT bit): CMF=0x78
+    // FLG=0x20 (bit 5 set, 0x7820 % 31 == 0) + 4-byte DICTID. Before
+    // the needsDictionary() guard this HUNG the decode loop (inflate
+    // returns 0 forever with needsInput() false).
+    val head = java.util.Arrays.copyOf(png, 8 + 25) // sig + IHDR chunk
+    val fdict = head ++
+      chunk("IDAT", Array(0x78, 0x20, 1, 2, 3, 4).map(_.toByte)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(dec(fdict) == null, "FDICT zlib header")
+    // trailing bytes after IEND: two different binaries must not decode
+    // to identical pixels (the gzip decoder rejects the same class)
+    assert(dec(png :+ 0x00.toByte) == null, "trailing byte after IEND")
+    // 0xC0000000 × 0xC0000000 wraps the signed-64 product negative —
+    // must hit the per-dim cap, not NegativeArraySizeException
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = 0xC0.toByte; ihdr(4) = 0xC0.toByte // w = h = 0xC0000000
+    ihdr(8) = 8 // bit depth; color/compression/filter/interlace all 0
+    val evil = png.take(8) ++ chunk("IHDR", ihdr) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(dec(evil) == null, "dim product overflows signed 64")
+  }
+
   test("png: multi-IDAT split is actually exercised (payload > 1024)") {
     val (w, h) = (64, 64) // 64*65 = 4160 filtered bytes of noise ≈ incompressible
     val px = pixels(w * h, 3)
