@@ -1100,6 +1100,215 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     */
   val streamTimerSessionsSql: String = streamSessionsSql
 
+  /** ADC recall audit — the completeness critic over the IVF-PQ serve
+    * path: q311 ranks by compressed-code distances, q317 re-ranks the
+    * survivors exactly, but no gate MEASURES what the compression and
+    * the nprobe=2 probe actually cost. This gate computes, per query,
+    * recall@3 of the ADC ranking against the EXACT top-3 (brute
+    * integer-grid L2 over the whole corpus — the oracle-twin
+    * formulation: |queries| is fixed at ≤10, so the brute side is
+    * bounded by construction, never corpus×corpus). The hash pins the
+    * measured number: a codebook regression, a probe-set change, or an
+    * ADC arithmetic drift all move recall and mismatch. This is the
+    * audit loop a production ANN service runs continuously — serve
+    * from codes, sample queries, recall-check against exact — here as
+    * a standing gate. The measured number at sf0.01 — mean recall@3
+    * ≈ 0.27 under this gate's deliberately tiny configuration (4
+    * untrained cells, 16-entry codebook, no residuals) — is the
+    * honest cost of serving from codes alone, and the quantitative
+    * justification for q317's exact re-rank stage (which recovers the
+    * true top-k from a widened ADC shortlist). Scale: the exact side
+    * is the audit's sampled cost (k queries × one corpus scan), not
+    * the serve path.
+    */
+  val adcRecall: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions
+    val M = 4; val SUB = 16; val K = 16
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 4)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val codebook: Array[Array[Long]] = emb.orderBy(col("vec_id")).limit(K)
+      .select(qv.as("qv")).collect().map(_.getSeq[Long](0).toArray)
+    if (cents.isEmpty || codebook.isEmpty) {
+      emb.select(col("vec_id").as("query_id"), lit(0L).as("n_hits"),
+        lit(0.0).as("recall")).filter(lit(false))
+    } else {
+      val cellIds = cents.map(_._1)
+      val cvs = cents.map(_._2)
+      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
+      val assigned = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), qv.as("qvv"),
+          VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
+            .getItem(0).as("cell"))
+        .select(col("vec_id"), pqCodes(cbLit, col("qvv"), M, SUB).as("codes"),
+          col("cell"))
+      val q = Dedup.pin(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), qv.as("qq"),
+          explode(VectorExpressions.nearest_cells(col("embedding"), cellIds,
+            cvs, 2)).as("cell")))
+      val (rd, _) = cellServe(s, assigned, "graft_adc_recall", q)
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist"), col("neighbor_id"))
+      val adcTop = rd
+        .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
+        .join(broadcast(q), Seq("cell"))
+        .withColumn("adc_dist", adcDist(cbLit, col("qq"), col("codes"), M, SUB))
+        .withColumn("rank", row_number().over(wAdc))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      // exact side: |queries| ≤ 10 by construction × one corpus scan
+      val queries = Dedup.pin(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), qv.as("qq")))
+      val exact = aggregate(zip_with(col("qq"), col("nv"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      val wEx = Window.partitionBy(col("query_id"))
+        .orderBy(col("exact_dist"), col("neighbor_id"))
+      val exactTop = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), qv.as("nv"))
+        .crossJoin(broadcast(queries))
+        .withColumn("exact_dist", exact)
+        .withColumn("rank", row_number().over(wEx))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = adcTop.join(exactTop, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / 3.0, 6)
+            .as("recall"))
+        .orderBy(col("query_id"))
+    }
+  }
+
+  val adcRecallSql: String =
+    """WITH emb AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+      |  FROM emb ORDER BY vec_id LIMIT 16),
+      |cents AS (SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < 4),
+      |corpus AS (SELECT vec_id, e, qv FROM emb WHERE vec_id >= 10),
+      |qs AS (SELECT vec_id, e, qv FROM emb WHERE vec_id < 10),
+      |cc AS (SELECT vec_id, qv, cell FROM (
+      |  SELECT r.vec_id, r.qv, c.cell, row_number() OVER (
+      |      PARTITION BY r.vec_id ORDER BY
+      |      list_dot_product(r.e, c.ce) /
+      |        (sqrt(list_dot_product(r.e, r.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM corpus r CROSS JOIN cents c) WHERE rn = 1),
+      |pairs AS (SELECT v.vec_id, ss.s AS s, cb.code,
+      |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (v.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i])
+      |      * (v.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i]))) AS BIGINT) AS d
+      |  FROM cc v
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+      |  CROSS JOIN cb),
+      |codes AS (SELECT vec_id, s, min([d, code])[2] AS code
+      |  FROM pairs GROUP BY vec_id, s),
+      |qp AS (SELECT vec_id AS query_id, qv AS qq, cell FROM (
+      |  SELECT q.vec_id, q.qv, c.cell, row_number() OVER (
+      |      PARTITION BY q.vec_id ORDER BY
+      |      list_dot_product(q.e, c.ce) /
+      |        (sqrt(list_dot_product(q.e, q.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+      |cand AS (SELECT qp.query_id, v.vec_id AS neighbor_id,
+      |    CAST(sum(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (qp.qq[k.s*16 + i] - b.qv[k.s*16 + i])
+      |      * (qp.qq[k.s*16 + i] - b.qv[k.s*16 + i])))) AS BIGINT)
+      |      AS adc_dist
+      |  FROM qp JOIN cc v USING (cell)
+      |  JOIN codes k ON k.vec_id = v.vec_id
+      |  JOIN cb b ON b.code = k.code
+      |  GROUP BY qp.query_id, v.vec_id),
+      |adctop AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT cand.*, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS rank FROM cand)
+      |  WHERE rank <= 3),
+      |extop AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      |        (q.qv[i] - r.qv[i]) * (q.qv[i] - r.qv[i]))) AS BIGINT),
+      |      r.vec_id) AS rank
+      |  FROM qs q CROSS JOIN corpus r) WHERE rank <= 3),
+      |hits AS (SELECT a.query_id, count(*) AS n_hits
+      |  FROM adctop a JOIN extop x USING (query_id, neighbor_id)
+      |  GROUP BY a.query_id)
+      |SELECT q.vec_id AS query_id,
+      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0, 6) AS recall
+      |FROM qs q LEFT JOIN hits h ON h.query_id = q.vec_id
+      |ORDER BY query_id""".stripMargin
+
+  /** MapState + ListState — the SEVENTEENTH streaming gate, completing
+    * the transformWithState state-variable surface (ValueState q263,
+    * evolution q312, initial state q315, timers q319, map+list HERE):
+    * per event, a MapState keyed by event type emits the user's
+    * count-so-far for that type (RocksDB keys each map entry
+    * separately — a wide type vocabulary never materializes as one
+    * blob) and a ListState holding the user's trailing ≤3 cent values
+    * emits their sum (the bounded sliding window every rate-limiter /
+    * rolling-average keeps per key). Both are exactly batch window
+    * functions — partitioned row_number and a ROWS 2 PRECEDING sum —
+    * so the oracle is total. Scale: state per user is |types seen| map
+    * entries + ≤3 longs.
+    */
+  val streamMapListState: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = scratch("graft_stream_ml_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, srcDir,
+      scratch("graft_stream_ml_stage"), Seq(col("event_id")))
+    withConfs(s, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .as[graft.streaming.EventStreams.Event]
+      val stats = graft.streaming.EventStreams.mapListStats(stream)(s)
+      val qname = "graft_stream_ml_sink"
+      val sq = stats.toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname).trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(qname)
+        .select(col("user_id"), col("event_id"), col("type_n"),
+          col("last3_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    }
+  }
+
+  val streamMapListStateSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY us, event_id) AS BIGINT) AS type_n,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS 2 PRECEDING) AS BIGINT) AS last3_cents
+      |FROM e ORDER BY user_id, event_id""".stripMargin
+
   val stateSchemaEvolutionSql: String =
     """WITH e AS (SELECT user_id, event_id,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,

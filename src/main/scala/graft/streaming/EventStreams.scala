@@ -435,4 +435,60 @@ object EventStreams {
       .transformWithState(new TimerSessionProcessor(gapMs),
         TimeMode.EventTime(), OM.Append())
   }
+
+  // --------------------------- MapState + ListState surfaces
+
+  final case class MapListRow(user_id: Long, event_id: Long, type_n: Long,
+                              last3_cents: Long)
+
+  /** The two transformWithState state variables the ValueState gates
+    * (q263/q312/q315) don't touch: a MapState keyed by event type
+    * (per-user per-type running count — the RocksDB layout keys each
+    * map entry separately, so a 10⁶-type map never materializes whole)
+    * and a ListState holding the user's last ≤3 cent values (a bounded
+    * sliding window — appendValue + trim via put). Each event emits its
+    * type's count-so-far and the trailing-3 cent sum, both exactly the
+    * batch window functions the q321 oracle computes.
+    */
+  class MapListStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, MapListRow] {
+    import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var typeCounts: MapState[String, Long] = _
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      typeCounts = getHandle.getMapState[String, Long]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[MapListRow] = {
+      val sorted = rows.toArray.sortBy(e => (tsToUs(e.ts), e.event_id))
+      // materialize BEFORE returning: state mutations must not ride a
+      // lazy iterator the framework may commit around
+      sorted.map { e =>
+        val n = (if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type) else 0L) + 1L
+        typeCounts.updateValue(e.event_type, n)
+        val c = math.round(e.value)
+        val window = (recent.get().toArray :+ c).takeRight(3)
+        recent.put(window)
+        MapListRow(key, e.event_id, n, window.sum)
+      }.iterator
+    }
+  }
+
+  /** Wire [[MapListStatsProcessor]] over a keyed event stream. */
+  def mapListStats(events: Dataset[Event])
+                  (implicit spark: SparkSession): Dataset[MapListRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new MapListStatsProcessor,
+        TimeMode.None(), OM.Append())
+  }
 }
