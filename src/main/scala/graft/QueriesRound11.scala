@@ -1309,6 +1309,152 @@ trait QueriesRound11 extends QueriesSeriesOpt {
       |    ROWS 2 PRECEDING) AS BIGINT) AS last3_cents
       |FROM e ORDER BY user_id, event_id""".stripMargin
 
+  /** Day-2 INCREMENTAL IVF-PQ index maintenance — the IVM story for the
+    * code store, completing the family (q117 exact / q265 MinHash /
+    * q299 semantic — and now the serving INDEX itself): at 100 TB the
+    * ANN index is never rebuilt, it is APPENDED — day-2 vectors are
+    * assigned and PQ-encoded against the FROZEN codebook (only the Δ
+    * frame ever enters the encoder — structural, the q299 discipline)
+    * and their 4-byte codes land as NEW files in the existing
+    * hive-partitioned cell directories; day-1 files are never touched.
+    * The serve path then answers from the two-generation union. Two
+    * proofs ride in every hash-checked row: `pruned` (directory pruning
+    * still works across both file generations) and `n_store_files` —
+    * with one file per (write, cell), the append leaves
+    * |cells(day1)| + |cells(Δ)| files where a REBUILD would collapse to
+    * |cells(all)|; the oracle recomputes both distinct-cell counts from
+    * the assignment CTEs, so a silent rebuild (or a day-2 job that
+    * rewrote day-1 data) is a hash mismatch. Ranking must equal q311's
+    * single-shot index exactly — the incremental store serves the same
+    * answers.
+    */
+  val ivfpqIncremental: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions
+    val M = 4; val SUB = 16; val K = 16
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 4)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val codebook: Array[Array[Long]] = emb.orderBy(col("vec_id")).limit(K)
+      .select(qv.as("qv")).collect().map(_.getSeq[Long](0).toArray)
+    if (cents.isEmpty || codebook.isEmpty) {
+      emb.select(col("vec_id").as("query_id"), lit(1).as("rank"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("adc_dist"),
+        lit(0L).as("n_store_files"), lit(true).as("pruned"))
+        .filter(lit(false))
+    } else {
+      val cellIds = cents.map(_._1)
+      val cvs = cents.map(_._2)
+      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
+      def encode(src: DataFrame): DataFrame = src
+        .select(col("vec_id"), qv.as("qvv"),
+          VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
+            .getItem(0).as("cell"))
+        .select(col("vec_id"), pqCodes(cbLit, col("qvv"), M, SUB).as("codes"),
+          col("cell"))
+      val day1 = encode(emb.filter(col("vec_id") >= 10
+        && col("vec_id") % 10 =!= 0))
+      val day2 = encode(emb.filter(col("vec_id") >= 10
+        && col("vec_id") % 10 === 0))
+      val tmp = scratch("graft_ivfpq_inc").toString
+      // one file per (write, cell): the repartition makes the append's
+      // file arithmetic deterministic (the q313 idiom)
+      day1.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$tmp/codes")
+      day2.repartition(col("cell")).write.mode("append")
+        .partitionBy("cell").parquet(s"$tmp/codes")
+      // bounded: ≤ |cells| directories
+      val nStoreFiles = {
+        val kids = new java.io.File(s"$tmp/codes").listFiles()
+        (if (kids == null) Array.empty[java.io.File] else kids)
+          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+          .map(d => Writers.listParquetFiles(d.toString).size.toLong).sum
+      }
+      val q = Dedup.pin(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), qv.as("qq"),
+          explode(VectorExpressions.nearest_cells(col("embedding"), cellIds,
+            cvs, 2)).as("cell")))
+      val probeCells = q.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val probe = if (probeCells.isEmpty) lit(false)
+        else col("cell").isin(probeCells: _*)
+      val rd = Readers.parquetWithSchema(s, s"$tmp/codes", day1.schema)
+        .filter(probe)
+      val pruned = "PartitionFilters: \\[[^\\]]*(IN|INSET)[^\\]]*".r
+        .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist"), col("neighbor_id"))
+      rd.select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
+        .join(broadcast(q), Seq("cell"))
+        .withColumn("adc_dist", adcDist(cbLit, col("qq"), col("codes"), M, SUB))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_dist"), lit(nStoreFiles).as("n_store_files"),
+          lit(pruned).as("pruned"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  }
+
+  val ivfpqIncrementalSql: String =
+    """WITH emb AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+      |  FROM emb ORDER BY vec_id LIMIT 16),
+      |cents AS (SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < 4),
+      |corpus AS (SELECT vec_id, e, qv FROM emb WHERE vec_id >= 10),
+      |qs AS (SELECT vec_id, e, qv FROM emb WHERE vec_id < 10),
+      |cc AS (SELECT vec_id, qv, cell FROM (
+      |  SELECT r.vec_id, r.qv, c.cell, row_number() OVER (
+      |      PARTITION BY r.vec_id ORDER BY
+      |      list_dot_product(r.e, c.ce) /
+      |        (sqrt(list_dot_product(r.e, r.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM corpus r CROSS JOIN cents c) WHERE rn = 1),
+      |nf AS (SELECT
+      |    (SELECT count(DISTINCT cell) FROM cc WHERE vec_id % 10 <> 0)
+      |  + (SELECT count(DISTINCT cell) FROM cc WHERE vec_id % 10 = 0)
+      |    AS n_store_files),
+      |pairs AS (SELECT v.vec_id, ss.s AS s, cb.code,
+      |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (v.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i])
+      |      * (v.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i]))) AS BIGINT) AS d
+      |  FROM cc v
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+      |  CROSS JOIN cb),
+      |codes AS (SELECT vec_id, s, min([d, code])[2] AS code
+      |  FROM pairs GROUP BY vec_id, s),
+      |qp AS (SELECT vec_id AS query_id, qv AS qq, cell FROM (
+      |  SELECT q.vec_id, q.qv, c.cell, row_number() OVER (
+      |      PARTITION BY q.vec_id ORDER BY
+      |      list_dot_product(q.e, c.ce) /
+      |        (sqrt(list_dot_product(q.e, q.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+      |cand AS (SELECT qp.query_id, v.vec_id AS neighbor_id,
+      |    CAST(sum(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (qp.qq[k.s*16 + i] - b.qv[k.s*16 + i])
+      |      * (qp.qq[k.s*16 + i] - b.qv[k.s*16 + i])))) AS BIGINT)
+      |      AS adc_dist
+      |  FROM qp JOIN cc v USING (cell)
+      |  JOIN codes k ON k.vec_id = v.vec_id
+      |  JOIN cb b ON b.code = k.code
+      |  GROUP BY qp.query_id, v.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, adc_dist, row_number()
+      |    OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+      |    AS rank
+      |  FROM cand)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  adc_dist, (SELECT CAST(n_store_files AS BIGINT) FROM nf)
+      |    AS n_store_files, TRUE AS pruned
+      |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val stateSchemaEvolutionSql: String =
     """WITH e AS (SELECT user_id, event_id,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
