@@ -18,7 +18,7 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     * codebook literal of (squared integer grid distance, code) — ties
     * to the smaller code (the q175 convention).
     */
-  private def pqCodes(cbLit: Column, vec: Column, m: Int, sub: Int): Column =
+  protected def pqCodes(cbLit: Column, vec: Column, m: Int, sub: Int): Column =
     transform(typedLit(List.range(0, m)), sIdx =>
       array_min(transform(cbLit, (cbv, ci) => struct(
         aggregate(
@@ -32,7 +32,7 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     * the query's exact (sub)vector against each candidate's
     * RECONSTRUCTED codeword, all integer-exact on the grid.
     */
-  private def adcDist(cbLit: Column, q: Column, codes: Column,
+  protected def adcDist(cbLit: Column, q: Column, codes: Column,
                       m: Int, sub: Int): Column =
     aggregate(
       transform(typedLit(List.range(0, m)), sIdx =>
@@ -50,7 +50,7 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     * read plus the PartitionFilters pruning proof that rides in the
     * gate's hash-checked row.
     */
-  private def cellServe(s: SparkSession, assigned: DataFrame, prefix: String,
+  protected def cellServe(s: SparkSession, assigned: DataFrame, prefix: String,
                         q: DataFrame): (DataFrame, Boolean) = {
     val tmp = scratch(prefix).toString
     Writers.parquet(assigned, s"$tmp/codes", partitionBy = Seq("cell"))

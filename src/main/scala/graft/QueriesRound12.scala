@@ -1,0 +1,720 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{Readers, Writers}
+import graft.ops.Dedup
+import graft.streaming.{EventStreams, Staging}
+
+/** Round-12 gates — the operational contracts the r11 verdict ranked:
+  * DELETE propagation into the IVF-PQ serving index (#1), state TTL
+  * (#2), the production-shape recall tuning curve (#3), baseline JPEG
+  * decode (#4), and the RGB PNG extension (#6).
+  */
+trait QueriesRound12 extends QueriesRound11 {
+
+  /** GDPR DELETE propagation into the IVF-PQ serving index — the one
+    * verb missing from the otherwise-complete IVM family (q117 exact /
+    * q265 MinHash / q299 semantic / q322 code-store INSERTS / relational
+    * cascade q136): at 100 TB a takedown request must remove vectors
+    * from the SERVING index without rebuilding it. Harness: the q322
+    * two-generation store (day-1 overwrite + day-2 append, one file per
+    * (write, cell)) over an 8-cell IVF; the tombstone set is each
+    * query's CURRENT rank-1 neighbor (so the delete visibly changes
+    * every query's served answer — the "next-best neighbor" contract)
+    * plus the planted ids {10, 11} (one per file generation, so both
+    * day-1 and day-2 files are touched). Compaction is cell-local: ONE
+    * read of the touched cells' slice of the store (both generations),
+    * tombstones anti-joined out, one fresh file per surviving touched
+    * cell swapped in — untouched cell directories are never opened.
+    * Four proofs ride in every hash-checked row: the served ranking
+    * (oracle recomputes the post-delete ADC top-3 — the tombstoned
+    * top-1s must be GONE and the next-best promoted), `n_store_files`
+    * (touched cells collapse to 1 file; untouched cells keep their
+    * 1-or-2-generation counts — the oracle recomputes the whole sum
+    * from the assignment CTEs, so a lazy full rebuild OR a compaction
+    * that skipped a touched cell both mismatch), `untouched_preserved`
+    * (driver-checked: every untouched cell's file count is unchanged —
+    * file generations survive), and `rebuild_match` (the post-delete
+    * store serves BIT-IDENTICAL rankings to an index rebuilt from
+    * scratch over the live vectors — ≤30 rows collected per side).
+    * Scale: delete cost is |touched cells| directories read+written —
+    * tracks the tombstone set's cell footprint, never the corpus; the
+    * driver-side moves are bounded by |touched| (≤ |tombstones| ≤ 12).
+    */
+  val ivfpqDelete: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions
+    val M = 4; val SUB = 16; val K = 16
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val codebook: Array[Array[Long]] = emb.orderBy(col("vec_id")).limit(K)
+      .select(qv.as("qv")).collect().map(_.getSeq[Long](0).toArray)
+    if (cents.isEmpty || codebook.isEmpty) {
+      emb.select(col("vec_id").as("query_id"), lit(1).as("rank"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("adc_dist"),
+        lit(0L).as("n_store_files"), lit(true).as("untouched_preserved"),
+        lit(true).as("rebuild_match"), lit(true).as("pruned"))
+        .filter(lit(false))
+    } else {
+      val cellIds = cents.map(_._1)
+      val cvs = cents.map(_._2)
+      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
+      def encode(src: DataFrame): DataFrame = src
+        .select(col("vec_id"), qv.as("qvv"),
+          VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
+            .getItem(0).as("cell"))
+        .select(col("vec_id"), pqCodes(cbLit, col("qvv"), M, SUB).as("codes"),
+          col("cell"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val day1 = encode(corpus.filter(col("vec_id") % 10 =!= 0))
+      val day2 = encode(corpus.filter(col("vec_id") % 10 === 0))
+      val store = scratch("graft_ivfpq_del").toString + "/codes"
+      // one file per (write, cell): the q322 deterministic-append idiom
+      day1.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(store)
+      day2.repartition(col("cell")).write.mode("append")
+        .partitionBy("cell").parquet(store)
+      val q = Dedup.pin(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), qv.as("qq"),
+          explode(VectorExpressions.nearest_cells(col("embedding"), cellIds,
+            cvs, 2)).as("cell")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist"), col("neighbor_id"))
+      def serve(codesDf: DataFrame): DataFrame = codesDf
+        .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
+        .join(broadcast(q), Seq("cell"))
+        .withColumn("adc_dist", adcDist(cbLit, col("qq"), col("codes"), M, SUB))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_dist"))
+      val all = Dedup.pin(encode(corpus))
+      // the takedown set: every query's served rank-1 (bounded collect:
+      // ≤ |queries| ids) plus one planted id per file generation
+      val top1 = serve(all).filter(col("rank") === 1)
+        .select(col("neighbor_id")).distinct()
+        .collect().map(_.getLong(0))
+      val tombstones = (top1 ++ Seq(10L, 11L)).distinct.sorted
+      // touched cells: the tombstones' cell footprint (≤ |tombstones|)
+      val touched = all.filter(col("vec_id").isin(tombstones: _*))
+        .select(col("cell")).distinct().collect().map(_.getLong(0)).sorted
+      def cellFiles(): Map[Long, Long] = {
+        val kids = new java.io.File(store).listFiles()
+        (if (kids == null) Array.empty[java.io.File] else kids)
+          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+          .map(d => d.getName.stripPrefix("cell=").toLong ->
+            Writers.listParquetFiles(d.toString).size.toLong).toMap
+      }
+      val before = cellFiles()
+      // cell-local compaction: one Spark job over the touched slice only,
+      // then a driver-side generation swap bounded by |touched|
+      if (touched.nonEmpty) {
+        val tmp2 = scratch("graft_ivfpq_del_cmp").toString
+        Readers.parquetWithSchema(s, store, day1.schema)
+          .filter(col("cell").isin(touched: _*))
+          .filter(!col("vec_id").isin(tombstones: _*))
+          .repartition(col("cell")).write.mode("overwrite")
+          .partitionBy("cell").parquet(tmp2)
+        touched.foreach { c =>
+          val dst = new java.io.File(store, s"cell=$c")
+          def rm(f: java.io.File): Unit = {
+            val k = f.listFiles(); if (k != null) k.foreach(rm)
+            f.delete(); ()
+          }
+          rm(dst)
+          val src = new java.io.File(tmp2, s"cell=$c")
+          if (src.isDirectory) {
+            dst.mkdirs()
+            src.listFiles().filter(_.getName.endsWith(".parquet"))
+              .foreach { f =>
+                java.nio.file.Files.move(f.toPath,
+                  new java.io.File(dst, f.getName).toPath)
+                ()
+              }
+          }
+        }
+      }
+      val after = cellFiles()
+      val untouchedPreserved = before.keys.filterNot(touched.contains)
+        .forall(c => after.get(c) == before.get(c))
+      val nStoreFiles = after.values.sum
+      // serve from the post-delete store (probe-pruned, q311 pattern)
+      val probeCells = q.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val probe = if (probeCells.isEmpty) lit(false)
+        else col("cell").isin(probeCells: _*)
+      val rd = Readers.parquetWithSchema(s, store, day1.schema).filter(probe)
+      val pruned = "PartitionFilters: \\[[^\\]]*(IN|INSET)[^\\]]*".r
+        .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
+      val served = serve(rd)
+      // rebuild twin: a from-scratch single-generation index over the
+      // live vectors must rank identically (≤ 3·|queries| rows per side)
+      val rebuildDir = scratch("graft_ivfpq_del_rb").toString
+      encode(corpus.filter(!col("vec_id").isin(tombstones: _*)))
+        .repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(rebuildDir)
+      val rebuilt = serve(
+        Readers.parquetWithSchema(s, rebuildDir, day1.schema).filter(probe))
+      def key(df: DataFrame): Seq[(Long, Int, Long, Long)] =
+        df.orderBy(col("query_id"), col("rank")).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+      val rebuildMatch = key(served) == key(rebuilt)
+      served
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_dist"), lit(nStoreFiles).as("n_store_files"),
+          lit(untouchedPreserved).as("untouched_preserved"),
+          lit(rebuildMatch).as("rebuild_match"), lit(pruned).as("pruned"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  }
+
+  val ivfpqDeleteSql: String =
+    """WITH emb AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+      |  FROM emb ORDER BY vec_id LIMIT 16),
+      |cents AS (SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < 8),
+      |corpus AS (SELECT vec_id, e, qv FROM emb WHERE vec_id >= 10),
+      |qs AS (SELECT vec_id, e, qv FROM emb WHERE vec_id < 10),
+      |cc AS (SELECT vec_id, qv, cell FROM (
+      |  SELECT r.vec_id, r.qv, c.cell, row_number() OVER (
+      |      PARTITION BY r.vec_id ORDER BY
+      |      list_dot_product(r.e, c.ce) /
+      |        (sqrt(list_dot_product(r.e, r.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM corpus r CROSS JOIN cents c) WHERE rn = 1),
+      |pairs AS (SELECT v.vec_id, ss.s AS s, cb.code,
+      |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (v.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i])
+      |      * (v.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i]))) AS BIGINT) AS d
+      |  FROM cc v
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+      |  CROSS JOIN cb),
+      |codes AS (SELECT vec_id, s, min([d, code])[2] AS code
+      |  FROM pairs GROUP BY vec_id, s),
+      |qp AS (SELECT vec_id AS query_id, qv AS qq, cell FROM (
+      |  SELECT q.vec_id, q.qv, c.cell, row_number() OVER (
+      |      PARTITION BY q.vec_id ORDER BY
+      |      list_dot_product(q.e, c.ce) /
+      |        (sqrt(list_dot_product(q.e, q.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+      |cand AS (SELECT qp.query_id, v.vec_id AS neighbor_id,
+      |    CAST(sum(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (qp.qq[k.s*16 + i] - b.qv[k.s*16 + i])
+      |      * (qp.qq[k.s*16 + i] - b.qv[k.s*16 + i])))) AS BIGINT)
+      |      AS adc_dist
+      |  FROM qp JOIN cc v USING (cell)
+      |  JOIN codes k ON k.vec_id = v.vec_id
+      |  JOIN cb b ON b.code = k.code
+      |  GROUP BY qp.query_id, v.vec_id),
+      |tomb AS (SELECT neighbor_id AS vec_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+      |    FROM cand) WHERE rank = 1
+      |  UNION SELECT 10 UNION SELECT 11),
+      |touched AS (SELECT DISTINCT cell FROM cc
+      |  WHERE vec_id IN (SELECT vec_id FROM tomb)),
+      |nf AS (SELECT
+      |    (SELECT count(DISTINCT cell) FROM cc WHERE vec_id % 10 <> 0
+      |      AND cell NOT IN (SELECT cell FROM touched))
+      |  + (SELECT count(DISTINCT cell) FROM cc WHERE vec_id % 10 = 0
+      |      AND cell NOT IN (SELECT cell FROM touched))
+      |  + (SELECT count(DISTINCT cell) FROM cc
+      |      WHERE cell IN (SELECT cell FROM touched)
+      |      AND vec_id NOT IN (SELECT vec_id FROM tomb))
+      |    AS n_store_files),
+      |ranked AS (SELECT query_id, neighbor_id, adc_dist, row_number()
+      |    OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+      |    AS rank
+      |  FROM cand WHERE neighbor_id NOT IN (SELECT vec_id FROM tomb))
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+      |  adc_dist, (SELECT CAST(n_store_files AS BIGINT) FROM nf)
+      |    AS n_store_files, TRUE AS untouched_preserved,
+      |  TRUE AS rebuild_match, TRUE AS pruned
+      |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** State TTL — the EIGHTEENTH streaming gate, closing the last
+    * transformWithState state-management surface (value/map/list state,
+    * initial state, timers, and schema evolution are q263/q321/q315/
+    * q319/q312; EXPIRY is here): without TTL, a long-lived ingest
+    * stream's per-key state grows with the key vocabulary — every user
+    * ever seen, forever — which is THE slow death of a 100 TB streaming
+    * pipeline; with `TTLConfig(ttl)`, a key idle past the horizon is
+    * evicted and its totals RE-SEED from zero on next sight. TTL is
+    * processing-time by definition, so the harness makes it
+    * deterministic by construction: each phase (event-time slices 0–1,
+    * then 2–3) runs as ONE micro-batch — every phase-1 write shares one
+    * batch timestamp, and no intra-phase expiry is possible because a
+    * batch's reads and writes share that timestamp — and the
+    * inter-phase sleep (4.2 s) strictly exceeds the TTL (2 s), so
+    * every phase-1 record is expired for every phase-2 read. The
+    * oracle is then total: the TTL stream equals the batch cumulative
+    * window PARTITIONED BY (user, phase) — totals restart at the phase
+    * boundary — while the no-TTL TWIN (same restart machinery, same
+    * checkpointing, TTLConfig.NONE) equals the window partitioned by
+    * user alone; both ride in the same hash-checked row, so the gate
+    * pins that the difference comes from EXPIRY, not from the
+    * two-phase restart. Scale: TTL state cleanup is incremental in
+    * RocksDB (a secondary min-expiry index), and the working set
+    * tracks ACTIVE keys only.
+    */
+  val streamTtlReseed: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import s.implicits._
+    val TtlMs = 2000L
+    val SleepMs = 4200L
+    val holdDir = scratch("graft_tws_ttl_hold")
+    val srcDir = scratch("graft_tws_ttl_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, holdDir,
+      scratch("graft_tws_ttl_stage"), Seq(col("event_id")))
+    def promote(i: Int): Unit = {
+      val dst = srcDir.resolve(f"part-$i%02d.parquet")
+      Files.copy(holdDir.resolve(f"part-$i%02d.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1000000000000L + i * 10000L))
+      ()
+    }
+    withConfs(s, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      // NO maxFilesPerTrigger: each phase's files land in ONE batch —
+      // the single-batch-per-phase shape the TTL determinism argument
+      // needs (handleInputRows sorts within the batch, so the fold
+      // order is still exact event-time order)
+      def stream = s.readStream
+        .schema(ev.schema)
+        .parquet(srcDir.toString)
+        .as[graft.streaming.EventStreams.Event]
+      // Trigger.Once, NOT AvailableNow: under TimeMode.ProcessingTime
+      // the transformWithState operator's shouldRunAnotherBatch is
+      // unconditionally true (processing-time timers/TTL could always
+      // have work), so AvailableNow's MultiBatchExecutor never drains —
+      // measured: 600+ empty micro-batches before this gate was killed.
+      // Once's SingleBatchExecutor runs exactly one batch per phase,
+      // which is also precisely the determinism shape documented above.
+      val trigger: Trigger = Trigger.Once()
+      val outT = scratch("graft_tws_ttl_outt")
+      val outF = scratch("graft_tws_ttl_outf")
+      val ckT = scratch("graft_tws_ttl_ckt")
+      val ckF = scratch("graft_tws_ttl_ckf")
+      def run(ttlMs: Long, out: java.nio.file.Path,
+              ck: java.nio.file.Path): Unit = {
+        val sq = EventStreams.runningTotalsTtl(stream, ttlMs)(s).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck.toString)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              b.write.mode("append").parquet(out.toString); ()
+          }
+          .trigger(trigger).start()
+        sq.awaitTermination()
+      }
+      promote(0); promote(1)
+      run(TtlMs, outT, ckT); run(0L, outF, ckF)
+      promote(2); promote(3)
+      // the one wall-clock dependency, > TTL by construction; clocks
+      // only move forward, so phase-2's batch timestamp exceeds every
+      // phase-1 expiry deadline no matter how slow the box is
+      Thread.sleep(SleepMs)
+      run(TtlMs, outT, ckT); run(0L, outF, ckF)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cum_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cum_cents",
+          org.apache.spark.sql.types.LongType)))
+      Readers.parquetWithSchema(s, outT.toString, sch)
+        .select(col("user_id"), col("event_id"),
+          col("cum_n").as("ttl_n"), col("cum_cents").as("ttl_cents"))
+        .join(Readers.parquetWithSchema(s, outF.toString, sch)
+          .select(col("user_id"), col("event_id"),
+            col("cum_n").as("full_n"), col("cum_cents").as("full_cents")),
+          Seq("user_id", "event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }
+  }
+
+  val streamTtlReseedSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(us) AS lo,
+      |    greatest(max(us) - min(us), 4) AS span FROM e),
+      |p AS (SELECT user_id, event_id, us, cents,
+      |    us >= lo + 2 * span // 4 AS ph2 FROM e CROSS JOIN b)
+      |SELECT user_id, event_id,
+      |  CAST(row_number() OVER wp AS BIGINT) AS ttl_n,
+      |  CAST(sum(cents) OVER wp AS BIGINT) AS ttl_cents,
+      |  CAST(row_number() OVER wf AS BIGINT) AS full_n,
+      |  CAST(sum(cents) OVER wf AS BIGINT) AS full_cents
+      |FROM p
+      |WINDOW wp AS (PARTITION BY user_id, ph2 ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING),
+      |  wf AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Recall-vs-nprobe TUNING CURVE at a production-shape configuration
+    * (r11 verdict #3): q320 proved the audit machinery at a deliberately
+    * tiny 4-cell config (recall ≈ 0.27); the table a real ANN service
+    * READS is this one — recall@10 as a function of nprobe (how many
+    * cell directories a query pays to scan) × ADC-shortlist width (how
+    * many candidates reach the exact re-rank), at a config where cells
+    * ≫ nprobe (16 cells, 64-entry codebook). Shape: the corpus is
+    * assigned + PQ-coded ONCE; each query's top-4 cells are ranked
+    * (posexplode keeps the probe rank); one candidate pass computes
+    * both the ADC distance and — because this is the AUDIT, not the
+    * serve path — the exact grid distance; the 6-point config grid
+    * {1,2,4}×{1×,4×} is a broadcast cross join, so the whole curve
+    * costs ONE corpus pass + window functions, not 6 reruns. Recall is
+    * against the exact top-10 (brute side bounded by the fixed ≤10
+    * query sample, the q320 discipline). The hash pins the measured
+    * curve, and the curve carries the table's actual lesson: at a FIXED
+    * shortlist, recall FALLS as nprobe grows (sf0.001, shortlist=10:
+    * 0.40 → 0.34 → 0.31 across nprobe 1→2→4) — extra cells contribute
+    * ADC-close-but-exactly-far candidates that push true neighbors out
+    * of the fixed-width shortlist before the exact re-rank can see
+    * them — while widening the shortlist recovers it (0.88 at
+    * nprobe=1×40). This is why production ANN services scale the
+    * re-rank shortlist WITH nprobe rather than tuning either knob
+    * alone; a gate that only measured nprobe would have pointed the
+    * wrong way.
+    */
+  val recallTuning: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions
+    import s.implicits._
+    val M = 4; val SUB = 16; val K = 64; val NC = 16; val TOPK = 10
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < NC)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val codebook: Array[Array[Long]] = emb.orderBy(col("vec_id")).limit(K)
+      .select(qv.as("qv")).collect().map(_.getSeq[Long](0).toArray)
+    if (cents.isEmpty || codebook.isEmpty) {
+      emb.select(lit(0).as("nprobe"), lit(0).as("shortlist"),
+        lit(0L).as("n_queries"), lit(0.0).as("mean_recall"))
+        .filter(lit(false))
+    } else {
+      val cellIds = cents.map(_._1)
+      val cvs = cents.map(_._2)
+      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
+      val assigned = emb.filter(col("vec_id") >= NC)
+        .select(col("vec_id").as("neighbor_id"), qv.as("nv"),
+          VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
+            .getItem(0).as("cell"))
+        .withColumn("codes", pqCodes(cbLit, col("nv"), M, SUB))
+      val qprobe = Dedup.pin(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), qv.as("qq"),
+          posexplode(VectorExpressions.nearest_cells(col("embedding"),
+            cellIds, cvs, 4)))
+        .select(col("query_id"), col("qq"), col("col").as("cell"),
+          (col("pos") + 1).as("cell_rank")))
+      val exactD = aggregate(zip_with(col("qq"), col("nv"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      val cand = assigned.join(broadcast(qprobe), Seq("cell"))
+        .select(col("query_id"), col("cell_rank"), col("neighbor_id"),
+          adcDist(cbLit, col("qq"), col("codes"), M, SUB).as("adc_dist"),
+          exactD.as("exact_dist"))
+      val configs = Seq((1, 10), (1, 40), (2, 10), (2, 40), (4, 10), (4, 40))
+        .toDF("nprobe", "shortlist")
+      val candC = cand.join(broadcast(configs),
+        col("cell_rank") <= col("nprobe"))
+      val wA = Window.partitionBy(col("nprobe"), col("shortlist"),
+        col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))
+      val short = candC.withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= col("shortlist"))
+      val wE = Window.partitionBy(col("nprobe"), col("shortlist"),
+        col("query_id")).orderBy(col("exact_dist"), col("neighbor_id"))
+      val served = short.withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= TOPK)
+        .select(col("nprobe"), col("shortlist"), col("query_id"),
+          col("neighbor_id"))
+      val queries = Dedup.pin(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), qv.as("qq")))
+      val wX = Window.partitionBy(col("query_id"))
+        .orderBy(col("exact_dist"), col("neighbor_id"))
+      val etop = emb.filter(col("vec_id") >= NC)
+        .select(col("vec_id").as("neighbor_id"), qv.as("nv"))
+        .crossJoin(broadcast(queries))
+        .withColumn("exact_dist", exactD)
+        .withColumn("rank", row_number().over(wX))
+        .filter(col("rank") <= TOPK)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = served.join(etop, Seq("query_id", "neighbor_id"))
+        .groupBy(col("nprobe"), col("shortlist"), col("query_id"))
+        .agg(count(lit(1)).as("h"))
+      configs.crossJoin(broadcast(queries.select(col("query_id"))))
+        .join(hits, Seq("nprobe", "shortlist", "query_id"), "left")
+        .groupBy(col("nprobe"), col("shortlist"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(coalesce(col("h"), lit(0L))).cast("double")
+            / (lit(TOPK.toDouble) * count(lit(1))), 6).as("mean_recall"))
+        .orderBy(col("nprobe"), col("shortlist"))
+    }
+  }
+
+  val recallTuningSql: String =
+    """WITH emb AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+      |  FROM emb ORDER BY vec_id LIMIT 64),
+      |cents AS (SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < 16),
+      |corpus AS (SELECT vec_id, e, qv FROM emb WHERE vec_id >= 16),
+      |qs AS (SELECT vec_id, e, qv FROM emb WHERE vec_id < 10),
+      |cc AS (SELECT vec_id, qv, cell FROM (
+      |  SELECT r.vec_id, r.qv, c.cell, row_number() OVER (
+      |      PARTITION BY r.vec_id ORDER BY
+      |      list_dot_product(r.e, c.ce) /
+      |        (sqrt(list_dot_product(r.e, r.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM corpus r CROSS JOIN cents c) WHERE rn = 1),
+      |pairs AS (SELECT v.vec_id, ss.s AS s, cb.code,
+      |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (v.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i])
+      |      * (v.qv[ss.s*16 + i] - cb.qv[ss.s*16 + i]))) AS BIGINT) AS d
+      |  FROM cc v
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+      |  CROSS JOIN cb),
+      |codes AS (SELECT vec_id, s, min([d, code])[2] AS code
+      |  FROM pairs GROUP BY vec_id, s),
+      |qp AS (SELECT vec_id AS query_id, qv AS qq, cell, rn AS cell_rank
+      |  FROM (
+      |  SELECT q.vec_id, q.qv, c.cell, row_number() OVER (
+      |      PARTITION BY q.vec_id ORDER BY
+      |      list_dot_product(q.e, c.ce) /
+      |        (sqrt(list_dot_product(q.e, q.e))
+      |         * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cell) AS rn
+      |  FROM qs q CROSS JOIN cents c) WHERE rn <= 4),
+      |xd AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      |      (q.qv[i] - r.qv[i]) * (q.qv[i] - r.qv[i]))) AS BIGINT)
+      |      AS exact_dist
+      |  FROM qs q CROSS JOIN corpus r),
+      |cand AS (SELECT qp.query_id, qp.cell_rank, v.vec_id AS neighbor_id,
+      |    CAST(sum(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (qp.qq[k.s*16 + i] - b.qv[k.s*16 + i])
+      |      * (qp.qq[k.s*16 + i] - b.qv[k.s*16 + i])))) AS BIGINT)
+      |      AS adc_dist
+      |  FROM qp JOIN cc v USING (cell)
+      |  JOIN codes k ON k.vec_id = v.vec_id
+      |  JOIN cb b ON b.code = k.code
+      |  GROUP BY qp.query_id, qp.cell_rank, v.vec_id),
+      |configs AS (SELECT * FROM (VALUES (1, 10), (1, 40), (2, 10),
+      |    (2, 40), (4, 10), (4, 40)) t(nprobe, shortlist)),
+      |short AS (SELECT nprobe, shortlist, query_id, neighbor_id,
+      |    exact_dist FROM (
+      |  SELECT c.nprobe, c.shortlist, d.query_id, d.neighbor_id,
+      |    x.exact_dist, row_number() OVER (
+      |      PARTITION BY c.nprobe, c.shortlist, d.query_id
+      |      ORDER BY d.adc_dist, d.neighbor_id) AS arank
+      |  FROM configs c JOIN cand d ON d.cell_rank <= c.nprobe
+      |  JOIN xd x ON x.query_id = d.query_id
+      |    AND x.neighbor_id = d.neighbor_id)
+      |  WHERE arank <= shortlist),
+      |served AS (SELECT nprobe, shortlist, query_id, neighbor_id FROM (
+      |  SELECT short.*, row_number() OVER (
+      |      PARTITION BY nprobe, shortlist, query_id
+      |      ORDER BY exact_dist, neighbor_id) AS rank FROM short)
+      |  WHERE rank <= 10),
+      |etop AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY exact_dist, neighbor_id) AS rk
+      |  FROM xd) WHERE rk <= 10),
+      |hits AS (SELECT s.nprobe, s.shortlist, s.query_id, count(*) AS h
+      |  FROM served s JOIN etop e USING (query_id, neighbor_id)
+      |  GROUP BY s.nprobe, s.shortlist, s.query_id),
+      |grid AS (SELECT c.nprobe, c.shortlist, q.vec_id AS query_id
+      |  FROM configs c CROSS JOIN qs q)
+      |SELECT nprobe, shortlist, CAST(count(*) AS BIGINT) AS n_queries,
+      |  round(CAST(coalesce(sum(h), 0) AS DOUBLE) / (10.0 * count(*)), 6)
+      |    AS mean_recall
+      |FROM grid LEFT JOIN hits USING (nprobe, shortlist, query_id)
+      |GROUP BY nprobe, shortlist ORDER BY nprobe, shortlist""".stripMargin
+
+  /** Baseline JPEG grayscale decode round-trip (r11 verdict #4 — JPEG
+    * is what a crawl actually ingests; q30's header parse was the
+    * documented stub): each document plants a 16×16 image of four
+    * CONSTANT 8×8 blocks (block values from the md5 fixture), encoded
+    * by [[graft.functions.JpegExpressions.jpeg_encode_gray]] as a
+    * complete baseline JFIF — real FDCT, real quantization, real
+    * canonical Huffman DC/AC coding with byte stuffing, DQT/DHT
+    * written into the stream — and decoded by the full inverse
+    * (marker walk, DHT-driven Huffman decode, DPCM, dequantization,
+    * IDCT). The fixture choice is what makes the gate HASH-CHECKABLE:
+    * with constant blocks and DC quant step 8 the whole pipeline is
+    * exactly lossless (DC = 8·(v−128) quantizes to v−128 exactly; the
+    * decoder's integer DC shortcut inverts it bit-for-bit), so the
+    * DuckDB oracle recomputes every decoded pixel, the four block
+    * values, and the first-row hex directly from the md5 formula —
+    * while the wire format is a real entropy-coded scan whose DC
+    * Huffman path carries varied categories (block-to-block DPCM
+    * diffs span the full ±255 range across the corpus). Docs with
+    * doc_id % 11 == 0 ship a 20-byte truncation: the SOF header still
+    * parses (container_fmt/w/h intact — header inspection cannot
+    * catch it) but the decode must yield NULL. AC-path coverage
+    * (run-lengths, ZRL, extend, general IDCT) is pinned by JpegSpec —
+    * see the codec's object doc for the documented oracle boundary.
+    * Scale: row-local codegen both directions, fused into the scan;
+    * the q309 cost shape.
+    */
+  val jpegRoundtrip: Q = (s, dir) => {
+    import graft.functions.{ImageExpressions, JpegExpressions}
+    def hx(i: Int): Column =
+      substring(md5(concat(col("media_id").cast("string"), lit("|j" + i))),
+        1, 2)
+    val rowT = concat(repeat(hx(0), 8), repeat(hx(1), 8))
+    val rowB = concat(repeat(hx(2), 8), repeat(hx(3), 8))
+    def byteAt(bin: Column, pos: Int): Column =
+      conv(hex(substring(bin, pos, 1)), 16, 10).cast("long")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("px", unhex(concat(repeat(rowT, 8), repeat(rowB, 8))))
+      .withColumn("jpg", JpegExpressions.jpeg_encode_gray(col("px"), 16, 16))
+    base
+      .withColumn("blob",
+        when(col("media_id") % 11 === 0,
+          expr("substring(jpg, 1, octet_length(jpg) - 20)"))
+          .otherwise(col("jpg")))
+      .withColumn("dec", JpegExpressions.jpeg_decode_gray(col("blob")))
+      .select(col("media_id"),
+        ImageExpressions.image_format(col("blob")).as("container_fmt"),
+        ImageExpressions.image_width(col("blob")).as("w"),
+        ImageExpressions.image_height(col("blob")).as("h"),
+        col("dec").isNotNull.as("decoded"),
+        length(col("dec")).as("n_px"),
+        lower(hex(substring(col("dec"), 1, 16))).as("row0_hex"),
+        byteAt(col("dec"), 1).as("v00"),
+        byteAt(col("dec"), 9).as("v01"),
+        byteAt(col("dec"), 129).as("v10"),
+        byteAt(col("dec"), 137).as("v11"),
+        (col("dec") <=> col("px")).as("roundtrip_exact"))
+      .orderBy(col("media_id"))
+  }
+
+  val jpegRoundtripSql: String =
+    """WITH v AS (SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS s
+      |  FROM documents)
+      |SELECT media_id, 'jpeg' AS container_fmt,
+      |  CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+      |  media_id % 11 <> 0 AS decoded,
+      |  CASE WHEN media_id % 11 <> 0 THEN CAST(256 AS INTEGER) END AS n_px,
+      |  CASE WHEN media_id % 11 <> 0 THEN
+      |    repeat(substr(md5(s || '|j0'), 1, 2), 8)
+      |    || repeat(substr(md5(s || '|j1'), 1, 2), 8) END AS row0_hex,
+      |  CASE WHEN media_id % 11 <> 0 THEN
+      |    ('0x' || substr(md5(s || '|j0'), 1, 2))::BIGINT END AS v00,
+      |  CASE WHEN media_id % 11 <> 0 THEN
+      |    ('0x' || substr(md5(s || '|j1'), 1, 2))::BIGINT END AS v01,
+      |  CASE WHEN media_id % 11 <> 0 THEN
+      |    ('0x' || substr(md5(s || '|j2'), 1, 2))::BIGINT END AS v10,
+      |  CASE WHEN media_id % 11 <> 0 THEN
+      |    ('0x' || substr(md5(s || '|j3'), 1, 2))::BIGINT END AS v11,
+      |  media_id % 11 <> 0 AS roundtrip_exact
+      |FROM v ORDER BY media_id""".stripMargin
+
+  /** RGB PNG round-trip (r11 verdict #6 — real crawl PNGs are color):
+    * q309's codec covered the 8-bit grayscale subset; this gate runs
+    * the same contract through the COLOR-TYPE-2 path — the q277
+    * 288-byte planted buffer reinterpreted as an 8×12 interleaved RGB
+    * image, encoded as a spec-valid truecolor PNG (bytewise filtering
+    * with the left neighbor bpp=3 back, §9.2's "corresponding byte of
+    * the previous pixel" — the part a grayscale-only unfilter gets
+    * wrong) and decoded back. The hash-checked row carries the decoded
+    * byte count (288 = w·h·3), the first 16 decoded bytes as hex
+    * (== md5(id||'|0') by the fixture), the three per-CHANNEL byte
+    * sums ([[graft.functions.ImageExpressions.channel_sum]] — the
+    * channel-aware fingerprint: unlike a gray mean they distinguish
+    * channel-swapped images; the oracle recomputes each from the pixel
+    * formula's stride-3 slices), a byte-exact round-trip flag, and
+    * `gray_reject` — the GRAYSCALE decoder applied to the color PNG
+    * must return NULL (the color-type validation path, pinned TRUE on
+    * every row). Docs with doc_id % 13 == 0 ship a 24-byte truncation:
+    * header still parses (fmt/w/h intact), decode NULL. Scale: same
+    * row-local codegen shape as q309 — one narrow pass, no shuffle.
+    */
+  val pngRgbRoundtrip: Q = (s, dir) => {
+    import graft.functions.{ImageExpressions, PngExpressions}
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        plantedImagePixels(col("doc_id"), variant = false).as("px"))
+      .withColumn("png", PngExpressions.png_encode_rgb(col("px"), 8, 12))
+    base
+      .withColumn("blob",
+        when(col("media_id") % 13 === 0,
+          expr("substring(png, 1, octet_length(png) - 24)"))
+          .otherwise(col("png")))
+      .withColumn("dec", PngExpressions.png_decode_rgb(col("blob")))
+      .select(col("media_id"),
+        ImageExpressions.image_format(col("blob")).as("container_fmt"),
+        ImageExpressions.image_width(col("blob")).as("w"),
+        ImageExpressions.image_height(col("blob")).as("h"),
+        col("dec").isNotNull.as("decoded"),
+        length(col("dec")).as("n_bytes"),
+        lower(hex(substring(col("dec"), 1, 16))).as("block0_hex"),
+        ImageExpressions.channel_sum(col("dec"), 3, 0).as("r_sum"),
+        ImageExpressions.channel_sum(col("dec"), 3, 1).as("g_sum"),
+        ImageExpressions.channel_sum(col("dec"), 3, 2).as("b_sum"),
+        (col("dec") <=> col("px")).as("roundtrip_exact"),
+        PngExpressions.png_decode_gray(col("blob")).isNull.as("gray_reject"))
+      .orderBy(col("media_id"))
+  }
+
+  val pngRgbRoundtripSql: String =
+    """WITH px AS (SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS s,
+      |    list_transform(generate_series(0, 287), k ->
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+      |          CAST(k // 16 AS VARCHAR)), (k % 16) * 2 + 1, 2))::BIGINT)
+      |      AS p
+      |  FROM documents)
+      |SELECT media_id, 'png' AS container_fmt,
+      |  CAST(8 AS INTEGER) AS w, CAST(12 AS INTEGER) AS h,
+      |  media_id % 13 <> 0 AS decoded,
+      |  CASE WHEN media_id % 13 <> 0 THEN CAST(288 AS INTEGER) END
+      |    AS n_bytes,
+      |  CASE WHEN media_id % 13 <> 0 THEN md5(s || '|0') END AS block0_hex,
+      |  CASE WHEN media_id % 13 <> 0 THEN CAST(list_sum(
+      |    list_transform(generate_series(0, 95), j -> p[3*j + 1]))
+      |    AS BIGINT) END AS r_sum,
+      |  CASE WHEN media_id % 13 <> 0 THEN CAST(list_sum(
+      |    list_transform(generate_series(0, 95), j -> p[3*j + 2]))
+      |    AS BIGINT) END AS g_sum,
+      |  CASE WHEN media_id % 13 <> 0 THEN CAST(list_sum(
+      |    list_transform(generate_series(0, 95), j -> p[3*j + 3]))
+      |    AS BIGINT) END AS b_sum,
+      |  media_id % 13 <> 0 AS roundtrip_exact,
+      |  TRUE AS gray_reject
+      |FROM px ORDER BY media_id""".stripMargin
+}

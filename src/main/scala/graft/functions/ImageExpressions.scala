@@ -348,4 +348,49 @@ object ImageExpressions {
   def gray_resize(bin: Column, w: Int, h: Int, ow: Int, oh: Int): Column =
     GraftColumnBridge.column(
       GrayResize(GraftColumnBridge.expression(bin), w, h, ow, oh))
+
+  /** Sum of the unsigned bytes at positions offset, offset+stride, … —
+    * the per-CHANNEL reduction over an interleaved multi-channel buffer
+    * (stride = channel count, offset = channel index). Three of these
+    * over a decoded RGB buffer are the channel-aware fingerprint the
+    * q327 gate hashes: unlike a grayscale mean, they distinguish
+    * channel-swapped images. NULL only via null input; an
+    * out-of-range offset just sums zero terms. Exact integer
+    * arithmetic — a SQL oracle recomputes it from the pixel formula.
+    */
+  def channelSum(b: Array[Byte], stride: Int, offset: Int): java.lang.Long = {
+    if (stride <= 0 || offset < 0) return null
+    var i = offset; var s = 0L
+    while (i < b.length) { s += b(i) & 0xff; i += stride }
+    java.lang.Long.valueOf(s)
+  }
+
+  case class ChannelSum(child: Expression, stride: Int, offset: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      ImageExpressions.channelSum(input.asInstanceOf[Array[Byte]], stride,
+        offset)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val v = ctx.freshName("cs")
+        val cls = ImageExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |java.lang.Long $v = $cls.channelSum($bin, $stride, $offset);
+           |if ($v == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $v.longValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Per-channel byte sum of an interleaved buffer (see [[channelSum]]). */
+  def channel_sum(bin: Column, stride: Int, offset: Int): Column =
+    GraftColumnBridge.column(
+      ChannelSum(GraftColumnBridge.expression(bin), stride, offset))
 }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * "what's missing" #1): every earlier gate operated on planted RAW
   * grayscale buffers or parsed container *headers* only — the entropy
   * decode itself was the documented stub. This closes that distance
-  * with an actual PNG codec for the 8-bit grayscale subset (ISO/IEC
+  * with an actual PNG codec for the 8-bit grayscale (color type 0) and
+  * 8-bit RGB (color type 2, r12 verdict #6) subsets (ISO/IEC
   * 15948): the encoder emits a spec-valid PNG — signature, IHDR,
   * zlib-DEFLATE-compressed IDAT (java.util.zip.Deflater: a real
   * DEFLATE stream with a real Adler-32 zlib trailer), per-chunk
@@ -80,27 +81,34 @@ object PngExpressions {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode a raw row-major w×h 8-bit grayscale buffer as a spec-valid
-    * PNG. Filter type cycles `row mod 5` so every decoder unfilter
-    * branch is exercised by a round-trip; the DEFLATE stream is split
-    * into 1024-byte IDAT chunks so multi-IDAT concatenation is, too.
-    * NULL on short buffers, non-positive dims, or w·h > 2^26.
+  /** Encode a raw row-major w×h 8-bit buffer (`channels` = 1 grayscale
+    * color type 0, or 3 RGB color type 2, samples interleaved) as a
+    * spec-valid PNG. Filter type cycles `row mod 5` so every decoder
+    * unfilter branch is exercised by a round-trip; the DEFLATE stream
+    * is split into 1024-byte IDAT chunks so multi-IDAT concatenation
+    * is, too. Filtering is BYTEWISE with the left neighbor `bpp` bytes
+    * back (ISO/IEC 15948 §9.2 — for color type 2, "corresponding byte
+    * of the previous pixel"). NULL on short buffers, non-positive
+    * dims, or w·h > 2^26.
     */
-  def pngEncodeGray(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  private def pngEncode(px: Array[Byte], w: Int, h: Int,
+                        channels: Int): Array[Byte] = {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels
-        || px.length.toLong < w.toLong * h) return null
-    // filtered scanlines: (1 filter byte + w) per row
-    val filt = new Array[Byte]((w + 1) * h)
+        || px.length.toLong < w.toLong * h * channels) return null
+    val bpl = w * channels // bytes per scanline (sans filter byte)
+    // filtered scanlines: (1 filter byte + bpl) per row
+    val filt = new Array[Byte]((bpl + 1) * h)
     var r = 0
     while (r < h) {
       val f = r % 5
-      filt(r * (w + 1)) = f.toByte
+      filt(r * (bpl + 1)) = f.toByte
       var x = 0
-      while (x < w) {
-        val cur = px(r * w + x) & 0xff
-        val a = if (x > 0) px(r * w + x - 1) & 0xff else 0
-        val b = if (r > 0) px((r - 1) * w + x) & 0xff else 0
-        val c = if (x > 0 && r > 0) px((r - 1) * w + x - 1) & 0xff else 0
+      while (x < bpl) {
+        val cur = px(r * bpl + x) & 0xff
+        val a = if (x >= channels) px(r * bpl + x - channels) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * bpl + x) & 0xff else 0
+        val c = if (x >= channels && r > 0)
+          px((r - 1) * bpl + x - channels) & 0xff else 0
         val pred = f match {
           case 0 => 0
           case 1 => a
@@ -108,7 +116,7 @@ object PngExpressions {
           case 3 => (a + b) / 2
           case 4 => paeth(a, b, c)
         }
-        filt(r * (w + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        filt(r * (bpl + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
         x += 1
       }
       r += 1
@@ -131,7 +139,7 @@ object PngExpressions {
     putBe32(ihdr, 0, w.toLong)
     putBe32(ihdr, 4, h.toLong)
     ihdr(8) = 8   // bit depth
-    ihdr(9) = 0   // color type: grayscale
+    ihdr(9) = (if (channels == 1) 0 else 2).toByte // 0 gray / 2 truecolor
     ihdr(10) = 0  // compression: deflate
     ihdr(11) = 0  // filter method 0
     ihdr(12) = 0  // no interlace
@@ -146,16 +154,19 @@ object PngExpressions {
     out.toByteArray
   }
 
-  /** Decode an 8-bit grayscale PNG back to its raw row-major pixel
-    * buffer. Verifies the signature, every chunk CRC-32, the IHDR
-    * (depth 8 / color 0 / compression 0 / filter 0 / no interlace),
-    * inflates the concatenated IDATs through a zlib Inflater (Adler-32
-    * checked at stream end), requires the byte count to be exactly
-    * h·(w+1), and reconstructs all five filter types. NULL on ANY
-    * malformation or when w·h > 2^26 — hostile bytes cannot throw or
-    * allocate unboundedly.
+  /** Decode an 8-bit PNG of the expected channel count (1 → color type
+    * 0 grayscale, 3 → color type 2 RGB) back to its raw row-major
+    * interleaved sample buffer. Verifies the signature, every chunk
+    * CRC-32, the IHDR (depth 8 / the expected color type / compression
+    * 0 / filter 0 / no interlace), inflates the concatenated IDATs
+    * through a zlib Inflater (Adler-32 checked at stream end), requires
+    * the byte count to be exactly h·(w·channels+1), and reconstructs
+    * all five filter types (bytewise, left neighbor `bpp` back). NULL
+    * on ANY malformation — including a color type other than the
+    * expected one, or any non-8 bit depth — or when w·h > 2^26;
+    * hostile bytes cannot throw or allocate unboundedly.
     */
-  def pngDecodeGray(png: Array[Byte]): Array[Byte] = {
+  private def pngDecode(png: Array[Byte], channels: Int): Array[Byte] = {
     if (png.length < 8 + 25 + 12) return null // sig + IHDR chunk + IEND
     var i = 0
     while (i < 8) { if (png(i) != Signature(i)) return null; i += 1 }
@@ -177,8 +188,10 @@ object PngExpressions {
           // signed-64 product negative and would slip past the cap
           if (ww <= 0 || hh <= 0 || ww > MaxPixels || hh > MaxPixels ||
             ww * hh > MaxPixels) return null
-          if (png(p + 16) != 8 || png(p + 17) != 0 || png(p + 18) != 0 ||
-              png(p + 19) != 0 || png(p + 20) != 0) return null
+          val colorType: Byte = if (channels == 1) 0 else 2
+          if (png(p + 16) != 8 || png(p + 17) != colorType ||
+              png(p + 18) != 0 || png(p + 19) != 0 ||
+              png(p + 20) != 0) return null
           w = ww.toInt; h = hh.toInt; seenIhdr = true
         case "IDAT" =>
           if (!seenIhdr) return null
@@ -195,7 +208,8 @@ object PngExpressions {
     // rejects the same class): two different binaries must not decode
     // to identical pixels
     if (p != png.length) return null
-    val expect = h * (w + 1)
+    val bpl = w * channels
+    val expect = h * (bpl + 1)
     val filt = new Array[Byte](expect)
     val inf = new Inflater(/*nowrap=*/ false)
     try {
@@ -220,17 +234,18 @@ object PngExpressions {
         }
       } catch { case _: DataFormatException => return null }
     } finally inf.end()
-    val out = new Array[Byte](w * h)
+    val out = new Array[Byte](bpl * h)
     var r = 0
     while (r < h) {
-      val f = filt(r * (w + 1)) & 0xff
+      val f = filt(r * (bpl + 1)) & 0xff
       if (f > 4) return null
       var x = 0
-      while (x < w) {
-        val v = filt(r * (w + 1) + 1 + x) & 0xff
-        val a = if (x > 0) out(r * w + x - 1) & 0xff else 0
-        val b = if (r > 0) out((r - 1) * w + x) & 0xff else 0
-        val c = if (x > 0 && r > 0) out((r - 1) * w + x - 1) & 0xff else 0
+      while (x < bpl) {
+        val v = filt(r * (bpl + 1) + 1 + x) & 0xff
+        val a = if (x >= channels) out(r * bpl + x - channels) & 0xff else 0
+        val b = if (r > 0) out((r - 1) * bpl + x) & 0xff else 0
+        val c = if (x >= channels && r > 0)
+          out((r - 1) * bpl + x - channels) & 0xff else 0
         val pred = f match {
           case 0 => 0
           case 1 => a
@@ -238,13 +253,23 @@ object PngExpressions {
           case 3 => (a + b) / 2
           case 4 => paeth(a, b, c)
         }
-        out(r * w + x) = ((v + pred) & 0xff).toByte
+        out(r * bpl + x) = ((v + pred) & 0xff).toByte
         x += 1
       }
       r += 1
     }
     out
   }
+
+  /** Public entry points (also the codegen call targets — generated
+    * code invokes them by name on this object).
+    */
+  def pngEncodeGray(px: Array[Byte], w: Int, h: Int): Array[Byte] =
+    pngEncode(px, w, h, 1)
+  def pngDecodeGray(png: Array[Byte]): Array[Byte] = pngDecode(png, 1)
+  def pngEncodeRgb(px: Array[Byte], w: Int, h: Int): Array[Byte] =
+    pngEncode(px, w, h, 3)
+  def pngDecodeRgb(png: Array[Byte]): Array[Byte] = pngDecode(png, 3)
 
   case class PngEncodeGray(child: Expression, w: Int, h: Int)
       extends UnaryExpression {
@@ -291,6 +316,51 @@ object PngExpressions {
       copy(child = c)
   }
 
+  case class PngEncodeRgb(child: Expression, w: Int, h: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      PngExpressions.pngEncodeRgb(input.asInstanceOf[Array[Byte]], w, h)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val v = ctx.freshName("png")
+        val cls = PngExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |byte[] $v = $cls.pngEncodeRgb($bin, $w, $h);
+           |if ($v == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $v; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class PngDecodeRgb(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      PngExpressions.pngDecodeRgb(input.asInstanceOf[Array[Byte]])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val v = ctx.freshName("px")
+        val cls = PngExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |byte[] $v = $cls.pngDecodeRgb($bin);
+           |if ($v == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $v; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** raw w×h gray buffer → spec-valid PNG bytes (real zlib DEFLATE). */
   def png_encode_gray(bin: Column, w: Int, h: Int): Column =
     GraftColumnBridge.column(
@@ -300,4 +370,16 @@ object PngExpressions {
   def png_decode_gray(bin: Column): Column =
     GraftColumnBridge.column(
       PngDecodeGray(GraftColumnBridge.expression(bin)))
+
+  /** raw w×h×3 interleaved RGB buffer → spec-valid color-type-2 PNG. */
+  def png_encode_rgb(bin: Column, w: Int, h: Int): Column =
+    GraftColumnBridge.column(
+      PngEncodeRgb(GraftColumnBridge.expression(bin), w, h))
+
+  /** 8-bit RGB (color type 2) PNG → raw interleaved RGB buffer; NULL on
+    * any malformation, including a grayscale or non-8-bit-depth image.
+    */
+  def png_decode_rgb(bin: Column): Column =
+    GraftColumnBridge.column(
+      PngDecodeRgb(GraftColumnBridge.expression(bin)))
 }

@@ -79,19 +79,39 @@ object Layout {
     * cluster three dimensions at once (date × source × length); a 2-D
     * key leaves the third unserved the way a lexicographic sort leaves
     * the second unserved — q314 measures both degenerations.
+    *
+    * DOMAIN: each dimension must already be a bucket in [0, 2^21)
+    * (ADVICE r11 #1 — [[bucket]] produces one). The interleave keeps
+    * only the low 21 bits per dim, so an out-of-range value would
+    * ALIAS onto another cell and silently void [[zWindow3]]'s superset
+    * guarantee; the guard below raises on the first out-of-range value
+    * instead.
     */
-  def zkey3(a: Column, b: Column, c: Column): Column =
-    VectorExpressions.morton_interleave3(a.cast("int"), b.cast("int"),
-      c.cast("int"))
+  def zkey3(a: Column, b: Column, c: Column): Column = {
+    def dom(x: Column): Column = {
+      val v = x.cast("long")
+      when(v >= 0 && v < (1L << 21), v.cast("int"))
+        .otherwise(raise_error(concat(
+          lit("zkey3 input outside [0, 2^21): "), v.cast("string")))
+          .cast("int"))
+    }
+    VectorExpressions.morton_interleave3(dom(a), dom(b), dom(c))
+  }
 
   /** Inclusive 3-D z-window — a superset interval of the query box, by
     * the same componentwise monotonicity as [[zWindow]]; scan the
-    * window, then re-apply the exact box predicate.
+    * window, then re-apply the exact box predicate. Bounds share
+    * [[zkey3]]'s [0, 2^21) domain; out-of-range bounds would alias and
+    * void the superset guarantee, so they fail loudly here.
     */
   def zWindow3(aLo: Long, bLo: Long, cLo: Long,
-               aHi: Long, bHi: Long, cHi: Long): (Long, Long) =
+               aHi: Long, bHi: Long, cHi: Long): (Long, Long) = {
+    val lim = 1L << 21
+    Seq(aLo, bLo, cLo, aHi, bHi, cHi).foreach(v =>
+      require(v >= 0 && v < lim, s"zWindow3 bound $v outside [0, 2^21)"))
     (VectorExpressions.MortonInterleave3.interleave3(aLo, bLo, cLo),
       VectorExpressions.MortonInterleave3.interleave3(aHi, bHi, cHi))
+  }
 
   /** Write `df` clustered by the 3-D Morton key (the [[zorderWrite]]
     * layout with [[zkey3]]); the stored `z` column serves pushdown-able

@@ -240,6 +240,69 @@ object EventStreams {
         TimeMode.None(), OM.Append())
   }
 
+  // ----------------------------------------------------- state TTL
+
+  /** [[RunningTotalsProcessor]] with a processing-time state TTL — the
+    * one transformWithState state-management surface the other gates
+    * leave unexercised (q324): `TTLConfig(ttlMs)` attaches an expiry to
+    * every state WRITE, and a read whose batch timestamp has passed the
+    * expiry sees no state at all — the user's totals RE-SEED from zero,
+    * exactly as if the key had never been seen. This is how a
+    * long-lived 100 TB ingest stream stays alive: without TTL,
+    * per-key state grows monotonically with the key vocabulary (every
+    * user ever seen, forever); with it, idle keys age out and the
+    * state store's working set tracks ACTIVE keys only. TTL is
+    * processing-time by definition (the knob is "how long since we
+    * last wrote this key", not event time), so the q324 harness makes
+    * it deterministic by construction: each phase runs as a single
+    * micro-batch (one batch timestamp for every write), and the
+    * inter-phase wall-clock sleep strictly exceeds the TTL — state
+    * written in phase 1 is expired for every phase-2 read, and no
+    * intra-phase expiry is possible (a batch's reads and writes share
+    * one timestamp). `ttlMs <= 0` disables TTL (the no-TTL twin the
+    * gate runs to prove the difference comes from expiry, not from the
+    * restart machinery).
+    */
+  class RunningTotalsTtlProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, CumRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[CumState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE
+      state = getHandle.getValueState[CumState]("cum",
+        org.apache.spark.sql.Encoders.product[CumState], ttl)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CumRow] = {
+      val sorted = rows.toArray.sortBy(e => (tsToUs(e.ts), e.event_id))
+      var st = if (state.exists()) state.get() else CumState(0L, 0L)
+      val out = sorted.map { e =>
+        st = CumState(st.n + 1, st.cents + math.round(e.value))
+        CumRow(key, e.event_id, st.n, st.cents)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Wire [[RunningTotalsTtlProcessor]] over a keyed event stream.
+    * TimeMode.ProcessingTime — TTL needs a processing-time clock.
+    */
+  def runningTotalsTtl(events: Dataset[Event], ttlMs: Long)
+                      (implicit spark: SparkSession): Dataset[CumRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsTtlProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OM.Append())
+  }
+
   // ------------------------------- state-schema evolution (v2 processor)
 
   final case class CumRowV2(user_id: Long, event_id: Long, cum_n: Long,

@@ -208,4 +208,82 @@ class CodecSpec extends SparkSpec {
     val trail = java.util.Arrays.copyOf(gz, gz.length + 3)
     assert(dec(trail) == null, "trailing bytes after member")
   }
+
+  // --------------------------------------------------- RGB PNG (q327)
+
+  test("png rgb: decode(encode(px)) byte-exact; bpp=3 filtering actually matters") {
+    for ((w, h) <- Seq((8, 12), (5, 7), (64, 48), (1, 300))) {
+      val px = pixels(w * h * 3, w * 77 + h)
+      val png = PngExpressions.pngEncodeRgb(px, w, h)
+      assert(png != null, s"rgb encode failed ${w}x$h")
+      val dec = PngExpressions.pngDecodeRgb(png)
+      assert(dec != null, s"rgb decode failed ${w}x$h")
+      assert(java.util.Arrays.equals(dec, px), s"rgb round-trip ${w}x$h")
+    }
+  }
+
+  test("png rgb: javax.imageio reads our truecolor PNG with identical samples") {
+    val w = 8; val h = 12
+    val px = pixels(w * h * 3, 99)
+    val png = PngExpressions.pngEncodeRgb(px, w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO rejected our truecolor PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val rgb = new Array[Int](3)
+    for (y <- 0 until h; x <- 0 until w) {
+      img.getRaster.getPixel(x, y, rgb)
+      for (c <- 0 until 3)
+        assert(rgb(c) == (px((y * w + x) * 3 + c) & 0xff),
+          s"channel $c at ($x,$y)")
+    }
+  }
+
+  test("png rgb: color-type cross-validation — gray decoder rejects RGB and vice versa") {
+    val gpx = pixels(8 * 12, 1)
+    val cpx = pixels(8 * 12 * 3, 2)
+    val gray = PngExpressions.pngEncodeGray(gpx, 8, 12)
+    val rgb = PngExpressions.pngEncodeRgb(cpx, 8, 12)
+    assert(PngExpressions.pngDecodeGray(rgb) == null,
+      "gray decoder must reject color type 2")
+    assert(PngExpressions.pngDecodeRgb(gray) == null,
+      "rgb decoder must reject color type 0")
+    // and each accepts its own
+    assert(java.util.Arrays.equals(PngExpressions.pngDecodeGray(gray), gpx))
+    assert(java.util.Arrays.equals(PngExpressions.pngDecodeRgb(rgb), cpx))
+  }
+
+  test("png rgb: truncation and bit-depth hostiles yield NULL") {
+    val px = pixels(8 * 12 * 3, 4)
+    val png = PngExpressions.pngEncodeRgb(px, 8, 12)
+    assert(PngExpressions.pngDecodeRgb(
+      java.util.Arrays.copyOf(png, png.length - 24)) == null, "truncated")
+    // 16-bit depth with a RECOMPUTED chunk CRC: the depth check itself
+    // must fire, not just the CRC walk
+    val deep = png.clone()
+    deep(24) = 16 // IHDR bit-depth byte (8 sig + 8 len/type + 8 w/h)
+    val crc = new java.util.zip.CRC32
+    crc.update(deep, 12, 4 + 13)
+    val cv = crc.getValue
+    deep(29) = ((cv >>> 24) & 0xff).toByte
+    deep(30) = ((cv >>> 16) & 0xff).toByte
+    deep(31) = ((cv >>> 8) & 0xff).toByte
+    deep(32) = (cv & 0xff).toByte
+    assert(PngExpressions.pngDecodeRgb(deep) == null,
+      "16-bit depth with valid CRC must be rejected by validation")
+  }
+
+  test("png rgb / channel_sum: stride slices recover per-channel sums") {
+    val px = pixels(8 * 12 * 3, 6)
+    var r = 0L; var g = 0L; var b = 0L
+    for (i <- 0 until px.length / 3) {
+      r += px(3 * i) & 0xff
+      g += px(3 * i + 1) & 0xff
+      b += px(3 * i + 2) & 0xff
+    }
+    assert(ImageExpressions.channelSum(px, 3, 0) == r)
+    assert(ImageExpressions.channelSum(px, 3, 1) == g)
+    assert(ImageExpressions.channelSum(px, 3, 2) == b)
+    assert(ImageExpressions.channelSum(px, 0, 0) == null)
+    assert(ImageExpressions.channelSum(px, 3, -1) == null)
+  }
 }
