@@ -603,6 +603,175 @@ trait QueriesRound12 extends QueriesRound11 {
       |    ROWS UNBOUNDED PRECEDING)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** MERGE-ON-READ tombstone deletes on the MinHash LSH band store —
+    * the delete verb for the NEAR-DUP index family (q323/q328 cover the
+    * ANN code store), and deliberately the OPPOSITE strategy: q323's
+    * copy-on-write compaction was cheap because PQ codes are
+    * cell-clustered (a tombstone touches its one cell directory), but
+    * an LSH band table scatters every doc across ALL b=16 band
+    * partitions — a takedown touches every directory, so rewriting at
+    * delete time is a full-store rewrite. The production answer is
+    * merge-on-read: deletes land as a TOMBSTONE FILE (ids only, a third
+    * tiny generation), the serve path anti-joins it at read, and a
+    * LAZY compaction rewrites the store (dropping tombstoned rows and
+    * the tombstone file) on its own schedule. Harness: the q265 split
+    * (index = id%10≠0 day-1 write, Δ = id%10=0 day-2 append, ONE file
+    * per (write, band)); tombstones = the 8 smallest ODD index-side
+    * ids that actually participate in a knee pair (so the delete
+    * visibly changes the served pair set — the q323 "takedown names
+    * real answers" discipline; bounded collect ≤8) plus the planted
+    * never-pairing id%20==5 set; the
+    * Δ-probe near-dup screen runs TWICE — merge-on-read against the
+    * 2-generation store + tombstone anti-join, then again after
+    * copy-on-write compaction — and the gate pins mor_equals_cow
+    * (both serve paths rank identically), the file arithmetic
+    * (files_before = 2·b two-generation files, files_after = b), and
+    * n_suppressed (how many would-be pairs the tombstones removed —
+    * the oracle recomputes it from the exact-Jaccard pair set, so a
+    * tombstone filter that silently dropped out is a hash mismatch).
+    * Pairs are exact-verified over LIVE docs at the j ≥ 0.85 S-curve
+    * knee (the q265 scoping discipline). Scale: the delete itself is
+    * O(|tombstone ids|) — one tiny file write; read-side cost is a
+    * broadcast anti-join; compaction amortizes across takedowns.
+    */
+  val lshTombstoneDelete: Q = (s, dir) => {
+    val B = 16; val R = 4; val H = 64; val SH = 3
+    val docs = t(s, dir, "documents")
+    val sigCol = graft.functions.WordShingleMinHash.word_shingle_minhash(
+      col("text"), SH, H)
+    def banded(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("id"), sigCol.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(Dedup.bandHashes(col("sig"), B, R)).as(Seq("band", "bh")))
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val store = scratch("graft_lsh_tomb").toString + "/bands"
+    banded(index).repartition(col("band")).write.mode("overwrite")
+      .partitionBy("band").parquet(store)
+    banded(fresh).repartition(col("band")).write.mode("append")
+      .partitionBy("band").parquet(store)
+    val tombDir = scratch("graft_lsh_tomb_ids").toString
+    def bandFiles(): Long = {
+      val kids = new java.io.File(store).listFiles()
+      (if (kids == null) Array.empty[java.io.File] else kids)
+        .filter(f => f.isDirectory && f.getName.startsWith("band="))
+        .map(d => Writers.listParquetFiles(d.toString).size.toLong).sum
+    }
+    val filesBefore = bandFiles()
+    val btSchema = banded(docs).schema
+    def pairsFrom(bt: DataFrame): DataFrame = {
+      // Δ-probe candidates (the q265 shape), exact-verified over live docs
+      val cand = banded(fresh).as("l")
+        .join(bt.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
+            && col("l.id") =!= col("r.id"))
+        .select(least(col("l.id"), col("r.id")).as("id1"),
+          greatest(col("l.id"), col("r.id")).as("id2"))
+        .distinct()
+      val candIds = cand.select(col("id1").as("id"))
+        .union(cand.select(col("id2").as("id"))).distinct()
+      val candDocs = docs
+        .select(col("doc_id").as("id"), col("text"))
+        .join(candIds, Seq("id"), "left_semi")
+        .select(col("id"),
+          array_distinct(Dedup.wordShingles(col("text"), SH)).as("sh"))
+      cand
+        .join(candDocs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(candDocs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))).cast("double"))
+        .filter(col("jaccard") >= 0.85)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    }
+    val storeRead = Readers.parquetWithSchema(s, store, btSchema)
+    val fullPairs = Dedup.pin(pairsFrom(storeRead))
+    // the takedown set: the 8 smallest odd index-side KNEE-PAIR
+    // PARTICIPANTS (the delete must change served answers — bounded
+    // collect ≤ 8) plus the planted never-pairing id%20==5 docs; it
+    // lands as ONE tiny ids-only file — O(|tombstones|), no store
+    // rewrite (every band dir contains every doc; rewriting eagerly
+    // would be a full-store rewrite, the reason this gate is
+    // merge-on-read)
+    val participants = fullPairs.select(col("id1").as("id"))
+      .union(fullPairs.select(col("id2").as("id")))
+      .filter(col("id") % 10 =!= 0 && col("id") % 2 === 1)
+      .distinct().orderBy(col("id")).limit(8)
+    participants
+      .unionByName(docs.filter(col("doc_id") % 20 === 5)
+        .select(col("doc_id").as("id")))
+      .distinct()
+      .coalesce(1).write.mode("overwrite").parquet(tombDir)
+    val tombRead = Dedup.pin(
+      s.read.parquet(tombDir).select(col("id").as("tid")))
+    def live(bt: DataFrame): DataFrame =
+      bt.join(broadcast(tombRead), col("id") === col("tid"), "left_anti")
+    // merge-on-read serve: 2-generation store + tombstone anti-join
+    val morPairs = Dedup.pin(pairsFrom(live(storeRead)))
+    // what the tombstones suppressed: the no-delete twin's extra pairs
+    // (bounded: pair frames at the j>=0.85 knee)
+    val nSuppressed = fullPairs
+      .join(morPairs, Seq("id1", "id2"), "left_anti").count()
+    // lazy copy-on-write compaction: rewrite the store dropping
+    // tombstoned rows, one file per band, tombstone file retired
+    val compactDir = scratch("graft_lsh_tomb_cmp").toString
+    live(storeRead).repartition(col("band")).write.mode("overwrite")
+      .partitionBy("band").parquet(compactDir)
+    val filesAfter = {
+      val kids = new java.io.File(compactDir).listFiles()
+      (if (kids == null) Array.empty[java.io.File] else kids)
+        .filter(f => f.isDirectory && f.getName.startsWith("band="))
+        .map(d => Writers.listParquetFiles(d.toString).size.toLong).sum
+    }
+    val cowPairs = pairsFrom(
+      Readers.parquetWithSchema(s, compactDir, btSchema))
+    def key(df: DataFrame): Seq[(Long, Long, Double)] =
+      df.orderBy(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val morEqualsCow = key(morPairs) == key(cowPairs)
+    morPairs
+      .withColumn("files_before", lit(filesBefore))
+      .withColumn("files_after", lit(filesAfter))
+      .withColumn("n_suppressed", lit(nSuppressed))
+      .withColumn("mor_equals_cow", lit(morEqualsCow))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val lshTombstoneDeleteSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '\S+') AS tok FROM documents),
+      |sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(tok)-2),
+      |      i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) AS sh
+      |  FROM toks WHERE len(tok) >= 3),
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cnt
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |p AS (SELECT i.id1, i.id2,
+      |    CAST(i.cnt AS DOUBLE) / (len(l.sh) + len(r.sh) - i.cnt) AS j
+      |  FROM inter i JOIN sh l ON i.id1 = l.doc_id
+      |    JOIN sh r ON i.id2 = r.doc_id
+      |  WHERE i.id1 % 10 = 0 OR i.id2 % 10 = 0),
+      |knee AS (SELECT id1, id2, j FROM p WHERE j >= 0.85),
+      |tomb AS (SELECT id FROM (
+      |    SELECT DISTINCT id FROM (
+      |      SELECT id1 AS id FROM knee UNION ALL SELECT id2 FROM knee)
+      |    WHERE id % 10 <> 0 AND id % 2 = 1 ORDER BY id LIMIT 8)
+      |  UNION SELECT doc_id FROM documents WHERE doc_id % 20 = 5),
+      |suppressed AS (SELECT CAST(count(*) AS BIGINT) AS n FROM knee
+      |  WHERE id1 IN (SELECT id FROM tomb)
+      |     OR id2 IN (SELECT id FROM tomb))
+      |SELECT id1, id2, round(j, 6) AS jaccard,
+      |  CAST(32 AS BIGINT) AS files_before,
+      |  CAST(16 AS BIGINT) AS files_after,
+      |  (SELECT n FROM suppressed) AS n_suppressed,
+      |  TRUE AS mor_equals_cow
+      |FROM knee WHERE id1 NOT IN (SELECT id FROM tomb)
+      |  AND id2 NOT IN (SELECT id FROM tomb)
+      |ORDER BY id1, id2""".stripMargin
+
   /** Recall-vs-nprobe TUNING CURVE at a production-shape configuration
     * (r11 verdict #3): q320 proved the audit machinery at a deliberately
     * tiny 4-cell config (recall ≈ 0.27); the table a real ANN service
