@@ -772,6 +772,122 @@ trait QueriesRound12 extends QueriesRound11 {
       |  AND id2 NOT IN (SELECT id FROM tomb)
       |ORDER BY id1, id2""".stripMargin
 
+  /** TTL on MapState + ListState — the NINETEENTH streaming gate,
+    * extending q324's expiry contract to the composite state types
+    * (q321's per-type MapState counts and trailing-3 ListState window):
+    * TTL on these is per-ENTRY — each map entry and each list element
+    * carries its own expiration — which is what bounds a long-lived
+    * stream whose per-key state is itself a collection (the type
+    * vocabulary map can only grow; TTL is what shrinks it). Same
+    * deterministic harness as q324 (one micro-batch per phase via
+    * Trigger.Once, inter-phase sleep > TTL): every phase-1 entry and
+    * element is expired for phase-2 reads, so per-type counts AND the
+    * trailing-3 sum restart at the phase boundary — the batch windows
+    * partitioned by (user, phase, type) and (user, phase) — while the
+    * no-TTL twin in the same hash-checked row continues the q321
+    * windows unbroken. Scale: expiry is per-entry in RocksDB (a
+    * min-expiry secondary index), so an idle TYPE ages out without
+    * touching the user's live entries.
+    */
+  val streamMapListTtl: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import s.implicits._
+    val TtlMs = 2000L
+    val SleepMs = 4200L
+    val holdDir = scratch("graft_tws_mlttl_hold")
+    val srcDir = scratch("graft_tws_mlttl_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 4L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 4L)
+    Staging.stageSlices(ev, unix_micros(col("ts")), 4, lo, span, holdDir,
+      scratch("graft_tws_mlttl_stage"), Seq(col("event_id")))
+    def promote(i: Int): Unit = {
+      val dst = srcDir.resolve(f"part-$i%02d.parquet")
+      Files.copy(holdDir.resolve(f"part-$i%02d.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1000000000000L + i * 10000L))
+      ()
+    }
+    withConfs(s, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      def stream = s.readStream
+        .schema(ev.schema)
+        .parquet(srcDir.toString)
+        .as[graft.streaming.EventStreams.Event]
+      val outT = scratch("graft_tws_mlttl_outt")
+      val outF = scratch("graft_tws_mlttl_outf")
+      val ckT = scratch("graft_tws_mlttl_ckt")
+      val ckF = scratch("graft_tws_mlttl_ckf")
+      def run(ttlMs: Long, out: java.nio.file.Path,
+              ck: java.nio.file.Path): Unit = {
+        val sq = EventStreams.mapListStatsTtl(stream, ttlMs)(s).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck.toString)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              b.write.mode("append").parquet(out.toString); ()
+          }
+          .trigger(Trigger.Once()).start() // not AvailableNow: see q324
+        sq.awaitTermination()
+      }
+      promote(0); promote(1)
+      run(TtlMs, outT, ckT); run(0L, outF, ckF)
+      promote(2); promote(3)
+      Thread.sleep(SleepMs)
+      run(TtlMs, outT, ckT); run(0L, outF, ckF)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("type_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("last3_cents",
+          org.apache.spark.sql.types.LongType)))
+      Readers.parquetWithSchema(s, outT.toString, sch)
+        .select(col("user_id"), col("event_id"),
+          col("type_n").as("ttl_type_n"),
+          col("last3_cents").as("ttl_last3"))
+        .join(Readers.parquetWithSchema(s, outF.toString, sch)
+          .select(col("user_id"), col("event_id"),
+            col("type_n").as("full_type_n"),
+            col("last3_cents").as("full_last3")),
+          Seq("user_id", "event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }
+  }
+
+  val streamMapListTtlSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(us) AS lo,
+      |    greatest(max(us) - min(us), 4) AS span FROM e),
+      |p AS (SELECT user_id, event_id, event_type, us, cents,
+      |    us >= lo + 2 * span // 4 AS ph2 FROM e CROSS JOIN b)
+      |SELECT user_id, event_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id, ph2, event_type
+      |    ORDER BY us, event_id) AS BIGINT) AS ttl_type_n,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id, ph2
+      |    ORDER BY us, event_id ROWS 2 PRECEDING) AS BIGINT) AS ttl_last3,
+      |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY us, event_id) AS BIGINT) AS full_type_n,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS 2 PRECEDING) AS BIGINT) AS full_last3
+      |FROM p ORDER BY user_id, event_id""".stripMargin
+
   /** Recall-vs-nprobe TUNING CURVE at a production-shape configuration
     * (r11 verdict #3): q320 proved the audit machinery at a deliberately
     * tiny 4-cell config (recall ≈ 0.27); the table a real ANN service

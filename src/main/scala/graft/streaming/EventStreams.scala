@@ -554,4 +554,60 @@ object EventStreams {
       .transformWithState(new MapListStatsProcessor,
         TimeMode.None(), OM.Append())
   }
+
+  /** [[MapListStatsProcessor]] with a processing-time TTL on BOTH
+    * composite state variables (q330 — the [[RunningTotalsTtlProcessor]]
+    * story extended to the state types whose expiry is per-ENTRY, not
+    * per-record): each MapState entry carries its own expiration (an
+    * idle event TYPE ages out independently of the user's other types)
+    * and each ListState element does too (the trailing window forgets
+    * expired elements without any explicit trim). Under the q324
+    * harness (one batch per phase, inter-phase sleep > TTL) every
+    * phase-1 entry/element is expired for phase-2 reads: per-type
+    * counts and the trailing-3 sum both restart, exactly the batch
+    * windows partitioned by (user, phase). `ttlMs <= 0` disables TTL
+    * (the twin).
+    */
+  class MapListStatsTtlProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, MapListRow] {
+    import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    @transient private var typeCounts: MapState[String, Long] = _
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE
+      typeCounts = getHandle.getMapState[String, Long]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[MapListRow] = {
+      val sorted = rows.toArray.sortBy(e => (tsToUs(e.ts), e.event_id))
+      sorted.map { e =>
+        val n = (if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type) else 0L) + 1L
+        typeCounts.updateValue(e.event_type, n)
+        val c = math.round(e.value)
+        val window = (recent.get().toArray :+ c).takeRight(3)
+        recent.put(window)
+        MapListRow(key, e.event_id, n, window.sum)
+      }.iterator
+    }
+  }
+
+  /** Wire [[MapListStatsTtlProcessor]]; ProcessingTime — TTL's clock. */
+  def mapListStatsTtl(events: Dataset[Event], ttlMs: Long)
+                     (implicit spark: SparkSession): Dataset[MapListRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new MapListStatsTtlProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OM.Append())
+  }
 }
