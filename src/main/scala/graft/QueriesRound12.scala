@@ -1152,6 +1152,89 @@ trait QueriesRound12 extends QueriesRound11 {
       |  media_id % 11 <> 0 AS roundtrip_exact
       |FROM v ORDER BY media_id""".stripMargin
 
+  /** Baseline COLOR JPEG (YCbCr 4:2:0) round-trip — q326's completion
+    * to the shape a crawl actually ingests (nearly every web JPEG is
+    * 3-component 4:2:0): the full interleaved-MCU machinery is on the
+    * wire — per-16×16-MCU blocks in Y00 Y01 Y10 Y11 Cb Cr order,
+    * PER-COMPONENT DC predictors, a second chroma DQT (id 1) and DHT
+    * pair, 2×2 chroma subsampling at encode and nearest upsampling +
+    * the JFIF YCbCr→RGB inverse at decode. The fixture is what makes
+    * it hash-checkable: GRAY-VALUED RGB (each pixel (v,v,v), the q326
+    * constant blocks tripled) — the JFIF transform's rows sum to
+    * exactly 1 and 0, so Y = v and Cb = Cr = 128 EXACTLY, subsampled
+    * constants stay constant, chroma blocks quantize to all-zero, the
+    * DC-step-8 luma path is lossless (q326's argument), and the
+    * inverse transform's chroma terms are exactly 0.0 — every decoded
+    * byte is recomputable from the md5 formula while the Huffman
+    * stream still carries three interleaved components with real DPCM.
+    * Docs with doc_id % 7 == 0 ship a 20-byte truncation (SOF intact,
+    * decode NULL); `gray_reject` pins that the single-component
+    * decoder refuses the color frame. Non-gray color (lossy chroma)
+    * and cross-encoder interop are JpegSpec's territory — see the
+    * codec's object doc for the oracle boundary.
+    */
+  val jpegColorRoundtrip: Q = (s, dir) => {
+    import graft.functions.{ImageExpressions, JpegExpressions}
+    def hx(i: Int): Column =
+      substring(md5(concat(col("media_id").cast("string"), lit("|j" + i))),
+        1, 2)
+    // 8 px of block value = 24 repeats of the hex pair (3 channels/px)
+    val rowT = concat(repeat(hx(0), 24), repeat(hx(1), 24))
+    val rowB = concat(repeat(hx(2), 24), repeat(hx(3), 24))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("px", unhex(concat(repeat(rowT, 8), repeat(rowB, 8))))
+      .withColumn("jpg", JpegExpressions.jpeg_encode_color(col("px"), 16, 16))
+    base
+      .withColumn("blob",
+        when(col("media_id") % 7 === 0,
+          expr("substring(jpg, 1, octet_length(jpg) - 20)"))
+          .otherwise(col("jpg")))
+      .withColumn("dec", JpegExpressions.jpeg_decode_rgb(col("blob")))
+      .select(col("media_id"),
+        ImageExpressions.image_format(col("blob")).as("container_fmt"),
+        ImageExpressions.image_width(col("blob")).as("w"),
+        ImageExpressions.image_height(col("blob")).as("h"),
+        col("dec").isNotNull.as("decoded"),
+        length(col("dec")).as("n_bytes"),
+        lower(hex(substring(col("dec"), 1, 16))).as("row0_hex"),
+        ImageExpressions.channel_sum(col("dec"), 3, 0).as("r_sum"),
+        ImageExpressions.channel_sum(col("dec"), 3, 1).as("g_sum"),
+        ImageExpressions.channel_sum(col("dec"), 3, 2).as("b_sum"),
+        (col("dec") <=> col("px")).as("roundtrip_exact"),
+        JpegExpressions.jpeg_decode_gray(col("blob")).isNull
+          .as("gray_reject"))
+      .orderBy(col("media_id"))
+  }
+
+  val jpegColorRoundtripSql: String =
+    """WITH v AS (SELECT doc_id AS media_id, CAST(doc_id AS VARCHAR) AS s,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|j0'), 1, 2))
+      |      ::BIGINT AS v0,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|j1'), 1, 2))
+      |      ::BIGINT AS v1,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|j2'), 1, 2))
+      |      ::BIGINT AS v2,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|j3'), 1, 2))
+      |      ::BIGINT AS v3
+      |  FROM documents)
+      |SELECT media_id, 'jpeg' AS container_fmt,
+      |  CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+      |  media_id % 7 <> 0 AS decoded,
+      |  CASE WHEN media_id % 7 <> 0 THEN CAST(768 AS INTEGER) END
+      |    AS n_bytes,
+      |  CASE WHEN media_id % 7 <> 0 THEN
+      |    repeat(substr(md5(s || '|j0'), 1, 2), 16) END AS row0_hex,
+      |  CASE WHEN media_id % 7 <> 0 THEN
+      |    CAST(64 * (v0 + v1 + v2 + v3) AS BIGINT) END AS r_sum,
+      |  CASE WHEN media_id % 7 <> 0 THEN
+      |    CAST(64 * (v0 + v1 + v2 + v3) AS BIGINT) END AS g_sum,
+      |  CASE WHEN media_id % 7 <> 0 THEN
+      |    CAST(64 * (v0 + v1 + v2 + v3) AS BIGINT) END AS b_sum,
+      |  media_id % 7 <> 0 AS roundtrip_exact,
+      |  TRUE AS gray_reject
+      |FROM v ORDER BY media_id""".stripMargin
+
   /** RGB PNG round-trip (r11 verdict #6 — real crawl PNGs are color):
     * q309's codec covered the 8-bit grayscale subset; this gate runs
     * the same contract through the COLOR-TYPE-2 path — the q277

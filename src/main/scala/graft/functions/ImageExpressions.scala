@@ -134,9 +134,10 @@ object ImageExpressions {
     * bucketing over these hashes, the q22 pigeonhole machinery) into an
     * exactly-checkable query. NULL when the buffer is shorter than
     * `w`·`h` or the grid does not fit (w < 9 or h < 8). The CODEC step
-    * (PNG/JPEG entropy decode to this raw buffer) is the documented
-    * container-library stub of the multimodal surface; the hash over a
-    * decoded buffer is real and runs in generated code per row.
+    * (PNG/JPEG entropy decode to this raw buffer) is REAL as of r11/r12
+    * — [[PngExpressions]] (gray + RGB) and [[JpegExpressions]] (gray +
+    * YCbCr 4:2:0 color) feed it, q309/q316/q326/q327/q331-gated; the
+    * hash over a decoded buffer runs in generated code per row.
     */
   def grayDhash64(b: Array[Byte], w: Int, h: Int): java.lang.Long = {
     // Long-widened guard and cell sums: w.toLong * h cannot wrap (an
@@ -298,8 +299,8 @@ object ImageExpressions {
     * guard class as the Long-widened w·h check — a hostile header
     * cannot make the expression allocate unboundedly). This is the
     * thumbnail step of the multimodal surface; the CODEC step (PNG/JPEG
-    * entropy decode to the raw buffer) remains the documented
-    * container-library stub.
+    * entropy decode to the raw buffer) is real as of r11/r12 —
+    * [[PngExpressions]]/[[JpegExpressions]].
     */
   def grayResize(b: Array[Byte], w: Int, h: Int,
                  ow: Int, oh: Int): Array[Byte] = {

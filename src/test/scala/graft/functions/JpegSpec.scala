@@ -199,6 +199,134 @@ class JpegSpec extends SparkSpec {
     assert(JpegExpressions.jpegEncodeGray(px, 1 << 14, 1 << 14) == null)
   }
 
+  // ------------------------------------------------- color (4:2:0, q331)
+
+  private def grayAsRgb(px: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](px.length * 3)
+    for (i <- px.indices) {
+      out(3 * i) = px(i); out(3 * i + 1) = px(i); out(3 * i + 2) = px(i)
+    }
+    out
+  }
+
+  test("jpeg color: gray-valued RGB is exactly lossless through 4:2:0 (q331)") {
+    for ((w, h, vals) <- Seq(
+      (16, 16, Array(0, 255, 127, 128)),
+      (32, 16, Array(9, 244, 61, 180, 33, 201, 5, 99)),
+      (20, 12, Array(77)))) { // non-16-aligned: MCU replicate pad
+      val rgb = grayAsRgb(constantImage(w, h, vals))
+      val jpg = JpegExpressions.jpegEncodeColor(rgb, w, h)
+      assert(jpg != null, s"color encode failed ${w}x$h")
+      val dec = JpegExpressions.jpegDecodeRgb(jpg)
+      assert(dec != null, s"color decode failed ${w}x$h")
+      assert(java.util.Arrays.equals(dec, rgb), s"color not lossless ${w}x$h")
+    }
+  }
+
+  test("jpeg color: per-pixel-random GRAY-valued images are lossy only through the Y transform") {
+    // chroma stays exactly 128 (the JFIF rows sum to 0), so the color
+    // pipeline must agree byte-for-byte with the GRAYSCALE pipeline on
+    // the same Y plane — the structural proof that chroma adds nothing
+    // on gray content
+    val w = 24; val h = 16
+    val g = pixels(w * h, 21)
+    val viaGray = JpegExpressions.jpegDecodeGray(
+      JpegExpressions.jpegEncodeGray(g, w, h))
+    val viaColor = JpegExpressions.jpegDecodeRgb(
+      JpegExpressions.jpegEncodeColor(grayAsRgb(g), w, h))
+    assert(viaGray != null && viaColor != null)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert((viaColor(3 * i + c) & 0xff) == (viaGray(i) & 0xff),
+        s"color pipeline diverged from gray at px $i ch $c")
+  }
+
+  test("jpeg color: real color content round-trips within quantization error") {
+    def mad(rgb: Array[Byte], w: Int, h: Int): Double = {
+      val jpg = JpegExpressions.jpegEncodeColor(rgb, w, h)
+      val dec = JpegExpressions.jpegDecodeRgb(jpg)
+      assert(dec != null)
+      (0 until w * h * 3)
+        .map(i => math.abs((dec(i) & 0xff) - (rgb(i) & 0xff))).sum.toDouble /
+        (w * h * 3)
+    }
+    // smooth gradient — the content 4:2:0 is designed for: chroma varies
+    // slowly, so subsample+upsample error is a couple of counts and the
+    // quant error is bounded by half a step
+    val w = 32; val h = 32
+    val grad = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      grad((y * w + x) * 3) = (x * 8).toByte
+      grad((y * w + x) * 3 + 1) = (y * 8).toByte
+      grad((y * w + x) * 3 + 2) = ((x + y) * 4).toByte
+    }
+    val gm = mad(grad, w, h)
+    assert(gm < 12.0, s"gradient mean abs error $gm")
+    // white-noise chroma is 4:2:0's designed-in worst case (the 2x2
+    // average destroys per-pixel chroma): the error is LARGE and that
+    // is correct behavior — pin only a sanity ceiling
+    val nm = mad(pixels(16 * 16 * 3, 33), 16, 16)
+    assert(nm < 64.0, s"noise mean abs error $nm implausibly high")
+  }
+
+  test("jpeg color: ImageIO reads our 4:2:0 stream; exact on gray-valued content") {
+    val rgb = grayAsRgb(constantImage(16, 16, Array(12, 240, 77, 180)))
+    val jpg = JpegExpressions.jpegEncodeColor(rgb, 16, 16)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "ImageIO rejected our color JFIF")
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    val got = new Array[Int](3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      img.getRaster.getPixel(x, y, got)
+      for (c <- 0 until 3)
+        assert(got(c) == (rgb((y * 16 + x) * 3 + c) & 0xff),
+          s"ImageIO channel $c at ($x,$y)")
+    }
+  }
+
+  test("jpeg: our decoder reads ImageIO's ENCODER output (foreign Huffman tables)") {
+    // the reverse interop: a stream we did not produce — JDK-libjpeg
+    // Annex-K tables, its own quantization — must decode, and agree
+    // with ImageIO's own read-back of the same bytes within IDCT
+    // rounding (same coefficients on both sides)
+    val w = 24; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = pixels(w * h, 44)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setPixel(x, y, Array(px(y * w + x) & 0xff))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val foreign = bos.toByteArray
+    val ours = JpegExpressions.jpegDecodeGray(foreign)
+    assert(ours != null, "failed to decode a JDK-encoded baseline JPEG")
+    val theirs = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(foreign))
+    val got = new Array[Int](1)
+    for (y <- 0 until h; x <- 0 until w) {
+      theirs.getRaster.getPixel(x, y, got)
+      val d = math.abs(got(0) - (ours(y * w + x) & 0xff))
+      assert(d <= 1, s"foreign-stream decode disagrees at ($x,$y): " +
+        s"${got(0)} vs ${ours(y * w + x) & 0xff}")
+    }
+  }
+
+  test("jpeg color: hostile matrix — truncation, cross-decoder rejection") {
+    val rgb = grayAsRgb(pixels(256, 55))
+    val jpg = JpegExpressions.jpegEncodeColor(rgb, 16, 16)
+    for (cut <- Seq(1, 5, 20, 60, 150, jpg.length - 4)) {
+      if (cut < jpg.length)
+        assert(JpegExpressions.jpegDecodeRgb(
+          java.util.Arrays.copyOf(jpg, jpg.length - cut)) == null,
+          s"color truncated by $cut must be NULL")
+    }
+    assert(JpegExpressions.jpegDecodeGray(jpg) == null,
+      "gray decoder must reject a 3-component frame")
+    val gray = JpegExpressions.jpegEncodeGray(pixels(256, 56), 16, 16)
+    assert(JpegExpressions.jpegDecodeRgb(gray) == null,
+      "rgb decoder must reject a 1-component frame")
+    assert(JpegExpressions.jpegEncodeColor(pixels(10, 1), 16, 16) == null)
+  }
+
   test("jpeg: expression round-trip inside a Spark plan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
