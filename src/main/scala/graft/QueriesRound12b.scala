@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import graft.io.{SnapshotLog, Writers}
 
 /** Round-12 widening, second wave: the snapshot-isolation storage verbs
@@ -62,8 +63,7 @@ trait QueriesRound12b extends QueriesRound12 {
     def inTouched(path: String): Boolean =
       touched.exists(b => path.contains(s"/bucket=$b/"))
     if (touched.nonEmpty) {
-      s.read.option("basePath", store)
-        .parquet(m2.filter(inTouched): _*)
+      readFiles(s, store, m2.filter(inTouched))
         .filter(pmod(col("doc_id"), lit(20)) =!= 5)
         .repartition(col("bucket")).write.mode("append")
         .partitionBy("bucket").parquet(store)
@@ -73,9 +73,23 @@ trait QueriesRound12b extends QueriesRound12 {
     store
   }
 
+  private val snapSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_chars", LongType),
+    StructField("bucket", IntegerType)))
+
+  /** Manifest-resolved read with an EXPLICIT schema: an empty manifest
+    * (empty source table) must return an empty frame, and a schema
+    * inferred from footers would throw on zero files.
+    */
+  private def readFiles(s: SparkSession, store: String,
+                        files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], snapSchema)
+    else s.read.option("basePath", store).schema(snapSchema)
+      .parquet(files: _*)
+
   private def readSnap(s: SparkSession, store: String, v: Int): DataFrame =
-    s.read.option("basePath", store)
-      .parquet(SnapshotLog.files(store, v): _*)
+    readFiles(s, store, SnapshotLog.files(store, v))
 
   /** Time-travel snapshot reads — the snapshot-isolation verb itself:
     * ALL THREE versions of the store are read AFTER the delete commit,
@@ -228,9 +242,7 @@ trait QueriesRound12b extends QueriesRound12 {
     val added = (m3 -- m1).toSeq.sorted
     val removed = (m1 -- m3).toSeq.sorted
     def rd(fs: Seq[String]): DataFrame =
-      if (fs.isEmpty) s.range(0).select(col("id").as("doc_id"))
-      else s.read.option("basePath", store).parquet(fs: _*)
-        .select(col("doc_id"))
+      readFiles(s, store, fs).select(col("doc_id"))
     val ins = rd(added).except(rd(removed))
     val del = rd(removed).except(rd(added))
     ins.select(lit("I").as("op"), col("doc_id"))
@@ -259,6 +271,62 @@ trait QueriesRound12b extends QueriesRound12 {
       |FROM d WHERE doc_id % 20 = 5
       |ORDER BY op, doc_id""".stripMargin
 
+  /** Offline state-store read (TWENTIETH streaming gate) — the engine's
+    * own checkpointed state read back AS A TABLE, with no stream
+    * running: the q263 running-totals processor is drained over the
+    * events table, then the state data source (`format("statestore")`,
+    * `stateVarName=cum`) projects every user's final ValueState and the
+    * `state-metadata` source identifies the operator that owns it (the
+    * pinned `operator_name`). The oracle recomputes the totals from the
+    * events table directly — the state the stream left behind must
+    * equal the batch aggregate, row for row. This is the operational
+    * verb the 19 run-the-stream gates don't cover: debugging/auditing a
+    * live 100 TB pipeline means inspecting WHAT THE STATE IS without
+    * replaying the stream or attaching to the job; cost is a parallel
+    * scan of the state files, never a replay of the input. Scale note:
+    * the read is partition-parallel (one task per state-store
+    * partition) and the result is |active keys|, not |events|.
+    */
+  val stateStoreRead: Q = (s, dir) => withShufflePartitions(s, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = scratch("graft_state_read_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("double").as("value"))
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val ckpt = scratch("graft_state_read_ckpt").toString
+    withConfs(s, "spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")) {
+      val stream = s.readStream.schema(ev.schema).parquet(srcDir.toString)
+        .as[graft.streaming.EventStreams.Event]
+      val totals = graft.streaming.EventStreams.runningTotals(stream)(s)
+      val sq = totals.toDF().writeStream.outputMode("append").format("memory")
+        .queryName("graft_state_read_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      // one metadata row per stateful operator in the checkpoint (here: 1)
+      val opName = s.read.format("state-metadata").load(ckpt)
+        .select(col("operatorName")).collect()
+        .map(_.getString(0)).sorted.headOption.getOrElse("")
+      s.read.format("statestore").option("stateVarName", "cum").load(ckpt)
+        .select(col("key.value").as("user_id"),
+          col("value.n").as("n_events"),
+          col("value.cents").as("total_cents"),
+          lit(opName).as("operator_name"))
+        .orderBy(col("user_id"))
+    }
+  }
+
+  val stateStoreReadSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS total_cents,
+      |  'transformWithStateExec' AS operator_name
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Zone-map (per-file min/max) data skipping — file-level pruning by
     * COLLECTED COLUMN STATS, the Delta/Iceberg "data skipping" verb and
     * the complement of the catalog-partition pruning q107/q303 already
@@ -284,8 +352,13 @@ trait QueriesRound12b extends QueriesRound12 {
     ev.withColumn("fb", floor(col("event_id") / lit(w)).cast("long"))
       .repartition(col("fb")).write.mode("overwrite")
       .partitionBy("fb").parquet(store)
-    // zone-map collection: one pass, ≤ |files| rows collected
-    val zones = s.read.parquet(store)
+    // zone-map collection: one pass, ≤ |files| rows collected. Explicit
+    // schema: an empty source writes a data-file-less store and footer
+    // inference would throw
+    val zSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("fb", LongType)))
+    val zones = s.read.schema(zSchema).parquet(store)
       .select(col("_metadata.file_path").as("f"), col("event_id"))
       .groupBy(col("f"))
       .agg(min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
@@ -295,7 +368,12 @@ trait QueriesRound12b extends QueriesRound12 {
     val chosen = zones.collect {
       case (f, mn, mxv) if mxv >= lo && mn <= hi => f
     }.sorted
-    s.read.option("basePath", store).parquet(chosen.toIndexedSeq: _*)
+    val pruned =
+      if (chosen.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], zSchema)
+      else s.read.option("basePath", store).schema(zSchema)
+        .parquet(chosen.toIndexedSeq: _*)
+    pruned
       .filter(col("event_id").between(lo, hi))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -28,9 +28,10 @@ import org.apache.spark.sql.types._
   */
 object ImageExpressions {
 
-  /** 1 = PNG, 2 = JPEG (bits 63–62 of the packed long). */
+  /** 1 = PNG, 2 = JPEG, 3 = GIF (bits 63–62 of the packed long). */
   private final val FmtPng = 1L
   private final val FmtJpeg = 2L
+  private final val FmtGif = 3L
 
   private def be32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
@@ -52,6 +53,12 @@ object ImageExpressions {
       val h = be32(b, 20)
       if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) 0L
       else pack(FmtPng, w, h)
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+               b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      // logical-screen dims, u16 LITTLE-endian (GIF87a spec §17)
+      val w = (b(6) & 0xffL) | ((b(7) & 0xffL) << 8)
+      val h = (b(8) & 0xffL) | ((b(9) & 0xffL) << 8)
+      if (w <= 0 || h <= 0) 0L else pack(FmtGif, w, h)
     } else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
       var i = 2
       while (i + 1 < b.length) {
@@ -104,10 +111,11 @@ object ImageExpressions {
   private def packedCol(bin: Column): Column =
     GraftColumnBridge.column(ImageDimsPacked(GraftColumnBridge.expression(bin)))
 
-  /** "png" / "jpeg" / NULL. */
+  /** "png" / "jpeg" / "gif" / NULL. */
   def image_format(bin: Column): Column = {
     val fmt = shiftrightunsigned(packedCol(bin), 62)
     when(fmt === FmtPng, "png").when(fmt === FmtJpeg, "jpeg")
+      .when(fmt === FmtGif, "gif")
   }
 
   def image_width(bin: Column): Column =
