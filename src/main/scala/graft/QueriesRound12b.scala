@@ -73,7 +73,7 @@ trait QueriesRound12b extends QueriesRound12 {
     store
   }
 
-  private val snapSchema = StructType(Seq(
+  protected val snapSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("n_chars", LongType),
     StructField("bucket", IntegerType)))
 
@@ -81,8 +81,8 @@ trait QueriesRound12b extends QueriesRound12 {
     * (empty source table) must return an empty frame, and a schema
     * inferred from footers would throw on zero files.
     */
-  private def readFiles(s: SparkSession, store: String,
-                        files: Seq[String]): DataFrame =
+  protected def readFiles(s: SparkSession, store: String,
+                          files: Seq[String]): DataFrame =
     if (files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], snapSchema)
     else s.read.option("basePath", store).schema(snapSchema)

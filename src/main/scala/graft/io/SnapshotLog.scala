@@ -59,9 +59,34 @@ object SnapshotLog {
   /** Commit `files` (absolute or store-relative paths of the version's
     * COMPLETE data-file set) as the next version; returns its number.
     * Paths are stored relative to the store root, sorted, so manifests
-    * are deterministic and survive a store move.
+    * are deterministic and survive a store move. The manifest is
+    * written CREATE_NEW — manifest creation is the commit's atomic
+    * primitive, so two writers racing for the same version number
+    * cannot both succeed (the loser retries against the next number).
     */
   def commit(store: String, files: Seq[String]): Int = {
+    var v = latest(store) + 1
+    while (!tryWrite(store, v, files)) v += 1
+    v
+  }
+
+  /** Optimistic-concurrency commit: succeed ONLY if the log is still at
+    * `expectedBase` (the version this writer read and built its file
+    * set against). Returns the new version, or None on conflict — the
+    * caller must re-read the current version, REBASE its change (its
+    * file set referenced base-version files that may no longer be
+    * current), and try again. This is the Iceberg/Delta commit
+    * protocol: the atomic CREATE_NEW of `v(expectedBase+1)` is the
+    * whole lock.
+    */
+  def commitIfBase(store: String, files: Seq[String],
+                   expectedBase: Int): Option[Int] = {
+    val v = expectedBase + 1
+    if (tryWrite(store, v, files)) Some(v) else None
+  }
+
+  private def tryWrite(store: String, version: Int,
+                       files: Seq[String]): Boolean = {
     val root = Paths.get(store).toAbsolutePath.normalize()
     val rel = files.map { f =>
       // accept scheme'd Hadoop URIs (file:/...) as well as plain paths
@@ -69,12 +94,16 @@ object SnapshotLog {
       val p = Paths.get(plain).toAbsolutePath.normalize()
       if (p.startsWith(root)) root.relativize(p).toString else plain
     }.sorted
-    val v = latest(store) + 1
     val dir = logDir(store)
     if (!dir.isDirectory) { dir.mkdirs(); () }
-    Files.write(manifestFile(store, v).toPath,
-      rel.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    v
+    try {
+      Files.write(manifestFile(store, version).toPath,
+        rel.mkString("\n").getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
   }
 
   /** Absolute data-file paths of `version`. Fails loudly on an unknown

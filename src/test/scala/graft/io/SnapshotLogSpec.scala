@@ -41,6 +41,22 @@ class SnapshotLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](SnapshotLog.files(store, 7))
   }
 
+  test("commitIfBase: stale base conflicts, current base lands") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    val base = SnapshotLog.commit(store, f1)
+    assert(base == 1)
+    // writer A wins v2
+    assert(SnapshotLog.commitIfBase(store, f1, base).contains(2))
+    // writer B against the stale base must conflict (CREATE_NEW of the
+    // v2 manifest is the lock)
+    assert(SnapshotLog.commitIfBase(store, f1, base).isEmpty)
+    // rebase onto the current version lands v3
+    assert(SnapshotLog.commitIfBase(store, f1, 2).contains(3))
+    assert(SnapshotLog.versions(store) == Seq(1, 2, 3))
+  }
+
   test("vacuum removes only unreferenced files and expired manifests") {
     val store = freshStore()
     Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
