@@ -35,7 +35,8 @@ trait QueriesRound12b extends QueriesRound12 {
     * any corpus size the log work is O(|buckets|), and the delete reads
     * only the touched buckets' slice, never the store.
     */
-  protected def buildDocSnapshotStore(s: SparkSession, dir: String): String = {
+  protected def buildDocSnapshotStore(s: SparkSession, dir: String,
+      tsOf: Int => Option[Long] = _ => None): String = {
     val store = scratch("graft_snapstore").toString + "/docs"
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
@@ -51,12 +52,12 @@ trait QueriesRound12b extends QueriesRound12 {
       .repartition(col("bucket")).write.mode("overwrite")
       .partitionBy("bucket").parquet(store)
     val m1 = listAll()
-    SnapshotLog.commit(store, m1)
+    SnapshotLog.commit(store, m1, tsOf(1))
     d.filter(pmod(col("doc_id"), lit(10)) === 0)
       .repartition(col("bucket")).write.mode("append")
       .partitionBy("bucket").parquet(store)
     val m2 = listAll()
-    SnapshotLog.commit(store, m2)
+    SnapshotLog.commit(store, m2, tsOf(2))
     // copy-on-write delete: victims' bucket footprint only (≤ 8 ids)
     val touched = d.filter(pmod(col("doc_id"), lit(20)) === 5)
       .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
@@ -69,7 +70,7 @@ trait QueriesRound12b extends QueriesRound12 {
         .partitionBy("bucket").parquet(store)
     }
     val rewrites = listAll().filterNot(m2.contains)
-    SnapshotLog.commit(store, m2.filterNot(inTouched) ++ rewrites)
+    SnapshotLog.commit(store, m2.filterNot(inTouched) ++ rewrites, tsOf(3))
     store
   }
 
@@ -349,7 +350,9 @@ trait QueriesRound12b extends QueriesRound12 {
     val mx = ev.agg(max(col("event_id"))).head()
     val maxId = if (mx.isNullAt(0)) 0L else mx.getLong(0)
     val w = maxId / 16 + 1
-    ev.withColumn("fb", floor(col("event_id") / lit(w)).cast("long"))
+    // integer division (NOT floor of a double quotient: near 2^53 the
+    // double rounds and can disagree with the oracle's `//` — ADVICE r12)
+    ev.withColumn("fb", expr(s"event_id div ${w}L"))
       .repartition(col("fb")).write.mode("overwrite")
       .partitionBy("fb").parquet(store)
     // zone-map collection: one pass, ≤ |files| rows collected. Explicit

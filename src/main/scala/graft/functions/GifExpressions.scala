@@ -47,6 +47,8 @@ object GifExpressions {
   private final val ClearCode = 1 << MinCodeSize // 256
   private final val EoiCode = ClearCode + 1 // 257
   private final val MaxTable = 4096
+  // decode allocation cap (64 Mpx), mirroring PngExpressions.MaxPixels
+  private final val MaxPixels = 1L << 26
 
   private def writeLe16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
@@ -180,7 +182,13 @@ object GifExpressions {
             palette = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
             i += 3 * n
           }
-          if (palette == null || w <= 0 || h <= 0) return null
+          // dims are attacker-controlled header bytes: w*h up to
+          // 65535*65535 overflows Int (negative allocation) and even
+          // non-overflowing products force multi-GB buffers from a
+          // ~30-byte crafted header — cap pixel count like the PNG
+          // path before any allocation (NULL, never a throw)
+          if (palette == null || w <= 0 || h <= 0 ||
+              w.toLong * h > MaxPixels) return null
           if (i >= b.length) return null
           val minCode = b(i) & 0xff; i += 1
           if (minCode < 2 || minCode > 8) return null

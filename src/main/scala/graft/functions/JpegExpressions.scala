@@ -28,26 +28,28 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * run-length expansion, dequantization through the file's own tables,
   * the inverse DCT (the all-AC-zero DC shortcut is EXACT integer
   * arithmetic — pixel = clamp(((dc·q + 4) >> 3) + 128), the libjpeg
-  * dcval shortcut; the general path is a deterministic double 2-D
-  * IDCT), nearest-neighbor chroma upsampling, and the JFIF
-  * YCbCr → RGB conversion.
+  * dcval shortcut; the general path is the INTEGER islow transform —
+  * the Loeffler–Ligtenberg–Moshovitz 8-point butterfly in 13-bit fixed
+  * point, every operation an integer multiply/add/arithmetic-shift),
+  * nearest-neighbor chroma upsampling, and the JFIF YCbCr → RGB
+  * conversion.
   *
-  * Oracle boundary (documented, not hidden): the q326 gate's fixtures
-  * are constant GRAY blocks with DC quant step 8, which makes the
-  * grayscale pipeline EXACTLY lossless (DC = 8·(v−128) quantizes to
-  * v−128 exactly; the shortcut inverts it bit-for-bit); the q331 color
-  * gate plants GRAY-VALUED RGB (R=G=B=v), for which the color pipeline
-  * is also exactly lossless — Y = v and Cb = Cr = 128 exactly (the
-  * JFIF coefficient rows sum to 1 and 0), subsampled constants stay
-  * constant, chroma blocks quantize to all-zero, and the inverse
-  * conversion's chroma terms are exactly 0.0 — so DuckDB recomputes
-  * every decoded byte while the wire is a complete interleaved-MCU
-  * color JFIF. The AC path and non-gray color (lossy chroma) are
-  * exercised and pinned by `JpegSpec` (entropy-layer exact round-trips
-  * against an independent reference chain + ImageIO interop) — an
-  * AC-bearing or chroma-bearing fixture cannot be DuckDB-recomputed
-  * without replicating the full 8×8 IDCT in SQL, the boundary the r11
-  * verdict allowed parking.
+  * Oracle boundary (r13 update — the AC path is now hash-gated): the
+  * q326 gate's fixtures are constant GRAY blocks with DC quant step 8,
+  * which makes the grayscale pipeline EXACTLY lossless (DC = 8·(v−128)
+  * quantizes to v−128 exactly; the shortcut inverts it bit-for-bit);
+  * the q331 color gate plants GRAY-VALUED RGB (R=G=B=v), for which the
+  * color pipeline is also exactly lossless. The GENERAL (AC-bearing)
+  * decode is gated by q350: [[jpegBlockFixture]] builds a real
+  * single-block JFIF wire from caller-chosen quantized coefficients,
+  * and because the islow IDCT is pure integer arithmetic the oracle
+  * REPLAYS the full 2-D transform in SQL (two pivot-butterfly-unpivot
+  * passes; DuckDB `>>` is an arithmetic shift, `<<` of negatives is
+  * expressed as multiplication) — every decoded pixel of an
+  * arbitrary-coefficient block is hash-checked, closing the boundary
+  * the r11/r12 verdicts allowed parking. Non-gray color (lossy chroma
+  * subsampling, a resampling question rather than a transform one)
+  * remains spec/interop-pinned in `JpegSpec`.
   *
   * Hostile-input safe throughout: truncation, bad markers, non-baseline
   * frames, unsupported sampling, over-long runs, oversized dims
@@ -230,6 +232,18 @@ object JpegExpressions {
       }
       v += 1
     }
+    entropyEncodeBlock(q, bw, prevDc, dcCodes, dcLens, acCodes, acLens)
+  }
+
+  /** DPCM + run-length Huffman encode of one QUANTIZED natural-order
+    * block (the entropy stage alone — also the fixture constructor's
+    * entry, which chooses the coefficient domain directly). Returns the
+    * block's DC (the next block's predictor).
+    */
+  private def entropyEncodeBlock(q: Array[Int], bw: BitWriter, prevDc: Int,
+                                 dcCodes: Array[Int], dcLens: Array[Int],
+                                 acCodes: Array[Int], acLens: Array[Int])
+      : Int = {
     // DC: DPCM + category bits
     val diff = q(0) - prevDc
     val t = category(diff)
@@ -301,6 +315,39 @@ object JpegExpressions {
       }
       by += 1
     }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Build an 8×8 single-block baseline JFIF wire from 64 driving bytes
+    * (natural-order coefficient map: DC = b₀ mod 120 − 60, ACᵢ = bᵢ mod
+    * 9 − 4) — the q350 fixture constructor. Unlike [[jpegEncodeGray]]
+    * (pixels → FDCT → quantize), the caller chooses the QUANTIZED
+    * COEFFICIENT domain directly, which is what makes an AC-bearing
+    * decode oracle-recomputable: the oracle derives the same
+    * coefficients from the same bytes and replays the integer islow
+    * IDCT — no float FDCT in the loop. The wire is a complete baseline
+    * JFIF (DQT/SOF0/DHT/SOS, entropy-coded with the standard table
+    * machinery) that any decoder accepts. NULL on fewer than 64 bytes.
+    */
+  def jpegBlockFixture(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.length < 64) return null
+    val q = new Array[Int](64)
+    q(0) = (bytes(0) & 0xff) % 120 - 60
+    var i = 1
+    while (i < 64) { q(i) = (bytes(i) & 0xff) % 9 - 4; i += 1 }
+    val out = new java.io.ByteArrayOutputStream(512)
+    writeSoiHeaders(out)
+    seg(out, 0xdb, dqtPayload(0))
+    // SOF0: 8×8, 1 component (id 1, 1x1 sampling, qtable 0)
+    seg(out, 0xc0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(out, 0xc4, dhtPayload(0))
+    seg(out, 0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val (dcCodes, dcLens) = buildEncodeTable(DcBits, DcVals)
+    val (acCodes, acLens) = buildEncodeTable(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    entropyEncodeBlock(q, bw, 0, dcCodes, dcLens, acCodes, acLens)
     bw.flush()
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
@@ -472,10 +519,74 @@ object JpegExpressions {
   private def clamp(v: Long): Int =
     if (v < 0) 0 else if (v > 255) 255 else v.toInt
 
+  // ---- integer "islow" inverse DCT (Loeffler–Ligtenberg–Moshovitz
+  // 8-point butterfly in 13-bit fixed point, the IJG jidctint
+  // discipline, public in the JPEG literature). Chosen over a double
+  // IDCT because every operation is an integer multiply/add/arithmetic
+  // shift — bit-for-bit reproducible anywhere, including in the DuckDB
+  // oracle (q350 recomputes the full 2-D transform in SQL), where a
+  // floating IDCT's summation order could not be pinned.
+  private final val ConstBits = 13
+  private final val Pass1Bits = 2
+  private final val F_0_298631336 = 2446L
+  private final val F_0_390180644 = 3196L
+  private final val F_0_541196100 = 4433L
+  private final val F_0_765366865 = 6270L
+  private final val F_0_899976223 = 7373L
+  private final val F_1_175875602 = 9633L
+  private final val F_1_501321110 = 12299L
+  private final val F_1_847759065 = 15137L
+  private final val F_1_961570560 = 16069L
+  private final val F_2_053119869 = 16819L
+  private final val F_2_562915447 = 20995L
+  private final val F_3_072711026 = 25172L
+
+  private def descale(x: Long, n: Int): Long = (x + (1L << (n - 1))) >> n
+
+  /** One 8-point islow butterfly: frequency-order inputs s0..s7,
+    * outputs (descaled by `shift`) at out(base + k·stride) in sample
+    * order k = 0..7.
+    */
+  private def islow1d(s0: Long, s1: Long, s2: Long, s3: Long,
+                      s4: Long, s5: Long, s6: Long, s7: Long,
+                      shift: Int, out: Array[Long], base: Int,
+                      stride: Int): Unit = {
+    // even part
+    val z1e = (s2 + s6) * F_0_541196100
+    val tmp2 = z1e - s6 * F_1_847759065
+    val tmp3 = z1e + s2 * F_0_765366865
+    val tmp0 = (s0 + s4) << ConstBits
+    val tmp1 = (s0 - s4) << ConstBits
+    val tmp10 = tmp0 + tmp3; val tmp13 = tmp0 - tmp3
+    val tmp11 = tmp1 + tmp2; val tmp12 = tmp1 - tmp2
+    // odd part
+    val z1 = s7 + s1; val z2 = s5 + s3
+    val z3 = s7 + s3; val z4 = s5 + s1
+    val z5 = (z3 + z4) * F_1_175875602
+    val t0 = s7 * F_0_298631336 - z1 * F_0_899976223 -
+      z3 * F_1_961570560 + z5
+    val t1 = s5 * F_2_053119869 - z2 * F_2_562915447 -
+      z4 * F_0_390180644 + z5
+    val t2 = s3 * F_3_072711026 - z2 * F_2_562915447 -
+      z3 * F_1_961570560 + z5
+    val t3 = s1 * F_1_501321110 - z1 * F_0_899976223 -
+      z4 * F_0_390180644 + z5
+    out(base) = descale(tmp10 + t3, shift)
+    out(base + 7 * stride) = descale(tmp10 - t3, shift)
+    out(base + stride) = descale(tmp11 + t2, shift)
+    out(base + 6 * stride) = descale(tmp11 - t2, shift)
+    out(base + 2 * stride) = descale(tmp12 + t1, shift)
+    out(base + 5 * stride) = descale(tmp12 - t1, shift)
+    out(base + 3 * stride) = descale(tmp13 + t0, shift)
+    out(base + 4 * stride) = descale(tmp13 - t0, shift)
+  }
+
   /** Inverse DCT of a dequantized natural-order block into 0..255
     * pixels. All-AC-zero blocks take the EXACT integer DC shortcut
-    * (clamp(((dc + 4) >> 3) + 128)); general blocks run a
-    * deterministic double 2-D IDCT.
+    * (clamp(((dc + 4) >> 3) + 128), ≡ the islow path's value for a
+    * DC-only block); general blocks run the integer islow transform —
+    * column pass descaled to Pass1Bits precision, row pass descaled by
+    * ConstBits+Pass1Bits+3, then the +128 level shift and clamp.
     */
   private def idctBlock(coef: Array[Int]): Array[Int] = {
     var allZero = true
@@ -486,23 +597,23 @@ object JpegExpressions {
       val v = clamp(((coef(0).toLong + 4) >> 3) + 128)
       java.util.Arrays.fill(outPx, v)
     } else {
+      val ws = new Array[Long](64)
+      var u = 0
+      while (u < 8) { // column pass (vertical frequencies)
+        islow1d(coef(u), coef(8 + u), coef(16 + u), coef(24 + u),
+          coef(32 + u), coef(40 + u), coef(48 + u), coef(56 + u),
+          ConstBits - Pass1Bits, ws, u, 8)
+        u += 1
+      }
+      val row = new Array[Long](8)
       var y = 0
-      while (y < 8) {
+      while (y < 8) { // row pass
+        islow1d(ws(y * 8), ws(y * 8 + 1), ws(y * 8 + 2), ws(y * 8 + 3),
+          ws(y * 8 + 4), ws(y * 8 + 5), ws(y * 8 + 6), ws(y * 8 + 7),
+          ConstBits + Pass1Bits + 3, row, 0, 1)
         var x = 0
         while (x < 8) {
-          var acc = 0.0
-          var v = 0
-          while (v < 8) {
-            var u = 0
-            while (u < 8) {
-              val cu = if (u == 0) InvSqrt2 else 1.0
-              val cv = if (v == 0) InvSqrt2 else 1.0
-              acc += cu * cv * coef(v * 8 + u) * cosv(x, u) * cosv(y, v)
-              u += 1
-            }
-            v += 1
-          }
-          outPx(y * 8 + x) = clamp(math.round(0.25 * acc) + 128)
+          outPx(y * 8 + x) = clamp(row(x) + 128)
           x += 1
         }
         y += 1
@@ -846,6 +957,28 @@ object JpegExpressions {
       copy(child = c)
   }
 
+  case class JpegBlockFixture(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      JpegExpressions.jpegBlockFixture(input.asInstanceOf[Array[Byte]])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val v = ctx.freshName("jpg")
+        val cls = JpegExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |byte[] $v = $cls.jpegBlockFixture($bin);
+           |if ($v == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $v; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class JpegDecodeRgb(child: Expression) extends UnaryExpression {
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
@@ -891,4 +1024,12 @@ object JpegExpressions {
   def jpeg_decode_rgb(bin: Column): Column =
     GraftColumnBridge.column(
       JpegDecodeRgb(GraftColumnBridge.expression(bin)))
+
+  /** 64 driving bytes → single-block 8×8 baseline JFIF wire with
+    * caller-chosen quantized coefficients (the q350 fixture
+    * constructor; see [[JpegExpressions.jpegBlockFixture]]).
+    */
+  def jpeg_block_fixture(bin: Column): Column =
+    GraftColumnBridge.column(
+      JpegBlockFixture(GraftColumnBridge.expression(bin)))
 }

@@ -27,30 +27,62 @@ import scala.jdk.CollectionConverters._
   * E1:79-97); this component is the extension that makes those
   * relayerings safe to run WHILE the table is being read.
   *
-  * Layout: `<store>/_log/v<N>.manifest` — one RELATIVE data-file path
-  * per line, N monotonically increasing from 1. The log dir lives
-  * inside the store so a store is self-contained (copy/move-able with
-  * `Writers.copyRecursive`).
+  * Layout: `<store>/_log/v<N>.manifest`, N monotonically increasing
+  * from 1. The log dir lives inside the store so a store is
+  * self-contained (copy/move-able with `Writers.copyRecursive`).
+  * Manifest format — header lines then one entry per data file:
+  * {{{
+  *   #v=<version>                                (self-describing header)
+  *   #ts=<epoch millis>                          (optional commit time)
+  *   <relative path>
+  *   <relative path>\tdv=<relative sidecar path> (position-delete vector)
+  *   <relative path>\tmin=<v>\tmax=<v>\trows=<n> (per-file column stats)
+  * }}}
+  * Annotations compose (a file may carry both `dv=` and stats). Plain
+  * `files`/`commit` readers and writers ignore annotations, so the
+  * r12 verbs keep working unchanged; `entries`/`commitEntries` expose
+  * them. Delete-vector sidecars live under `<store>/_dv/` as text files
+  * of sorted row positions, one per line — O(deleted rows) state
+  * attached to the manifest, the Iceberg v2 / Delta DV strategy for
+  * sparse deletes over large files (no rewrite, no unbounded tombstone
+  * join). Stats-in-manifest is what makes zone-map skipping resolve
+  * from the log with ZERO data/footer reads at query time.
   */
 object SnapshotLog {
 
   private val LogDir = "_log"
+  private val DvDir = "_dv"
   private val Suffix = ".manifest"
+  private val ManifestName = ("^v(\\d{1,9})\\" + Suffix + "$").r
+
+  /** Per-file column stats persisted in the commit line (one tracked
+    * column per store — the gates track the clustering key).
+    */
+  final case class FileStats(min: Long, max: Long, rows: Long)
+
+  /** One manifest line: a data file plus optional annotations. `path`
+    * and `dv` are ABSOLUTE when read via `entries`, store-relative in
+    * the serialized manifest.
+    */
+  final case class FileEntry(path: String, dv: Option[String] = None,
+                             stats: Option[FileStats] = None)
 
   private def logDir(store: String): File = new File(store, LogDir)
 
   private def manifestFile(store: String, version: Int): File =
     new File(logDir(store), s"v$version$Suffix")
 
-  /** Versions present in the log, ascending. */
+  /** Versions present in the log, ascending. Non-conforming names
+    * (editor temp files, out-of-range numbers) are IGNORED rather than
+    * poisoning every log operation with a NumberFormatException
+    * (ADVICE r12) — the name must match `v<digits>.manifest` exactly.
+    */
   def versions(store: String): Seq[Int] = {
     val d = logDir(store)
     val kids = d.listFiles()
     (if (kids == null) Array.empty[File] else kids).toIndexedSeq
       .map(_.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(Suffix) =>
-        n.stripPrefix("v").stripSuffix(Suffix).toInt
-      }
+      .collect { case ManifestName(n) => n.toInt }
       .sorted
   }
 
@@ -62,11 +94,23 @@ object SnapshotLog {
     * are deterministic and survive a store move. The manifest is
     * written CREATE_NEW — manifest creation is the commit's atomic
     * primitive, so two writers racing for the same version number
-    * cannot both succeed (the loser retries against the next number).
+    * cannot both succeed.
+    *
+    * SINGLE-WRITER ONLY: on losing the CREATE_NEW race this retries the
+    * SAME complete file set at the next number, i.e. last-writer-wins —
+    * a concurrent winner's just-committed files would be silently
+    * un-referenced at `latest`. Concurrent writers must use
+    * [[commitIfBase]] and rebase on conflict (the q341 protocol).
     */
-  def commit(store: String, files: Seq[String]): Int = {
+  def commit(store: String, files: Seq[String],
+             ts: Option[Long] = None): Int =
+    commitEntries(store, files.map(FileEntry(_)), ts)
+
+  /** [[commit]] with per-file annotations (delete vectors, stats). */
+  def commitEntries(store: String, entries: Seq[FileEntry],
+                    ts: Option[Long] = None): Int = {
     var v = latest(store) + 1
-    while (!tryWrite(store, v, files)) v += 1
+    while (!tryWrite(store, v, entries, ts)) v += 1
     v
   }
 
@@ -80,25 +124,38 @@ object SnapshotLog {
     * whole lock.
     */
   def commitIfBase(store: String, files: Seq[String],
-                   expectedBase: Int): Option[Int] = {
+                   expectedBase: Int, ts: Option[Long] = None): Option[Int] = {
     val v = expectedBase + 1
-    if (tryWrite(store, v, files)) Some(v) else None
+    if (tryWrite(store, v, files.map(FileEntry(_)), ts)) Some(v) else None
+  }
+
+  private def relativize(store: String, path: String): String = {
+    val root = Paths.get(store).toAbsolutePath.normalize()
+    // accept scheme'd Hadoop URIs (file:/...) as well as plain paths
+    val plain = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    val p = Paths.get(plain).toAbsolutePath.normalize()
+    if (p.startsWith(root)) root.relativize(p).toString else plain
   }
 
   private def tryWrite(store: String, version: Int,
-                       files: Seq[String]): Boolean = {
-    val root = Paths.get(store).toAbsolutePath.normalize()
-    val rel = files.map { f =>
-      // accept scheme'd Hadoop URIs (file:/...) as well as plain paths
-      val plain = new org.apache.hadoop.fs.Path(f).toUri.getPath
-      val p = Paths.get(plain).toAbsolutePath.normalize()
-      if (p.startsWith(root)) root.relativize(p).toString else plain
+                       entries: Seq[FileEntry], ts: Option[Long]): Boolean = {
+    val lines = entries.map { e =>
+      val p = relativize(store, e.path)
+      val dv = e.dv.map(d => s"\tdv=${relativize(store, d)}").getOrElse("")
+      val st = e.stats
+        .map(x => s"\tmin=${x.min}\tmax=${x.max}\trows=${x.rows}")
+        .getOrElse("")
+      s"$p$dv$st"
     }.sorted
+    // manifests are self-describing (#v=): a consumer handed manifest
+    // CONTENT (e.g. the log-as-a-stream reader, which file-streams the
+    // _log dir) learns the version without trusting file names
+    val header = Seq(s"#v=$version") ++ ts.map(t => s"#ts=$t")
     val dir = logDir(store)
     if (!dir.isDirectory) { dir.mkdirs(); () }
     try {
       Files.write(manifestFile(store, version).toPath,
-        rel.mkString("\n").getBytes(StandardCharsets.UTF_8),
+        (header ++ lines).mkString("\n").getBytes(StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE_NEW)
       true
     } catch {
@@ -106,33 +163,139 @@ object SnapshotLog {
     }
   }
 
-  /** Absolute data-file paths of `version`. Fails loudly on an unknown
-    * (never committed, or log-truncated) version.
+  /** Full manifest entries of `version`, paths made absolute. Fails
+    * loudly on an unknown (never committed, or log-truncated) version.
     */
-  def files(store: String, version: Int): Seq[String] = {
+  def entries(store: String, version: Int): Seq[FileEntry] = {
     val f = manifestFile(store, version)
     require(f.isFile, s"snapshot v$version does not exist under $store/_log")
     val root = Paths.get(store).toAbsolutePath.normalize()
+    def abs(rel: String): String = root.resolve(rel).toString
     Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.toIndexedSeq
-      .filter(_.nonEmpty)
-      .map(l => root.resolve(l).toString)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val parts = line.split('\t')
+        var e = FileEntry(abs(parts.head))
+        parts.tail.foreach { kv =>
+          val i = kv.indexOf('=')
+          if (i > 0) kv.substring(0, i) match {
+            case "dv" => e = e.copy(dv = Some(abs(kv.substring(i + 1))))
+            case "min" => e = e.copy(stats = Some(e.stats
+              .getOrElse(FileStats(0, 0, 0))
+              .copy(min = kv.substring(i + 1).toLong)))
+            case "max" => e = e.copy(stats = Some(e.stats
+              .getOrElse(FileStats(0, 0, 0))
+              .copy(max = kv.substring(i + 1).toLong)))
+            case "rows" => e = e.copy(stats = Some(e.stats
+              .getOrElse(FileStats(0, 0, 0))
+              .copy(rows = kv.substring(i + 1).toLong)))
+            case _ => () // forward compat: unknown annotations ignored
+          }
+        }
+        e
+      }
   }
 
-  /** Delete data files referenced by NO retained version (the newest
-    * `retainLast` manifests; older manifests are dropped from the log so
-    * a later time-travel read fails loudly instead of reading holes).
-    * Returns the deleted data-file paths. Driver-side cost is
-    * O(total files in the log), never a data read.
+  /** Absolute data-file paths of `version` (annotations dropped). */
+  def files(store: String, version: Int): Seq[String] =
+    entries(store, version).map(_.path)
+
+  /** Commit wall-time of `version` (the `#ts=` header), if recorded. */
+  def commitTs(store: String, version: Int): Option[Long] = {
+    val f = manifestFile(store, version)
+    require(f.isFile, s"snapshot v$version does not exist under $store/_log")
+    Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+      .find(_.startsWith("#ts="))
+      .map(_.stripPrefix("#ts=").toLong)
+  }
+
+  /** Largest version whose commit time is <= `ts` — "the table AS OF
+    * t", the form operators actually use. Fails loudly when no
+    * committed version is old enough (asking for the table before it
+    * existed) or when versions carry no timestamps.
+    */
+  def versionAsOf(store: String, ts: Long): Int = {
+    val vs = versions(store)
+    val hit = vs.reverse.find(v => commitTs(store, v).exists(_ <= ts))
+    require(hit.isDefined,
+      s"no snapshot at or before ts=$ts under $store/_log " +
+        s"(versions: ${vs.mkString(",")})")
+    hit.get
+  }
+
+  /** Write a position-delete vector for `dataFile` (absolute or
+    * relative): sorted row positions, one per line, under
+    * `<store>/_dv/`. Returns the sidecar's ABSOLUTE path (pass it to
+    * `FileEntry.dv` for the next commit). Sidecar names embed the data
+    * file's base name plus the position count, so re-deleting from the
+    * same file at a later version gets a distinct sidecar (sidecars are
+    * immutable once referenced, like data files).
+    */
+  def writeDeleteVector(store: String, dataFile: String,
+                        positions: Seq[Long]): String = {
+    val rel = relativize(store, dataFile)
+    // the FULL relative path keys the sidecar name: part-file base names
+    // repeat across partition dirs (same task, two bucket dirs), so a
+    // name-only key would alias two files' delete vectors
+    val base = rel.replace('/', '~')
+    val dir = new File(store, DvDir)
+    if (!dir.isDirectory) { dir.mkdirs(); () }
+    val sorted = positions.distinct.sorted
+    val f = new File(dir, s"$base.${sorted.size}.dv")
+    Files.write(f.toPath,
+      sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    f.getAbsolutePath
+  }
+
+  /** Row positions of a delete-vector sidecar (absolute path). */
+  def readDeleteVector(dvFile: String): Seq[Long] =
+    Files.readAllLines(Paths.get(dvFile), StandardCharsets.UTF_8).asScala
+      .toIndexedSeq.filter(_.nonEmpty).map(_.toLong)
+
+  /** Delete data files (and delete-vector sidecars) referenced by NO
+    * retained version (the newest `retainLast` manifests). Expired
+    * manifests are dropped FIRST, then the orphaned files — a crash in
+    * between leaves only unreferenced files on disk (reclaimable by a
+    * later vacuum), never a resolvable manifest referencing deleted
+    * files that a time-travel read would trust and then fail mid-scan
+    * on (ADVICE r12 ordering fix). A read of a dropped version fails
+    * loudly at manifest resolution instead of silently reading holes.
+    * Returns the deleted data-file paths. Driver-side cost is O(total
+    * files in the log), never a data read.
     */
   def vacuum(store: String, retainLast: Int = 1): Seq[String] = {
     val vs = versions(store)
-    val retained = vs.takeRight(math.max(1, retainLast))
-    val keep = retained.flatMap(files(store, _)).toSet
-    val all = vs.flatMap(files(store, _)).distinct
+    vacuumKeeping(store, vs.takeRight(math.max(1, retainLast)))
+  }
+
+  /** Time-based retention: drop versions committed strictly BEFORE
+    * `cutoffTs` (untimestamped versions count as expired), always
+    * retaining the latest version regardless of age — a table must
+    * never lose its current snapshot to retention. Same crash-safe
+    * ordering as [[vacuum]].
+    */
+  def vacuumOlderThan(store: String, cutoffTs: Long): Seq[String] = {
+    val vs = versions(store)
+    val retained = vs.filter { v =>
+      vs.lastOption.contains(v) || commitTs(store, v).exists(_ >= cutoffTs)
+    }
+    vacuumKeeping(store, retained)
+  }
+
+  private def vacuumKeeping(store: String, retained: Seq[Int]): Seq[String] = {
+    val vs = versions(store)
+    def refs(v: Int): Seq[String] = {
+      val es = entries(store, v)
+      es.map(_.path) ++ es.flatMap(_.dv)
+    }
+    val keep = retained.flatMap(refs).toSet
+    val all = vs.flatMap(refs).distinct
     val orphans = all.filterNot(keep.contains)
-    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // manifests first (see scaladoc): after this point no resolvable
+    // version references the orphans
     vs.filterNot(retained.contains)
       .foreach(v => Files.deleteIfExists(manifestFile(store, v).toPath))
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphans
   }
 }

@@ -92,6 +92,17 @@ class GifSpec extends SparkSpec {
     // encoder-side validation
     assert(gifEncodeGray(px, 17, 16) == null) // dims mismatch
     assert(gifEncodeGray(null, 18, 16) == null)
+    // crafted 65535x65535 descriptor: w*h overflows Int — must be NULL,
+    // not a NegativeArraySizeException / multi-GB allocation (ADVICE r12)
+    val huge = gif.clone()
+    huge(idOff + 5) = 0xff.toByte; huge(idOff + 6) = 0xff.toByte
+    huge(idOff + 7) = 0xff.toByte; huge(idOff + 8) = 0xff.toByte
+    assert(gifDecodeGray(huge) == null)
+    // non-overflowing but over the 64 Mpx cap (16384 x 16384)
+    val big = gif.clone()
+    big(idOff + 5) = 0x00.toByte; big(idOff + 6) = 0x40.toByte
+    big(idOff + 7) = 0x00.toByte; big(idOff + 8) = 0x40.toByte
+    assert(gifDecodeGray(big) == null)
   }
 
   test("header sniffing: image_format/width/height see the gif container") {

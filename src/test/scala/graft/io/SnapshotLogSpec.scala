@@ -57,6 +57,93 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.versions(store) == Seq(1, 2, 3))
   }
 
+  test("versions ignores non-conforming names in _log (ADVICE r12)") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
+    SnapshotLog.commit(store, Writers.listParquetFiles(store))
+    val log = new java.io.File(store, "_log")
+    // stray files that used to throw NumberFormatException
+    Files.write(new java.io.File(log, "v1.manifest~").toPath, Array[Byte]())
+    Files.write(new java.io.File(log, "v.manifest").toPath, Array[Byte]())
+    Files.write(new java.io.File(log, "v99999999999.manifest").toPath,
+      Array[Byte]())
+    assert(SnapshotLog.versions(store) == Seq(1))
+    assert(SnapshotLog.latest(store) == 1)
+  }
+
+  test("entries round-trip dv + stats annotations; files() ignores them") {
+    val store = freshStore()
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .coalesce(1).write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    val dv = SnapshotLog.writeDeleteVector(store, f1.head, Seq(2L, 0L, 2L))
+    // positions are deduped + sorted
+    assert(SnapshotLog.readDeleteVector(dv) == Seq(0L, 2L))
+    val e = SnapshotLog.FileEntry(f1.head, dv = Some(dv),
+      stats = Some(SnapshotLog.FileStats(1L, 3L, 3L)))
+    val v = SnapshotLog.commitEntries(store, Seq(e), ts = Some(5000L))
+    val back = SnapshotLog.entries(store, v)
+    assert(back.size == 1)
+    assert(back.head.path == plain(f1.head))
+    assert(back.head.dv.map(plain) == Some(plain(dv)))
+    assert(back.head.stats.contains(SnapshotLog.FileStats(1L, 3L, 3L)))
+    // plain readers see just the data file, no annotation leakage
+    assert(SnapshotLog.files(store, v) == Seq(plain(f1.head)))
+    assert(SnapshotLog.commitTs(store, v).contains(5000L))
+  }
+
+  test("versionAsOf resolves by commit time and fails loudly before t0") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    SnapshotLog.commit(store, f1, ts = Some(1000L))
+    SnapshotLog.commit(store, f1, ts = Some(2000L))
+    SnapshotLog.commit(store, f1, ts = Some(3000L))
+    assert(SnapshotLog.versionAsOf(store, 1000L) == 1)
+    assert(SnapshotLog.versionAsOf(store, 2500L) == 2)
+    assert(SnapshotLog.versionAsOf(store, 9999L) == 3)
+    intercept[IllegalArgumentException](SnapshotLog.versionAsOf(store, 999L))
+  }
+
+  test("vacuumOlderThan expires by time but always keeps the latest") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    SnapshotLog.commit(store, f1, ts = Some(1000L))
+    Seq((2L, 20L)).toDF("id", "v").write.mode("append").parquet(store)
+    val f2 = Writers.listParquetFiles(store).filterNot(f1.contains)
+    SnapshotLog.commit(store, f2, ts = Some(2000L))
+    // cutoff beyond every commit: latest must survive regardless of age
+    val removed = SnapshotLog.vacuumOlderThan(store, 99999L)
+    assert(removed.toSet == f1.map(plain).toSet)
+    assert(SnapshotLog.versions(store) == Seq(2))
+    assert(SnapshotLog.files(store, 2).toSet == f2.map(plain).toSet)
+  }
+
+  test("vacuum drops expired manifests before data files (crash order)") {
+    // can't crash mid-vacuum in a unit test, but the observable contract
+    // holds: after vacuum no resolvable manifest references a deleted
+    // file, and dv sidecars orphan together with their version
+    val store = freshStore()
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1).write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    val dv = SnapshotLog.writeDeleteVector(store, f1.head, Seq(0L))
+    SnapshotLog.commitEntries(store,
+      Seq(SnapshotLog.FileEntry(f1.head, dv = Some(dv))))
+    Seq((3L, 30L)).toDF("id", "v").write.mode("append").parquet(store)
+    val f2 = Writers.listParquetFiles(store).filterNot(f1.contains)
+    SnapshotLog.commit(store, f2)
+    val removed = SnapshotLog.vacuum(store, retainLast = 1)
+    assert(removed.toSet == (f1.map(plain) :+ dv).toSet)
+    assert(!new java.io.File(dv).exists())
+    SnapshotLog.versions(store).foreach { v =>
+      SnapshotLog.entries(store, v).foreach { e =>
+        assert(new java.io.File(e.path).exists())
+        e.dv.foreach(d => assert(new java.io.File(d).exists()))
+      }
+    }
+  }
+
   test("vacuum removes only unreferenced files and expired manifests") {
     val store = freshStore()
     Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
