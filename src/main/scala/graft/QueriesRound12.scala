@@ -660,9 +660,15 @@ trait QueriesRound12 extends QueriesRound11 {
     }
     val filesBefore = bandFiles()
     val btSchema = banded(docs).schema
+    // the probe side's minhash signatures are identical across all
+    // three serve paths (full / merge-on-read / compacted) — pin them
+    // once instead of re-hashing the Δ text per pairsFrom call (r13,
+    // from the q329 quiet re-measure: the probe re-encode was a third
+    // of the gate's cost)
+    val bandedFresh = Dedup.pin(banded(fresh))
     def pairsFrom(bt: DataFrame): DataFrame = {
       // Δ-probe candidates (the q265 shape), exact-verified over live docs
-      val cand = banded(fresh).as("l")
+      val cand = bandedFresh.as("l")
         .join(bt.as("r"),
           col("l.band") === col("r.band") && col("l.bh") === col("r.bh")
             && col("l.id") =!= col("r.id"))

@@ -71,6 +71,99 @@ object AudioExpressions {
     0L
   }
 
+  /** The fmt chunk's audioFormat code (1 = PCM, 6 = A-law, 7 = µ-law…)
+    * — the dispatch key an audio INGEST needs before it can pick a
+    * decoder; -1 when the container is unrecognized (maps to NULL).
+    */
+  def formatCode(b: Array[Byte]): Int = {
+    if (b == null || metaPacked(b) == 0L) return -1
+    var i = 12
+    while (i + 8 <= b.length) {
+      if (tag(b, i, "fmt ")) return le16(b, i + 8)
+      val size = le32(b, i + 4)
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > b.length) return -1
+      i = next.toInt
+    }
+    -1
+  }
+
+  /** The data chunk's PAYLOAD bytes (bounded by the declared size and
+    * what is actually present — a prefix-truncated file yields NULL,
+    * never a short read silently passed downstream); NULL when the
+    * container is unrecognized. This is the extraction step between
+    * container sniffing (metaPacked) and sample decoding
+    * (MulawExpressions / AdpcmExpressions): ingest = walk the RIFF,
+    * pull the payload, dispatch on formatCode.
+    */
+  def dataPayload(b: Array[Byte]): Array[Byte] = {
+    if (b == null || metaPacked(b) == 0L) return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "data")) {
+        if (size > (1L << 26) || i + 8 + size > b.length) return null
+        return java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size.toInt)
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > b.length) return null
+      i = next.toInt
+    }
+    null
+  }
+
+  case class WavFormatCode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val c = AudioExpressions.formatCode(input.asInstanceOf[Array[Byte]])
+      if (c < 0) null else java.lang.Integer.valueOf(c)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val c = ctx.freshName("fmtcode")
+        val cls = AudioExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |int $c = $cls.formatCode($bin);
+           |if ($c < 0) { ${ev.isNull} = true; } else { ${ev.value} = $c; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class WavData(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      AudioExpressions.dataPayload(input.asInstanceOf[Array[Byte]])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => {
+        val v = ctx.freshName("wavdata")
+        val cls = AudioExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |byte[] $v = $cls.dataPayload($bin);
+           |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** fmt audioFormat code (1 PCM, 6 A-law, 7 µ-law); NULL when not WAV. */
+  def wav_format_code(bin: Column): Column =
+    GraftColumnBridge.column(WavFormatCode(GraftColumnBridge.expression(bin)))
+
+  /** data-chunk payload bytes; NULL when not WAV or payload truncated. */
+  def wav_data(bin: Column): Column =
+    GraftColumnBridge.column(WavData(GraftColumnBridge.expression(bin)))
+
   /** binary → packed (dataBytes|rate|bits|channels) long; NULL otherwise. */
   case class AudioMetaPacked(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType

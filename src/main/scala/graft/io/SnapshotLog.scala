@@ -282,6 +282,71 @@ object SnapshotLog {
     vacuumKeeping(store, retained)
   }
 
+  // ------------------------------------------------------------- refs
+  // Named refs (`_log/refs/<name>` holding a version number) — the
+  // branch/tag primitive behind write-audit-publish: a staging writer
+  // commits versions freely while consumers resolve a PUBLISHED ref;
+  // publishing is one ref write, auditing never blocks reads, and a
+  // failed audit simply never moves the ref (the bad version stays in
+  // the log, unreferenced by any ref, reclaimable by vacuum).
+
+  private def refFile(store: String, name: String): File = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"), s"bad ref name: $name")
+    new File(new File(logDir(store), "refs"), name)
+  }
+
+  /** Point ref `name` at `version` (must exist in the log). */
+  def setRef(store: String, name: String, version: Int): Unit = {
+    require(manifestFile(store, version).isFile,
+      s"cannot ref nonexistent snapshot v$version under $store/_log")
+    val f = refFile(store, name)
+    val d = f.getParentFile
+    if (!d.isDirectory) { d.mkdirs(); () }
+    Files.write(f.toPath,
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Version ref `name` points at, if set. */
+  def getRef(store: String, name: String): Option[Int] = {
+    val f = refFile(store, name)
+    if (!f.isFile) None
+    else scala.util.Try(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.toInt).toOption
+  }
+
+  /** Delete files present under the store that NO manifest references —
+    * crashed-writer debris (data staged, commit never happened). The
+    * complement of [[vacuum]]: vacuum reclaims files that expired OUT
+    * of the log, this reclaims files that never made it IN; it touches
+    * no referenced generation, so every committed version stays
+    * readable. Driver-side cost is one recursive listing + the
+    * manifest reads — O(files), zero data reads.
+    */
+  def removeOrphans(store: String): Seq[String] = {
+    val referenced = versions(store).flatMap { v =>
+      val es = entries(store, v)
+      es.map(_.path) ++ es.flatMap(_.dv)
+    }.toSet
+    def walk(dir: File): Seq[File] = {
+      val kids = dir.listFiles()
+      (if (kids == null) Array.empty[File] else kids).toIndexedSeq.flatMap {
+        f =>
+          if (f.isDirectory)
+            if (f.getName == LogDir) Seq.empty else walk(f)
+          else if (f.getName.endsWith(".parquet") || f.getName.endsWith(".dv"))
+            Seq(f)
+          else Seq.empty
+      }
+    }
+    val orphans = walk(new File(store))
+      .map(_.getAbsolutePath)
+      .filterNot(referenced.contains)
+      .sorted
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans
+  }
+
   private def vacuumKeeping(store: String, retained: Seq[Int]): Seq[String] = {
     val vs = versions(store)
     def refs(v: Int): Seq[String] = {

@@ -144,6 +144,42 @@ class SnapshotLogSpec extends SparkSpec {
     }
   }
 
+  test("refs: set/get/repoint; nonexistent version refused") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    SnapshotLog.commit(store, f1)
+    assert(SnapshotLog.getRef(store, "main").isEmpty)
+    SnapshotLog.setRef(store, "main", 1)
+    assert(SnapshotLog.getRef(store, "main").contains(1))
+    SnapshotLog.commit(store, f1)
+    SnapshotLog.setRef(store, "main", 2) // repoint = publish
+    assert(SnapshotLog.getRef(store, "main").contains(2))
+    intercept[IllegalArgumentException](SnapshotLog.setRef(store, "main", 9))
+    intercept[IllegalArgumentException](
+      SnapshotLog.setRef(store, "../evil", 1))
+  }
+
+  test("removeOrphans deletes only never-committed debris") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").coalesce(1).write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    val dv = SnapshotLog.writeDeleteVector(store, f1.head, Seq(0L))
+    SnapshotLog.commitEntries(store,
+      Seq(SnapshotLog.FileEntry(f1.head, dv = Some(dv))))
+    // crashed writer: staged data + a dv sidecar, commit never happened
+    Seq((9L, 90L)).toDF("id", "v").write.mode("append").parquet(store)
+    val staged = Writers.listParquetFiles(store).filterNot(f1.contains)
+    val orphanDv = SnapshotLog.writeDeleteVector(store, staged.head, Seq(1L))
+    val removed = SnapshotLog.removeOrphans(store)
+    assert(removed.toSet == (staged.map(plain) :+ orphanDv).toSet)
+    // the committed generation is untouched and still resolves
+    assert(new java.io.File(plain(f1.head)).exists())
+    assert(new java.io.File(dv).exists())
+    assert(SnapshotLog.files(store, 1) == Seq(plain(f1.head)))
+    assert(SnapshotLog.removeOrphans(store).isEmpty) // idempotent
+  }
+
   test("vacuum removes only unreferenced files and expired manifests") {
     val store = freshStore()
     Seq((1L, 10L)).toDF("id", "v").write.parquet(store)

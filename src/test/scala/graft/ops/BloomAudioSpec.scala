@@ -87,6 +87,25 @@ class BloomAudioSpec extends SparkSpec {
       (3L, None, None, None, None, None)))
   }
 
+  test("WAV payload extraction: format code + data bytes; truncation NULL") {
+    import graft.functions.AudioExpressions
+    val payload = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+    // format-7 (µ-law) wire with the payload attached
+    val fmt7 = "RIFF".getBytes ++ le32(52) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(7) ++ le16(1) ++ le32(8000) ++
+        le32(8000) ++ le16(1) ++ le16(8)) ++
+      "data".getBytes ++ le32(16) ++ payload
+    assert(AudioExpressions.formatCode(fmt7) == 7)
+    assert(AudioExpressions.dataPayload(fmt7).toSeq == payload.toSeq)
+    // declared 16 bytes but only 12 present: NULL, never a short read
+    assert(AudioExpressions.dataPayload(fmt7.dropRight(4)) == null)
+    assert(AudioExpressions.formatCode("junk".getBytes) == -1)
+    assert(AudioExpressions.dataPayload("junk".getBytes) == null)
+    // PCM wire (format 1) still reports its code
+    val pcm = wav(8000, 1, 8, 0L)
+    assert(AudioExpressions.formatCode(pcm) == 1)
+  }
+
   test("WAV decode rejects data-before-fmt and truncated headers") {
     import graft.functions.AudioExpressions._
     val noFmt = "RIFF".getBytes ++ le32(10) ++ "WAVE".getBytes ++
