@@ -335,6 +335,40 @@ class JpegSpec extends SparkSpec {
     assert(JpegExpressions.jpegEncodeColor(pixels(10, 1), 16, 16) == null)
   }
 
+  test("jpeg: DC shortcut equals the full islow path on DC-only blocks") {
+    // the decoder takes the exact-integer dcval shortcut when every AC
+    // coefficient is zero; the q350 SQL oracle always runs the full
+    // butterfly — they must agree on every DC value or a DC-only block
+    // would hash-mismatch. Force the full path by planting one AC
+    // coefficient at zero... which the shortcut test also covers: a
+    // fixture whose 63 AC driving bytes map to 0 (byte 4 → 4%9-4=0)
+    // decodes via the shortcut; the same DC with AC=+1 then -1 at one
+    // position brackets it within the islow rounding bound.
+    def fixture(dcByte: Int, acByte: Int): Array[Byte] = {
+      val b = Array.fill[Byte](64)(4.toByte) // AC driving byte 4 → 0
+      b(0) = dcByte.toByte
+      b(1) = acByte.toByte
+      JpegExpressions.jpegBlockFixture(b)
+    }
+    for (dcByte <- Seq(0, 17, 59, 60, 61, 119, 200, 255)) {
+      val shortcut = JpegExpressions.jpegDecodeGray(fixture(dcByte, 4))
+      assert(shortcut != null && shortcut.distinct.length == 1,
+        s"DC-only block must decode constant (dcByte=$dcByte)")
+      val dc = (dcByte % 120 - 60) * 8 // dequantized DC
+      val expect = math.max(0, math.min(255, ((dc + 4) >> 3) + 128))
+      assert((shortcut(0) & 0xff) == expect, s"dcByte=$dcByte")
+      // ±1 AC at position 1 perturbs the block smoothly around the
+      // shortcut value (full islow path, same DC term)
+      for (acByte <- Seq(5, 3)) { // → qcoef +1 / −1
+        val full = JpegExpressions.jpegDecodeGray(fixture(dcByte, acByte))
+        assert(full != null && full.distinct.length > 1)
+        val mean = full.map(_ & 0xff).sum / 64.0
+        assert(math.abs(mean - expect) <= 2.0,
+          s"AC-perturbed mean drifted: dcByte=$dcByte acByte=$acByte")
+      }
+    }
+  }
+
   test("jpeg: block fixture is a real wire — ImageIO decodes it within ±1") {
     // AC-bearing single-block fixture (the q350 construction): the JDK's
     // own decoder must accept the wire and agree with our islow decode
