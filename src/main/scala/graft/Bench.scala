@@ -25,10 +25,14 @@ object Bench {
     // the same phase — measured: back-to-back rep-min still left 11.8%
     // median / 50% worst same-code disagreement on the slowest-20,
     // while pass-interleaving puts ~12 minutes between a query's two
-    // timings so a phase poisons at most one of them. BENCH_QUIET
-    // artifacts ship with reps=2.
+    // timings so a phase poisons at most one of them. Default is 2
+    // (VERDICT r13 #1): three consecutive rounds of single-pass driver
+    // artifacts were noise-dominated (r11 ~2x, r12 ~2.7x, r13 ~8.6x the
+    // quiet series) precisely because the official mode ran reps=1 —
+    // the artifact must carry its own noise defense, at the cost of one
+    // extra catalog pass.
     val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     // (time, succeeded) per query per pass. A failed pass's
     // time-to-failure must never enter the rep-min (ADVICE r11 #2: a
     // fast-failing pass would otherwise mask both the failure and the

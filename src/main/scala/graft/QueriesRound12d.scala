@@ -305,7 +305,10 @@ trait QueriesRound12d extends QueriesRound12c {
             val now = Writers.listParquetFiles(store)
             val prev = if (version == 1) Seq.empty[String]
               else SnapshotLog.files(store, version - 1)
-            SnapshotLog.commitIfBase(store,
+            // loud on conflict (VERDICT r13 #6): single-writer sink, so
+            // a lost race means external corruption — never advance past
+            // it and silently drop the batch
+            SnapshotLog.commitStrict(store,
               prev ++ now.filterNot(before.contains), version - 1)
             ()
           }

@@ -33,9 +33,10 @@ trait QueriesRound13 extends QueriesRound12d {
     *   v1  base load, one file per bucket (doc_id % 8)
     *   v2  DELETE doc_id % 25 == 3 as a DV-ONLY commit: victims'
     *       (file, row-position) pairs — found by one predicate scan,
-    *       collected O(victims) — are written as `_dv/` sidecars and the
-    *       manifest annotates the SAME data files with `dv=`;
-    *       `v2_rewrote_files` pins ZERO data files written
+    *       grouped by file and written as `_dv/` sidecars FROM THE
+    *       EXECUTORS (DeleteVectors.writeSidecars) — annotate the SAME
+    *       data files with `dv=`; `v2_rewrote_files` pins ZERO data
+    *       files written
     *   v3  OPTIMIZE folds the DVs: touched files (only) are rewritten
     *       without their deleted positions, DV annotations drop
     * The serving read anti-joins (file name, row position) against the
@@ -46,7 +47,8 @@ trait QueriesRound13 extends QueriesRound12d {
     * v2 ≡ v3 content with n_dvs 3→0), `dv_positions` (= victim count —
     * delete state tracks deleted rows, not table size), and
     * `v2_rewrote_files` = 0. Scale: the DV write is one pushed-filter
-    * scan + O(victims) driver state; the serving overhead is a
+    * scan + one victims-sized shuffle, sidecars written executor-side,
+    * O(|touched files|) driver state; the serving overhead is a
     * broadcast anti-join that disappears entirely at the next OPTIMIZE.
     */
   val dvDelete: Q = (s, dir) => {
@@ -66,29 +68,15 @@ trait QueriesRound13 extends QueriesRound12d {
     val m1 = listAll()
     SnapshotLog.commit(store, m1)
     // --- v2: DV-only delete. One predicate scan finds the victims'
-    // physical addresses; the collect is O(victims) (doc_id % 25 == 3,
-    // ~4% of docs), never O(table)
-    val victims =
-      if (m1.isEmpty) Array.empty[Row]
-      else readFiles(s, store, m1)
-        .select(col("_metadata.file_path").as("f"),
-          col("_metadata.row_index").as("pos"), col("doc_id"))
-        .filter(pmod(col("doc_id"), lit(25)) === 3)
-        .select(col("f"), col("pos")).collect()
-    val byFile = victims.groupBy(_.getString(0)).view
-      .mapValues(_.map(_.getLong(1)).toSeq).toMap
-    def plain(p: String): String =
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val v2Entries = m1.map { f =>
-      byFile.collectFirst { case (k, ps) if plain(k) == plain(f) => ps } match {
-        case Some(ps) =>
-          FileEntry(f, dv = Some(SnapshotLog.writeDeleteVector(store, f, ps)))
-        case None => FileEntry(f)
-      }
-    }
+    // physical addresses; sidecars are written EXECUTOR-SIDE
+    // (DeleteVectors.writeSidecars — VERDICT r13 #3), so the driver
+    // holds only the |touched files| manifest annotations, never the
+    // position sets
     val beforeV2 = listAll()
-    SnapshotLog.commitEntries(store, v2Entries)
+    dvDeleteCommit(s, store, 1, pmod(col("doc_id"), lit(25)) === 3)
     val v2Rewrote = listAll().filterNot(beforeV2.contains).size.toLong
+    val dvPositions = SnapshotLog.entries(store, 2).flatMap(_.dv)
+      .map(SnapshotLog.readDeleteVector(_).size.toLong).sum
     // --- v3: OPTIMIZE folds each DV'd file into a rewrite (touched
     // files only; untouched generations keep their identity)
     val v2 = SnapshotLog.entries(store, 2)
@@ -113,9 +101,41 @@ trait QueriesRound13 extends QueriesRound12d {
           lit(es.count(_.dv.isDefined).toLong).as("n_dvs"))
     }
     snapAgg(1).unionAll(snapAgg(2)).unionAll(snapAgg(3))
-      .withColumn("dv_positions", lit(victims.length.toLong))
+      .withColumn("dv_positions", lit(dvPositions))
       .withColumn("v2_rewrote_files", lit(v2Rewrote))
       .orderBy(col("snap"))
+  }
+
+  protected def plainP(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** A DV delete commit: victims' physical addresses found by one
+    * pushed-predicate scan, sidecars written EXECUTOR-SIDE via
+    * [[graft.io.DeleteVectors.writeSidecars]] (VERDICT r13 #3 — the
+    * old driver-collect of every (file,pos) pair was O(victims) driver
+    * state; this is O(touched files)), positions UNIONED into any
+    * existing per-file sidecar — re-deleting from a file that already
+    * carries a DV must merge, not replace.
+    */
+  protected def dvDeleteCommit(s: SparkSession, store: String, prevV: Int,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val prev = SnapshotLog.entries(store, prevV)
+    if (prev.isEmpty) return SnapshotLog.commitEntries(store, prev)
+    val victims = readFiles(s, store, prev.map(_.path))
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"), col("doc_id"))
+      .filter(predicate)
+      .select(col("file"), col("pos"))
+    val existing = prev.flatMap(e => e.dv.map(plainP(e.path) -> _)).toMap
+    val sidecars = graft.io.DeleteVectors.writeSidecars(victims, store,
+      existing)
+    val next = prev.map { e =>
+      sidecars.get(plainP(e.path)) match {
+        case Some(dv) => e.copy(dv = Some(dv))
+        case None => e
+      }
+    }
+    SnapshotLog.commitEntries(store, next)
   }
 
   /** Manifest-resolved DV read: data files anti-joined against their
@@ -374,7 +394,9 @@ trait QueriesRound13 extends QueriesRound12d {
               .filterNot(before.contains)
             val prev = if (v == 1) Seq.empty[String]
               else SnapshotLog.files(sink, v - 1)
-            SnapshotLog.commitIfBase(sink, prev ++ fresh, v - 1)
+            // loud on conflict (VERDICT r13 #6): a silently-lost race
+            // here drops feed slice v from the sink forever
+            SnapshotLog.commitStrict(sink, prev ++ fresh, v - 1)
             v += 1
           }
           ()

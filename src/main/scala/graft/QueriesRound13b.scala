@@ -188,7 +188,11 @@ trait QueriesRound13b extends QueriesRound13 {
         pmod(col("doc_id"), lit(8)).cast("int").as("bucket"))
       .repartition(col("bucket")).write.mode("append")
       .partitionBy("bucket").parquet(store)
-    val removed = SnapshotLog.removeOrphans(store)
+    // explicit future cutoff: this gate IS the crashed writer's janitor
+    // and no concurrent writer exists — production keeps the 3-day
+    // default grace so a live writer's just-staged files survive
+    val removed = SnapshotLog.removeOrphans(store,
+      olderThanMs = System.currentTimeMillis() + 60000L)
     def agg(v: Int): Row =
       readFiles(s, store, SnapshotLog.files(store, v))
         .agg(count(lit(1)),
@@ -257,38 +261,6 @@ trait QueriesRound13b extends QueriesRound13 {
     dvFeedStep(s, store, 1).unionAll(dvFeedStep(s, store, v2))
       .unionAll(dvFeedStep(s, store, v3))
       .orderBy(col("src_version"), col("op"), col("doc_id"))
-  }
-
-  private def plainP(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
-
-  /** A DV delete commit: victims' physical addresses found by one
-    * pushed-predicate scan (collect O(victims)), positions UNIONED
-    * into any existing per-file sidecar — re-deleting from a file that
-    * already carries a DV must merge, not replace.
-    */
-  protected def dvDeleteCommit(s: SparkSession, store: String, prevV: Int,
-      predicate: org.apache.spark.sql.Column): Int = {
-    val prev = SnapshotLog.entries(store, prevV)
-    if (prev.isEmpty) return SnapshotLog.commitEntries(store, prev)
-    val victims = readFiles(s, store, prev.map(_.path))
-      .select(col("_metadata.file_path").as("f"),
-        col("_metadata.row_index").as("pos"), col("doc_id"))
-      .filter(predicate)
-      .select(col("f"), col("pos")).collect()
-    val byFile = victims.groupBy(r => plainP(r.getString(0))).view
-      .mapValues(_.map(_.getLong(1)).toSet).toMap
-    val next = prev.map { e =>
-      byFile.get(plainP(e.path)) match {
-        case Some(newPos) =>
-          val old = e.dv.map(SnapshotLog.readDeleteVector(_).toSet)
-            .getOrElse(Set.empty)
-          e.copy(dv = Some(SnapshotLog.writeDeleteVector(store, e.path,
-            (old ++ newPos).toSeq)))
-        case None => e
-      }
-    }
-    SnapshotLog.commitEntries(store, next)
   }
 
   /** One change-feed step (version v-1 → v) that understands BOTH

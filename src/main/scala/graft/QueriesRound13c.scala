@@ -208,7 +208,11 @@ trait QueriesRound13c extends QueriesRound13b {
                 .partitionBy("bucket").parquet(store)
             }
             val fresh = listAll().filterNot(before.contains)
-            SnapshotLog.commitIfBase(store,
+            // loud on conflict (VERDICT r13 #6): this sink is
+            // single-writer, so losing the race means external
+            // corruption — advancing past it would silently drop the
+            // merge batch (recoverable writers rebase, q341)
+            SnapshotLog.commitStrict(store,
               prev.filterNot(inTouched) ++ fresh, version - 1)
             ()
           }
@@ -422,7 +426,9 @@ trait QueriesRound13c extends QueriesRound13b {
               .filterNot(before.contains)
             val prev = if (v == 1) Seq.empty[String]
               else SnapshotLog.files(sink, v - 1)
-            SnapshotLog.commitIfBase(sink, prev ++ fresh, v - 1)
+            // loud on conflict (VERDICT r13 #6): a silent None here
+            // would drop feed slice v from the replica forever
+            SnapshotLog.commitStrict(sink, prev ++ fresh, v - 1)
             v += 1
           }
           ()

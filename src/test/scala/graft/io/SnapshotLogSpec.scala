@@ -171,7 +171,12 @@ class SnapshotLogSpec extends SparkSpec {
     Seq((9L, 90L)).toDF("id", "v").write.mode("append").parquet(store)
     val staged = Writers.listParquetFiles(store).filterNot(f1.contains)
     val orphanDv = SnapshotLog.writeDeleteVector(store, staged.head, Seq(1L))
-    val removed = SnapshotLog.removeOrphans(store)
+    // grace window (ADVICE r13): at the 3-day default the just-staged
+    // files look like a LIVE writer's in-flight data and must survive
+    assert(SnapshotLog.removeOrphans(store).isEmpty)
+    // explicit future cutoff = "no concurrent writers" assertion
+    val removed = SnapshotLog.removeOrphans(store,
+      olderThanMs = System.currentTimeMillis() + 60000L)
     assert(removed.toSet == (staged.map(plain) :+ orphanDv).toSet)
     // the committed generation is untouched and still resolves
     assert(new java.io.File(plain(f1.head)).exists())
@@ -200,5 +205,80 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.files(store, 2).toSet == v2files.map(plain).toSet)
     val v2 = spark.read.parquet(SnapshotLog.files(store, 2): _*)
     assert(v2.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("vacuum retains ref-targeted versions (ADVICE r13)") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    SnapshotLog.commit(store, f1)
+    Seq((2L, 20L)).toDF("id", "v").write.mode("append").parquet(store)
+    val v2files = Writers.listParquetFiles(store).filterNot(f1.contains)
+    SnapshotLog.commit(store, v2files)
+    SnapshotLog.setRef(store, "main", 1) // published pointer at v1
+    // retainLast=1 alone would expire v1 — the ref must pin it
+    assert(SnapshotLog.vacuum(store, retainLast = 1).isEmpty)
+    assert(SnapshotLog.versions(store) == Seq(1, 2))
+    assert(SnapshotLog.files(store, 1).toSet == f1.map(plain).toSet)
+    // dropping the ref releases the pin
+    assert(new java.io.File(store + "/_log/refs/main").delete())
+    val removed = SnapshotLog.vacuum(store, retainLast = 1)
+    assert(removed.toSet == f1.map(plain).toSet)
+    assert(SnapshotLog.versions(store) == Seq(2))
+  }
+
+  test("vacuumOlderThan retains untimestamped versions (ADVICE r13)") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    SnapshotLog.commit(store, f1) // no ts: pre-retention history
+    Seq((2L, 20L)).toDF("id", "v").write.mode("append").parquet(store)
+    val f2 = Writers.listParquetFiles(store).filterNot(f1.contains)
+    SnapshotLog.commit(store, f2, ts = Some(1000L))
+    Seq((3L, 30L)).toDF("id", "v").write.mode("append").parquet(store)
+    val f3 = Writers.listParquetFiles(store).filterNot((f1 ++ f2).contains)
+    SnapshotLog.commit(store, f3, ts = Some(9000L))
+    // cutoff expires v2 (ts=1000) but NOT v1: missing timestamp means
+    // "age unknown", never "infinitely old"
+    val removed = SnapshotLog.vacuumOlderThan(store, 5000L)
+    assert(removed.toSet == f2.map(plain).toSet)
+    assert(SnapshotLog.versions(store) == Seq(1, 3))
+  }
+
+  test("delete-vector sidecars are content-addressed and immutable") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    // same file, same cardinality, DIFFERENT positions → distinct
+    // sidecars (the r13 count-keyed name aliased these)
+    val a = SnapshotLog.writeDeleteVector(store, f1.head, Seq(0L, 2L))
+    val b = SnapshotLog.writeDeleteVector(store, f1.head, Seq(1L, 3L))
+    assert(a != b)
+    assert(SnapshotLog.readDeleteVector(a) == Seq(0L, 2L))
+    assert(SnapshotLog.readDeleteVector(b) == Seq(1L, 3L))
+    // identical positions are idempotent: same path, contents verified
+    assert(SnapshotLog.writeDeleteVector(store, f1.head, Seq(2L, 0L)) == a)
+    // a corrupted sidecar at the content-addressed name fails loudly
+    // instead of being overwritten
+    Files.write(java.nio.file.Paths.get(a), "999".getBytes)
+    intercept[IllegalArgumentException](
+      SnapshotLog.writeDeleteVector(store, f1.head, Seq(0L, 2L)))
+  }
+
+  test("commitStrict fails loudly on a racing commit (VERDICT r13 #6)") {
+    val store = freshStore()
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(store)
+    val f1 = Writers.listParquetFiles(store)
+    val base = SnapshotLog.commit(store, f1)
+    // a racing writer lands v2 first
+    assert(SnapshotLog.commitIfBase(store, f1, base).contains(2))
+    // the strict single-writer path must THROW, never silently advance —
+    // the pattern the streaming sinks (q344/q348/q356/q358) now run
+    val e = intercept[IllegalStateException](
+      SnapshotLog.commitStrict(store, f1, base))
+    assert(e.getMessage.contains("lost the race"))
+    assert(SnapshotLog.latest(store) == 2) // nothing committed past it
+    // no conflict → commits and returns the version
+    assert(SnapshotLog.commitStrict(store, f1, 2) == 3)
   }
 }
