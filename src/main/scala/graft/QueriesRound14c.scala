@@ -314,6 +314,91 @@ trait QueriesRound14c extends QueriesRound14b {
       |  (SELECT count(*) FROM fin) AS n_rows,
       |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM fin) AS sum_chars""".stripMargin
 
+  /** PARTITION-SPEC EVOLUTION — the lake verb that makes layout
+    * changes affordable: q361 re-clusters by REWRITING the table; real
+    * tables at 100 TB change their partitioning going FORWARD only
+    * (the Iceberg spec-evolution contract) — old data keeps the old
+    * layout (id-bucketed), new data lands in the new one
+    * (lang-partitioned), and ONE manifest references files across both
+    * subtrees (relative paths don't care which dir scheme a file lives
+    * under; a directory-listing reader sees an unreadable mixed root —
+    * the manifest is what makes this table well-defined at all). A
+    * lang='en' query prunes the NEW spec's slice to one directory and
+    * must open ALL old-spec files (lang isn't in their paths — exactly
+    * the cost asymmetry that motivates the evolution); `opened_old` /
+    * `opened_new` / `n_files_total` pin the arithmetic, rows and sums
+    * oracle-recomputed. Scale: no rewrite ever happens; the query
+    * cost converges to the new spec's pruned cost as new data
+    * accumulates.
+    */
+  val partitionEvolution: Q = (s, dir) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val store = scratch("graft_partevo").toString + "/docs"
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    d.withColumn("bucket", pmod(col("doc_id"), lit(4)).cast("int"))
+      .repartition(col("bucket")).write.mode("overwrite")
+      .partitionBy("bucket").parquet(store)
+    def listDirs(prefix: String): Seq[String] = {
+      val kids = new java.io.File(store).listFiles()
+      (if (kids == null) Array.empty[java.io.File] else kids).toIndexedSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .flatMap(dd => Writers.listParquetFiles(dd.toString)).sorted
+    }
+    val oldFiles = listDirs("bucket=")
+    SnapshotLog.commit(store, oldFiles)
+    // spec change: the Δ lands lang-partitioned ALONGSIDE the old dirs
+    val delta = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars"),
+        col("lang"))
+    delta.repartition(col("lang")).write.mode("append")
+      .partitionBy("lang").parquet(store)
+    val newFiles = listDirs("lang=")
+    SnapshotLog.commit(store, oldFiles ++ newFiles)
+    // --- lang='en' through v2: per-spec resolution
+    val es = SnapshotLog.files(store, 2)
+    val oldSel = es.filter(_.contains("/bucket="))
+    val newSel = es.filter(_.contains("/lang=en/"))
+    val oldSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("lang", StringType), StructField("bucket", IntegerType)))
+    val newSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("lang", StringType)))
+    def rd(fs: Seq[String], schema: StructType): DataFrame =
+      if (fs.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      else s.read.option("basePath", store).schema(schema).parquet(fs: _*)
+    val en = rd(oldSel, oldSchema).filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+      .unionAll(rd(newSel, newSchema)
+        .select(col("doc_id"), col("n_chars")))
+    en.agg(count(lit(1)).as("n_rows_en"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars_en"))
+      .select(col("n_rows_en"), col("sum_chars_en"),
+        lit(es.size.toLong).as("n_files_total"),
+        lit(oldSel.size.toLong).as("opened_old"),
+        lit(newSel.size.toLong).as("opened_new"))
+  }
+
+  val partitionEvolutionSql: String =
+    """WITH d AS (SELECT doc_id, n_chars, lang FROM documents),
+      |dl AS (SELECT doc_id + 1000000 AS doc_id, n_chars, lang FROM d
+      |  WHERE doc_id % 3 = 0),
+      |en AS (SELECT doc_id, n_chars FROM d WHERE lang = 'en'
+      |  UNION ALL SELECT doc_id, n_chars FROM dl WHERE lang = 'en')
+      |SELECT (SELECT count(*) FROM en) AS n_rows_en,
+      |  (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM en)
+      |    AS sum_chars_en,
+      |  (SELECT CAST(count(DISTINCT doc_id % 4) AS BIGINT) FROM d)
+      |    + (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM dl)
+      |    AS n_files_total,
+      |  (SELECT CAST(count(DISTINCT doc_id % 4) AS BIGINT) FROM d)
+      |    AS opened_old,
+      |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM dl
+      |    WHERE lang = 'en') AS opened_new""".stripMargin
+
   val wavMixedIngestSql: String =
     """WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),
       |c AS (SELECT doc_id AS media_id, k, doc_id % 2 = 0 AS is_ulaw,
