@@ -83,14 +83,27 @@ trait QueriesRound14 extends QueriesRound13e {
     val existing = prev.flatMap(e => e.dv.map(plainP(e.path) -> _)).toMap
     val sidecars = DeleteVectors.writeSidecars(
       victims.select(col("file"), col("pos")), store, existing)
-    // 3. ONE commit: every base file kept (dv-annotated where touched)
-    //    plus the appended files
+    // 3. ONE commit: every base file kept (dv-annotated where touched,
+    //    existing stats preserved by copy) plus the appended files,
+    //    which carry their own write-time stats (q347 discipline) so
+    //    metadata-only answers (q362/q376) stay exact through upserts
+    val freshStats =
+      if (fresh.isEmpty) Map.empty[String, SnapshotLog.FileStats]
+      else readFiles(s, store, fresh)
+        .select(col("_metadata.file_path").as("f"), col("doc_id"))
+        .groupBy(col("f"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => plainP(r.getString(0)) ->
+          SnapshotLog.FileStats(r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
     val next = prev.map { e =>
       sidecars.get(plainP(e.path)) match {
         case Some(dv) => e.copy(dv = Some(dv))
         case None => e
       }
-    } ++ fresh.map(FileEntry(_))
+    } ++ fresh.map(f => FileEntry(f, stats = freshStats.get(plainP(f))))
     SnapshotLog.commitEntries(store, next)
   }
 

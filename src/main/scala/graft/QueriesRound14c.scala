@@ -382,6 +382,84 @@ trait QueriesRound14c extends QueriesRound14b {
         lit(newSel.size.toLong).as("opened_new"))
   }
 
+  /** METADATA EXACTNESS THROUGH MoR UPSERTS — q362's metadata-only
+    * COUNT composed over q363's write path: because every upsert
+    * commit annotates its appended files with write-time stats AND its
+    * DV positions, `Σ stats.rows − Σ |DV|` stays EXACTLY the live row
+    * count at EVERY version — no data read ever needed for COUNT(*),
+    * even on a table that has only ever been mutated by
+    * merge-on-read. (A store that appended without stats, or DV'd
+    * without subtracting, drifts silently — `stats_complete` and the
+    * per-version exactness bools pin both failure modes.) All counts
+    * oracle-recomputed from the q363 modular arithmetic. Scale: the
+    * metadata answer is one manifest read at any table size; the
+    * per-upsert stats pass reads only the appended files.
+    */
+  val morMetadataExact: Q = (s, dir) => {
+    val store = scratch("graft_mormeta").toString + "/docs"
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        pmod(col("doc_id"), lit(8)).cast("int").as("bucket"))
+    d.repartition(col("bucket")).write.mode("overwrite")
+      .partitionBy("bucket").parquet(store)
+    val files = listBucketFiles(store)
+    def plain(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val stats =
+      if (files.isEmpty) Map.empty[String, SnapshotLog.FileStats]
+      else readFiles(s, store, files)
+        .select(col("_metadata.file_path").as("f"), col("doc_id"))
+        .groupBy(col("f"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => plain(r.getString(0)) ->
+          SnapshotLog.FileStats(r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    SnapshotLog.commitEntries(store,
+      files.map(f => FileEntry(f, stats = stats.get(plain(f)))))
+    val docs = t(s, dir, "documents")
+    val ins2 = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        pmod(col("doc_id"), lit(1000)).cast("long").as("n_chars"))
+    val v2 = morUpsertCommit(s, store, 1,
+      pmod(col("doc_id"), lit(5)) === 2, 1000L, ins2)
+    val ins3 = docs.filter(pmod(col("doc_id"), lit(60)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        pmod(col("doc_id"), lit(900)).cast("long").as("n_chars"))
+    val v3 = morUpsertCommit(s, store, v2,
+      pmod(col("doc_id"), lit(7)) === 3, 5000L, ins3)
+    def snapRow(v: Int): DataFrame = {
+      val es = SnapshotLog.entries(store, v)
+      val meta = es.flatMap(_.stats).map(_.rows).sum -
+        es.flatMap(_.dv).map(SnapshotLog.readDeleteVector(_).size.toLong).sum
+      val live = readDv(s, store, es).count()
+      s.range(1).select(lit(v).as("snap"),
+        lit(meta).as("meta_count"),
+        lit(meta == live).as("meta_exact"),
+        lit(es.forall(_.stats.isDefined)).as("stats_complete"))
+    }
+    snapRow(1).unionAll(snapRow(v2)).unionAll(snapRow(v3))
+      .orderBy(col("snap"))
+  }
+
+  val morMetadataExactSql: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |i2 AS (SELECT doc_id + 1000000 AS doc_id FROM d
+      |  WHERE doc_id % 50 = 0),
+      |v2 AS (SELECT doc_id FROM d UNION ALL SELECT doc_id FROM i2),
+      |i3 AS (SELECT doc_id + 2000000 AS doc_id FROM d
+      |  WHERE doc_id % 60 = 0),
+      |v3 AS (SELECT doc_id FROM v2 UNION ALL SELECT doc_id FROM i3)
+      |SELECT * FROM (
+      |  SELECT 1 AS snap, (SELECT count(*) FROM d) AS meta_count,
+      |    TRUE AS meta_exact, TRUE AS stats_complete
+      |  UNION ALL
+      |  SELECT 2, (SELECT count(*) FROM v2), TRUE, TRUE
+      |  UNION ALL
+      |  SELECT 3, (SELECT count(*) FROM v3), TRUE, TRUE
+      |) ORDER BY snap""".stripMargin
+
   val partitionEvolutionSql: String =
     """WITH d AS (SELECT doc_id, n_chars, lang FROM documents),
       |dl AS (SELECT doc_id + 1000000 AS doc_id, n_chars, lang FROM d
