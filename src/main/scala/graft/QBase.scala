@@ -78,4 +78,19 @@ trait QBase {
     */
   protected def decSum(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Run two INDEPENDENT actions concurrently and propagate the first
+    * failure (guide §2.6 — overlap independent jobs so the second's
+    * tasks back-fill the first's tail). Used by gates that execute an
+    * A/B twin pair (e.g. a TTL stream and its no-TTL control) whose
+    * runs share no checkpoint, sink, or state: actions are only
+    * sequential because driver code calls them sequentially.
+    */
+  protected def inParallel(a: => Unit, b: => Unit): Unit = {
+    @volatile var ea: Throwable = null
+    val tb = new Thread(() => try b catch { case t: Throwable => ea = t })
+    tb.start()
+    try a finally tb.join()
+    if (ea != null) throw ea
+  }
 }

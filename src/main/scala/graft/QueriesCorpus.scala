@@ -737,20 +737,20 @@ trait QueriesCorpus extends QueriesIngest {
     * recompute the identical fingerprints (production twin uses the
     * native [[graft.functions.WinnowFingerprints]] hash — the q22/q94
     * FNV-vs-md5 gate pattern); the oracle's closure is a recursive CTE
-    * over the identical star-edge set.
+    * over the identical star-edge set. Fingerprints come from the fused
+    * [[graft.functions.Md5WinnowSet]] expression — value-identical to the
+    * composed transform/md5/conv/array_min formulation it replaced (the
+    * r8 q132 lesson applied here in r14: the expression tree re-paid ~10×
+    * overhead around the inherent md5 work; q132's gate pins the fused
+    * expression against this exact oracle formulation).
     */
   val winnowClustersQ: Q = (s, dir) => {
     val K = 20; val W = 8
-    val withH = Dedup.pin(
+    val fps = Dedup.pin(
       t(s, dir, "documents").filter(length(col("text")) >= K + W - 1)
-        .select(col("doc_id"),
-          transform(sequence(lit(1), length(col("text")) - (K - 1)),
-            i => conv(substring(md5(col("text").substr(i, lit(K)).cast("binary")),
-              1, 15), 16, 10).cast("long")).as("h")))
-    val fps = withH.select(col("doc_id").as("id"),
-      explode(array_distinct(
-        transform(sequence(lit(1), size(col("h")) - (W - 1)),
-          j => array_min(slice(col("h"), j, lit(W)))))).as("fp"))
+        .select(col("doc_id").as("id"),
+          explode(graft.functions.WinnowFingerprints
+            .md5_winnow_set(col("text"), K, W)).as("fp")))
     Dedup.clusters(Dedup.starEdges(fps))
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))

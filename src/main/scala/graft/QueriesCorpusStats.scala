@@ -716,9 +716,13 @@ trait QueriesCorpusStats extends QueriesCorpus {
     val items = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = items.as("a").join(items.as("b"),
+    // pinned: the per-order pair self-join is the query's dominant cost
+    // and BOTH the seed derivation and the BFS consume it — unpinned,
+    // the seeds' lineage re-ran the whole self-join (r14 optimization;
+    // bfsLevels' internal distinct then reads from this cache)
+    val edges = Dedup.pin(items.as("a").join(items.as("b"),
         col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct())
     val seeds = edges.select(col("src").as("id"))
       .filter(col("id") <= 10).distinct()
     graft.ops.Graph.bfsLevels(edges, seeds, rounds = BfsRounds)
@@ -760,10 +764,13 @@ trait QueriesCorpusStats extends QueriesCorpus {
     val items = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = items.as("a").join(items.as("b"),
+    // pinned: the k-scalar aggregate below is an ACTION over the edge
+    // self-join, and kCore's peel loop consumes the same edges —
+    // unpinned, the self-join materialized twice (r14 optimization)
+    val edges = Dedup.pin(items.as("a").join(items.as("b"),
         col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
+      .distinct())
     val mn = edges.agg(count(lit(1)).as("m"),
       countDistinct(col("src")).as("n")).head()
     // empty graph ⇒ no nodes to peel; k=1 keeps the op total, output empty
@@ -974,13 +981,15 @@ trait QueriesCorpusStats extends QueriesCorpus {
     * identical on both engines, so the gate is exact.
     */
   val crossSourceOverlap: Q = (s, dir) => {
+    // fused Md5WinnowSet at w=1 = the distinct md5 gram-hash set per doc
+    // in one generated-code pass (r14: replaces the explode+md5+conv
+    // expression tree; the frame-level distinct() still collapses across
+    // docs of one source, but its input is pre-deduped per doc)
     val grams = Dedup.pin(t(s, dir, "documents")
       .filter(length(col("text")) >= 13)
       .select(col("source"),
-        explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
-      .select(col("source"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
-          .as("gh"))
+        explode(graft.functions.WinnowFingerprints
+          .md5_winnow_set(col("text"), 13, 1)).as("gh"))
       .distinct())
     val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("ng"))
     val shared = grams.as("a").join(grams.as("b"),

@@ -122,12 +122,15 @@ trait QueriesSketches extends QueriesCorpusStats {
     // discipline): the DF agg, the rare semi-join, and the pair self-join
     // all key on a long instead of a 13-char string; the oracle applies
     // the identical hash, so any collision collides identically on both
-    // engines and the gate stays exact.
+    // engines and the gate stays exact. The hash set comes from the fused
+    // Md5WinnowSet expression at w=1 (distinct md5 gram hashes in one
+    // generated-code pass — r14: the explode+md5+conv tree plus a
+    // frame-level distinct() shuffle paid ~10× around the inherent md5
+    // work; per-doc distinct is now computed inside the expression, so no
+    // post-hash shuffle is needed at all).
     val grams = docs.select(col("doc_id").as("id"),
-        explode(TextStats.charNgrams(col("text"), 13)).as("gram"))
-      .select(col("id"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gram"))
-      .distinct() // post-hash dedup, mirroring the oracle's DISTINCT-on-hash
+        explode(graft.functions.WinnowFingerprints
+          .md5_winnow_set(col("text"), 13, 1)).as("gram"))
     val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20).select(col("gram"))
     val g = Dedup.pin(grams.join(rare, Seq("gram")))

@@ -138,7 +138,11 @@ object WinnowFingerprints {
 case class Md5WinnowSet(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
   require(k >= 2 && k <= 256, "k in [2, 256]")
-  require(w >= 2 && w <= 256, "w in [2, 256]")
+  // w = 1 degenerates to the DISTINCT md5 k-gram set (every window is a
+  // single gram, so the "window minimum" is the gram itself) — the exact
+  // value semantics of explode(charNgrams)+md5+conv+distinct, fused into
+  // one pass; q188/q165 use it that way (r14 optimization).
+  require(w >= 1 && w <= 256, "w in [1, 256]")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
