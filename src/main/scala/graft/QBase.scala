@@ -51,8 +51,14 @@ trait QBase {
     * to state volume, not to the batch default.
     */
   protected def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    // Scale parameterization (guide §2 / round-14 rule): the right value
+    // is a function of STATE VOLUME, not of the box — production sizes
+    // it up via this env; the committed per-gate constants are the
+    // measured-best local defaults for gate-sized state.
+    val eff = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.toInt).filter(_ >= 1).getOrElse(n)
     val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.shuffle.partitions", eff.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 

@@ -14,35 +14,30 @@ trait QueriesRound11 extends QueriesSeriesOpt {
 
   // ---------------- shared IVF-PQ building blocks (q311 / q317) ----------
 
-  /** m×sub-grid PQ codes for `vec`: per subspace, struct-min over the
-    * codebook literal of (squared integer grid distance, code) — ties
-    * to the smaller code (the q175 convention).
+  /** m×sub-grid PQ codes for `vec`: per subspace, the argmin codeword by
+    * squared integer grid distance, ties to the smaller code (the q175
+    * convention). Native codegen expression
+    * ([[graft.functions.VectorExpressions.PqCodes]]) — the round-14
+    * fusion of the former `transform/array_min/zip_with/slice` tree,
+    * whose interpreted higher-order lambdas and per-(codeword, subspace)
+    * slice allocations were the hottest single job of every IVF-PQ gate
+    * (guide §1.2 step 2; value-identical by construction, and every
+    * gate's oracle recomputes the codes in SQL).
     */
-  protected def pqCodes(cbLit: Column, vec: Column, m: Int, sub: Int): Column =
-    transform(typedLit(List.range(0, m)), sIdx =>
-      array_min(transform(cbLit, (cbv, ci) => struct(
-        aggregate(
-          zip_with(slice(vec, sIdx * sub + 1, lit(sub)),
-            slice(cbv, sIdx * sub + 1, lit(sub)),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d"),
-        ci.as("code")))).getField("code"))
+  protected def pqCodes(codebook: Array[Array[Long]], vec: Column,
+                        m: Int, sub: Int): Column =
+    graft.functions.VectorExpressions.pq_codes(vec, codebook, m, sub)
 
   /** Asymmetric distance: Σ over subspaces of ‖q_m − cb_m[code_m]‖² —
     * the query's exact (sub)vector against each candidate's
-    * RECONSTRUCTED codeword, all integer-exact on the grid.
+    * RECONSTRUCTED codeword, all integer-exact on the grid. Native
+    * codegen ([[graft.functions.VectorExpressions.AdcDist]]) — the
+    * per-candidate-pair hot loop of every serve path, fused for the
+    * same reason as [[pqCodes]].
     */
-  protected def adcDist(cbLit: Column, q: Column, codes: Column,
-                      m: Int, sub: Int): Column =
-    aggregate(
-      transform(typedLit(List.range(0, m)), sIdx =>
-        aggregate(
-          zip_with(slice(q, sIdx * sub + 1, lit(sub)),
-            slice(element_at(cbLit, element_at(codes, sIdx + 1) + 1),
-              sIdx * sub + 1, lit(sub)),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)),
-      lit(0L), (acc, x) => acc + x)
+  protected def adcDist(codebook: Array[Array[Long]], q: Column,
+                        codes: Column, m: Int, sub: Int): Column =
+    graft.functions.VectorExpressions.adc_dist(q, codes, codebook, m, sub)
 
   /** Write the coded corpus hive-partitioned by cell and read it back
     * pruned to `q`'s probe cells (≤ k distinct by construction —
@@ -243,12 +238,11 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     } else {
       val cellIds = cents.map(_._1)
       val cvs = cents.map(_._2)
-      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
       val assigned = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id"), qv.as("qvv"),
           VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
             .getItem(0).as("cell"))
-        .select(col("vec_id"), pqCodes(cbLit, col("qvv"), M, SUB).as("codes"),
+        .select(col("vec_id"), pqCodes(codebook, col("qvv"), M, SUB).as("codes"),
           col("cell"))
       val q = Dedup.pin(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), qv.as("qq"),
@@ -259,7 +253,7 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         .orderBy(col("adc_dist"), col("neighbor_id"))
       rd.select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
         .join(broadcast(q), Seq("cell"))
-        .withColumn("adc_dist", adcDist(cbLit, col("qq"), col("codes"), M, SUB))
+        .withColumn("adc_dist", adcDist(codebook, col("qq"), col("codes"), M, SUB))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -849,7 +843,6 @@ trait QueriesRound11 extends QueriesSeriesOpt {
           val c = cg(cellIndex(r.getLong(1)))
           Array.tabulate(g.length)(i => g(i) - c(i))
         }
-        val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
         val cgLit = typedLit(cg.map(_.toSeq).toSeq)
         val cellIdsLit = typedLit(cellIds.toSeq)
         def residual(vec: Column, cell: Column): Column =
@@ -861,7 +854,7 @@ trait QueriesRound11 extends QueriesSeriesOpt {
             VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
               .getItem(0).as("cell"))
           .withColumn("rv", residual(col("qvv"), col("cell")))
-          .select(col("vec_id"), pqCodes(cbLit, col("rv"), M, SUB).as("codes"),
+          .select(col("vec_id"), pqCodes(codebook, col("rv"), M, SUB).as("codes"),
             col("cell"))
         val q = Dedup.pin(emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), qv.as("qq"),
@@ -874,7 +867,7 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         val cand = rd
           .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
           .join(broadcast(q), Seq("cell"))
-          .withColumn("adc_dist", adcDist(cbLit, col("rq"), col("codes"), M, SUB))
+          .withColumn("adc_dist", adcDist(codebook, col("rq"), col("codes"), M, SUB))
           .withColumn("arank", row_number().over(wAdc))
           .filter(col("arank") <= 8)
           .select(col("query_id"), col("neighbor_id"), col("qq"),
@@ -1139,12 +1132,11 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     } else {
       val cellIds = cents.map(_._1)
       val cvs = cents.map(_._2)
-      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
       val assigned = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id"), qv.as("qvv"),
           VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
             .getItem(0).as("cell"))
-        .select(col("vec_id"), pqCodes(cbLit, col("qvv"), M, SUB).as("codes"),
+        .select(col("vec_id"), pqCodes(codebook, col("qvv"), M, SUB).as("codes"),
           col("cell"))
       val q = Dedup.pin(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), qv.as("qq"),
@@ -1156,7 +1148,7 @@ trait QueriesRound11 extends QueriesSeriesOpt {
       val adcTop = rd
         .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
         .join(broadcast(q), Seq("cell"))
-        .withColumn("adc_dist", adcDist(cbLit, col("qq"), col("codes"), M, SUB))
+        .withColumn("adc_dist", adcDist(codebook, col("qq"), col("codes"), M, SUB))
         .withColumn("rank", row_number().over(wAdc))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"))
@@ -1348,12 +1340,11 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     } else {
       val cellIds = cents.map(_._1)
       val cvs = cents.map(_._2)
-      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
       def encode(src: DataFrame): DataFrame = src
         .select(col("vec_id"), qv.as("qvv"),
           VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
             .getItem(0).as("cell"))
-        .select(col("vec_id"), pqCodes(cbLit, col("qvv"), M, SUB).as("codes"),
+        .select(col("vec_id"), pqCodes(codebook, col("qvv"), M, SUB).as("codes"),
           col("cell"))
       val day1 = encode(emb.filter(col("vec_id") >= 10
         && col("vec_id") % 10 =!= 0))
@@ -1389,7 +1380,7 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         .orderBy(col("adc_dist"), col("neighbor_id"))
       rd.select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
         .join(broadcast(q), Seq("cell"))
-        .withColumn("adc_dist", adcDist(cbLit, col("qq"), col("codes"), M, SUB))
+        .withColumn("adc_dist", adcDist(codebook, col("qq"), col("codes"), M, SUB))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -63,12 +63,11 @@ trait QueriesRound12 extends QueriesRound11 {
     } else {
       val cellIds = cents.map(_._1)
       val cvs = cents.map(_._2)
-      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
       def encode(src: DataFrame): DataFrame = src
         .select(col("vec_id"), qv.as("qvv"),
           VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
             .getItem(0).as("cell"))
-        .select(col("vec_id"), pqCodes(cbLit, col("qvv"), M, SUB).as("codes"),
+        .select(col("vec_id"), pqCodes(codebook, col("qvv"), M, SUB).as("codes"),
           col("cell"))
       val corpus = emb.filter(col("vec_id") >= 10)
       // ONE corpus encode, pinned; every generation filters it (encode is
@@ -92,7 +91,7 @@ trait QueriesRound12 extends QueriesRound11 {
       def serve(codesDf: DataFrame): DataFrame = codesDf
         .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
         .join(broadcast(q), Seq("cell"))
-        .withColumn("adc_dist", adcDist(cbLit, col("qq"), col("codes"), M, SUB))
+        .withColumn("adc_dist", adcDist(codebook, col("qq"), col("codes"), M, SUB))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -287,12 +286,11 @@ trait QueriesRound12 extends QueriesRound11 {
     } else {
       val cellIds = cents.map(_._1)
       val cvs = cents.map(_._2)
-      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
       def encode(src: DataFrame): DataFrame = src
         .select(col("vec_id"), qv.as("qvv"),
           VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
             .getItem(0).as("cell"))
-        .select(col("vec_id"), pqCodes(cbLit, col("qvv"), M, SUB).as("codes"),
+        .select(col("vec_id"), pqCodes(codebook, col("qvv"), M, SUB).as("codes"),
           col("cell"))
       val corpus = emb.filter(col("vec_id") >= 10)
       // one pinned corpus encode feeds every generation (the q323 note)
@@ -313,7 +311,7 @@ trait QueriesRound12 extends QueriesRound11 {
       def serve(codesDf: DataFrame): DataFrame = codesDf
         .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
         .join(broadcast(q), Seq("cell"))
-        .withColumn("adc_dist", adcDist(cbLit, col("qq"), col("codes"), M, SUB))
+        .withColumn("adc_dist", adcDist(codebook, col("qq"), col("codes"), M, SUB))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -959,12 +957,11 @@ trait QueriesRound12 extends QueriesRound11 {
     } else {
       val cellIds = cents.map(_._1)
       val cvs = cents.map(_._2)
-      val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
       val assigned = emb.filter(col("vec_id") >= NC)
         .select(col("vec_id").as("neighbor_id"), qv.as("nv"),
           VectorExpressions.nearest_cells(col("embedding"), cellIds, cvs, 1)
             .getItem(0).as("cell"))
-        .withColumn("codes", pqCodes(cbLit, col("nv"), M, SUB))
+        .withColumn("codes", pqCodes(codebook, col("nv"), M, SUB))
       val qprobe = Dedup.pin(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), qv.as("qq"),
           posexplode(VectorExpressions.nearest_cells(col("embedding"),
@@ -975,7 +972,7 @@ trait QueriesRound12 extends QueriesRound11 {
         (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
       val cand = assigned.join(broadcast(qprobe), Seq("cell"))
         .select(col("query_id"), col("cell_rank"), col("neighbor_id"),
-          adcDist(cbLit, col("qq"), col("codes"), M, SUB).as("adc_dist"),
+          adcDist(codebook, col("qq"), col("codes"), M, SUB).as("adc_dist"),
           exactD.as("exact_dist"))
       val configs = Seq((1, 10), (1, 40), (2, 10), (2, 40), (4, 10), (4, 40))
         .toDF("nprobe", "shortlist")

@@ -415,6 +415,150 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Native PQ encoder: per m×sub-grid subspace, the argmin codeword by
+    * squared integer grid distance, ties to the smaller code — the fused
+    * twin of the former higher-order formulation
+    * `transform(range(m), s -> array_min(transform(cb, (cbv, ci) ->
+    * struct(Σ (v-cbv)², ci))).code)`. Higher-order functions evaluate
+    * through interpreted lambda machinery with a fresh `slice` allocation
+    * per (codeword, subspace) — measured as the single hottest job of
+    * every IVF-PQ gate (3.8 s of q323's 9.8 s at sf0.1). This expression
+    * runs the identical integer arithmetic in one codegen'd pass:
+    * O(m·k·sub) long ops, zero allocation beyond the output array.
+    *
+    * Exact-parity edge semantics (verified against the HOF tree): a
+    * subspace whose two slices CLIP to different lengths (or touch a
+    * null element) has a NULL distance, and a null-distance codeword
+    * sorts FIRST in the struct-min (Spark's nulls-first struct
+    * ordering), code tiebreak ascending. Equal-length short slices sum
+    * the fewer terms. NULL vec → NULL (the HOF tree yields all-zero
+    * codes there; no caller feeds null vectors — embeddings are
+    * non-null by schema).
+    */
+  case class PqCodes(child: Expression, codebook: Array[Array[Long]],
+                     m: Int, sub: Int)
+      extends UnaryExpression {
+    require(codebook.nonEmpty && m >= 1 && sub >= 1)
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+
+    def codes(vec: ArrayData): ArrayData = {
+      val vLen = vec.numElements()
+      val out = new Array[Int](m)
+      var sIdx = 0
+      while (sIdx < m) {
+        val off = sIdx * sub
+        var bestCode = -1
+        var bestD = Long.MaxValue
+        var bestNullCode = -1 // null distance sorts first (nulls-first)
+        var ci = 0
+        while (ci < codebook.length) {
+          val cb = codebook(ci)
+          val lenA = math.max(0, math.min(sub, vLen - off))
+          val lenB = math.max(0, math.min(sub, cb.length - off))
+          if (lenA != lenB) {
+            if (bestNullCode < 0) bestNullCode = ci
+          } else {
+            var d = 0L
+            var j = 0
+            var sawNull = false
+            while (j < lenA && !sawNull) {
+              if (vec.isNullAt(off + j)) sawNull = true
+              else {
+                val diff = vec.getLong(off + j) - cb(off + j)
+                d += diff * diff
+              }
+              j += 1
+            }
+            if (sawNull) { if (bestNullCode < 0) bestNullCode = ci }
+            else if (d < bestD) { bestD = d; bestCode = ci }
+          }
+          ci += 1
+        }
+        out(sIdx) = if (bestNullCode >= 0) bestNullCode else bestCode
+        sIdx += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      codes(input.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pq", this, classOf[PqCodes].getName)
+      nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.codes($x);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Native asymmetric PQ distance: Σ over subspaces of the squared
+    * integer grid distance between the query's exact subvector and the
+    * codeword its candidate's code names — the fused twin of the former
+    * `aggregate(transform(range(m), ...zip_with(slice(q),
+    * slice(cb[code]))...))` tree (same interpreted-lambda cost profile
+    * as [[PqCodes]]; this is the per-candidate-pair hot loop of every
+    * serve path). Identical integer arithmetic; NULL when either input
+    * is NULL, when a code is out of codebook range (element_at → null
+    * in the HOF tree), when the two slices clip to different lengths,
+    * or when any touched element is null.
+    */
+  case class AdcDist(left: Expression, right: Expression,
+                     codebook: Array[Array[Long]], m: Int, sub: Int)
+      extends BinaryExpression {
+    require(codebook.nonEmpty && m >= 1 && sub >= 1)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    // boxed so generated code can represent the NULL outcome
+    def dist(q: ArrayData, codes: ArrayData): java.lang.Long = {
+      val qLen = q.numElements()
+      var total = 0L
+      var sIdx = 0
+      while (sIdx < m) {
+        if (sIdx >= codes.numElements() || codes.isNullAt(sIdx)) return null
+        val code = codes.getInt(sIdx)
+        if (code < 0 || code >= codebook.length) return null
+        val cb = codebook(code)
+        val off = sIdx * sub
+        val lenA = math.max(0, math.min(sub, qLen - off))
+        val lenB = math.max(0, math.min(sub, cb.length - off))
+        if (lenA != lenB) return null
+        var j = 0
+        while (j < lenA) {
+          if (q.isNullAt(off + j)) return null
+          val diff = q.getLong(off + j) - cb(off + j)
+          total += diff * diff
+          j += 1
+        }
+        sIdx += 1
+      }
+      total
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val r = dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (r == null) null else r.longValue()
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("adc", this, classOf[AdcDist].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val boxed = ctx.freshName("boxed")
+        s"""
+           |java.lang.Long $boxed = $ref.dist($a, $b);
+           |if ($boxed == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $boxed.longValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** Morton (Z-order) interleave of two 32-bit keys into one long: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1. Sorting data by
     * this key before writing clusters rows so parquet row-group min/max
@@ -553,6 +697,14 @@ object VectorExpressions {
                     centroids: Array[Array[Float]], n: Int): Column =
     GraftColumnBridge.column(NearestCells(GraftColumnBridge.expression(vec),
       cellIds, centroids, n))
+  def pq_codes(vec: Column, codebook: Array[Array[Long]],
+               m: Int, sub: Int): Column =
+    GraftColumnBridge.column(PqCodes(GraftColumnBridge.expression(vec),
+      codebook, m, sub))
+  def adc_dist(q: Column, codes: Column, codebook: Array[Array[Long]],
+               m: Int, sub: Int): Column =
+    GraftColumnBridge.column(AdcDist(GraftColumnBridge.expression(q),
+      GraftColumnBridge.expression(codes), codebook, m, sub))
   def morton_interleave(a: Column, b: Column): Column =
     GraftColumnBridge.column(MortonInterleave(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
