@@ -371,6 +371,21 @@ object Dedup {
     // fp-keyed broadcast-able join; min-id per component is preserved
     // because every rep is already the min of its fp group.
     val reps = pin(fpMat.groupBy(col("fp")).agg(min(col("id")).as("id")))
+    // Scale-adaptive loop parallelism (round 14, guide §2.2/§2): the
+    // fixpoint's frames are REP-sized, and every superstep pays ~5
+    // exchanges whose task count is the session shuffle default — at
+    // gate scale that is 32-task stages over a few thousand rows, pure
+    // scheduling overhead (measured ~10% of q94/q190). Derive the loop's
+    // shuffle-partition count from the rep count (one action on the
+    // already-needed cache): ~64k reps per partition, floored at 8,
+    // capped at the session value so a big corpus keeps its parallelism.
+    val session = withFp.sparkSession
+    val prevShuffle = session.conf.get("spark.sql.shuffle.partitions")
+    val nReps = reps.count()
+    val loopParts = math.max(8L,
+      math.min(prevShuffle.toLong, nReps / 65536 + 8)).toString
+    session.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     val keyed = pin(reps.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map(chunkVal(col("fp"), _, chunks)): _*))
         .as(Seq("chunk", "ck"))))
@@ -404,7 +419,12 @@ object Dedup {
         .select(labels("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
-      // pointer halving: adopt the label OF the current label
+      // pointer halving: adopt the label OF the current label. Kept at
+      // exactly ONE halving per superstep — round-14 A/B: zero halvings
+      // fails to converge in 10 rounds (long label chains), two halvings
+      // per round still needs 6 rounds but pays an extra join in each
+      // (measured ~1.7× slower) — the chain collapse is bounded by how
+      // fast the probe DELIVERS new minima, not by jump depth.
       val links = viaNbr.select(col("id").as("pid"), col("cluster_id").as("plabel"))
       val next = viaNbr.join(links, viaNbr("cluster_id") === links("pid"), "left")
         .select(viaNbr("id"),
@@ -417,6 +437,8 @@ object Dedup {
       prevSum = nextSum
       step += 1
     }
+    if (sys.env.contains("GRAFT_DEBUG_CC"))
+      System.err.println(s"simhashClusters supersteps=$step converged=$done")
     // fan the rep labels back out: doc → fp → rep label. labels covers
     // every rep (initialized from reps), so the joins are total; at scale
     // both are keyed joins on the 8-byte fp / rep id, never on text.
@@ -424,6 +446,11 @@ object Dedup {
       .select(col("fp"), col("cluster_id"))
     fpMat.join(repLabels, Seq("fp"))
       .select(col("id"), col("cluster_id"))
+    // the conf restore below runs before the caller's action: only the
+    // loop's own jobs (every superstep materializes inside labelSum)
+    // execute at loopParts; the returned lazy frame plans at the
+    // caller's session value, exactly as before
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Ingest-time incremental dedup: flag each INCOMING doc as `exact_new`

@@ -51,13 +51,17 @@ object Graph {
     // empty graph: degs has no rows, so ranks is empty whatever the
     // divisor — clamp to 1 only to keep the literal arithmetic defined
     val nn = math.max(degs.count(), 1L)
+    // degree attached to the edge ONCE (round 14, guide §2.4): deg is a
+    // per-src constant, so joining it per iteration re-ran an identical
+    // edges⋈degs join `iterations` times — pinning (src, dst, deg)
+    // halves the joins in every superstep, same integer arithmetic
+    val eDeg = Dedup.pin(e.join(degs, Seq("src")))
     var ranks = degs
       .selectExpr("src AS pk", s"CAST(${UnitMass / nn}L AS BIGINT) AS r")
       .transform(Lineage.cutLazy)
     for (_ <- 1 to iterations) {
-      val contrib = e
+      val contrib = eDeg
         .join(ranks.select(col("pk").as("src"), col("r")), Seq("src"))
-        .join(degs, Seq("src"))
         .selectExpr("dst", "CAST(r div deg AS BIGINT) AS c")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       // lazy cut: fixed-round loop, no mid-loop action — all supersteps
