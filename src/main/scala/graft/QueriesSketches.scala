@@ -212,11 +212,13 @@ trait QueriesSketches extends QueriesCorpusStats {
     val candIds = pairs0.select(col("id1").as("id"))
       .union(pairs0.select(col("id2").as("id"))).distinct()
     val gc = Dedup.pin(g.join(broadcast(candIds), Seq("id"), "left_semi"))
+    // 32 md5-keyed hashes per DISTINCT gram via the fused native
+    // expression (round 14; formerly a transform/md5/conv tree — 32
+    // interpreted hex-string materializations + radix parses per gram):
+    // identical values, the oracle recomputes each one in SQL
     val gramHash = gc.select(col("gram")).distinct()
-      .withColumn("ha", expr(
-        "transform(sequence(0, 31), i -> " +
-          "cast(conv(substring(md5(concat(cast(i as string), '|', gram))," +
-          " 1, 15), 16, 10) as bigint))"))
+      .withColumn("ha",
+        graft.functions.VectorExpressions.md5_keyed_hashes(col("gram"), 32))
     val withSig = gc.join(gramHash, Seq("gram"))
       .groupBy(col("id"))
       .agg(min(col("ha")(0)).as("m0"),

@@ -275,6 +275,71 @@ object VectorExpressions {
     }
   }
 
+  /** k md5-keyed hash values for one string: value i is the 15-hex-nibble
+    * prefix of md5("i|" + s) as a long — the per-hash-function MinHash
+    * component family whose every value a SQL oracle can recompute
+    * (`('0x'||substr(md5(i||'|'||s),1,15))::BIGINT`). Fused twin of the
+    * former `transform(sequence(0,k-1), i ->
+    * conv(substring(md5(concat(i,'|',s)),1,15),16,10))` tree: the HOF
+    * path pays an interpreted lambda, a string concat, a hex-string
+    * materialization and a radix parse PER (i, row); this runs k digests
+    * over one reused buffer with a thread-local MessageDigest and reads
+    * the value straight off the digest bytes (identical 60-bit value:
+    * 15 nibbles = big-endian first 8 bytes >>> 4).
+    */
+  case class Md5KeyedHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1 && k <= 512, "k in [1, 512]")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Md5KeyedHashes.eval(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cls = Md5KeyedHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)" +
+          s" $cls.eval($a, $k);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  object Md5KeyedHashes {
+    private val digestTl =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
+    def eval(s: org.apache.spark.unsafe.types.UTF8String,
+             k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      val sb = s.getBytes
+      val d = digestTl.get()
+      val out = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        d.reset()
+        // prefix "i|" in ASCII, then the string bytes — identical bytes
+        // to md5(concat(cast(i as string), '|', s)) on UTF-8 input
+        val prefix = Integer.toString(i)
+        var p = 0
+        while (p < prefix.length) { d.update(prefix.charAt(p).toByte); p += 1 }
+        d.update('|'.toByte)
+        d.update(sb)
+        val h = d.digest()
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+        out(i) = v >>> 4
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Sign-random-projection bucket id (Charikar '02): bit p = sign of
     * <v, plane_p>. The hyperplane matrix is derived deterministically from
     * (seed, plane, dim) via SplitMix64 (Steele et al. '14, public domain)
@@ -501,9 +566,10 @@ object VectorExpressions {
     * slice(cb[code]))...))` tree (same interpreted-lambda cost profile
     * as [[PqCodes]]; this is the per-candidate-pair hot loop of every
     * serve path). Identical integer arithmetic; NULL when either input
-    * is NULL, when a code is out of codebook range (element_at → null
-    * in the HOF tree), when the two slices clip to different lengths,
-    * or when any touched element is null.
+    * is NULL, when a code is out of codebook range (unreachable from
+    * [[PqCodes]] output; the HOF tree THREW there under ANSI element_at
+    * — NULL is the safer total behavior), when the two slices clip to
+    * different lengths, or when any touched element is null.
     */
   case class AdcDist(left: Expression, right: Expression,
                      codebook: Array[Array[Long]], m: Int, sub: Int)
@@ -690,6 +756,8 @@ object VectorExpressions {
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
   def md5_simhash60(tokens: Column): Column =
     GraftColumnBridge.column(Md5Simhash60(GraftColumnBridge.expression(tokens)))
+  def md5_keyed_hashes(s: Column, k: Int): Column =
+    GraftColumnBridge.column(Md5KeyedHashes(GraftColumnBridge.expression(s), k))
   def srp_bucket(vec: Column, numPlanes: Int, seed: Long = 0x5eedL): Column =
     GraftColumnBridge.column(SrpBucket(GraftColumnBridge.expression(vec),
       numPlanes, seed))
