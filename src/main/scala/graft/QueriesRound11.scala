@@ -876,8 +876,8 @@ trait QueriesRound11 extends QueriesSeriesOpt {
         // ≤ 8 per query, fetched by key
         val corpusG = emb.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("neighbor_id"), qv.as("nv"))
-        val exact = aggregate(zip_with(col("qq"), col("nv"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+        // fused native L2² (round 14) — identical integer sum
+        val exact = VectorExpressions.grid_l2sq(col("qq"), col("nv"))
         val wExact = Window.partitionBy(col("query_id"))
           .orderBy(col("exact_dist"), col("neighbor_id"))
         broadcast(cand).join(corpusG, Seq("neighbor_id"))
@@ -1155,8 +1155,8 @@ trait QueriesRound11 extends QueriesSeriesOpt {
       // exact side: |queries| ≤ 10 by construction × one corpus scan
       val queries = Dedup.pin(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), qv.as("qq")))
-      val exact = aggregate(zip_with(col("qq"), col("nv"),
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      // fused native L2² (round 14) — identical integer sum
+      val exact = VectorExpressions.grid_l2sq(col("qq"), col("nv"))
       val wEx = Window.partitionBy(col("query_id"))
         .orderBy(col("exact_dist"), col("neighbor_id"))
       val exactTop = emb.filter(col("vec_id") >= 10)

@@ -968,8 +968,8 @@ trait QueriesRound12 extends QueriesRound11 {
             cellIds, cvs, 4)))
         .select(col("query_id"), col("qq"), col("col").as("cell"),
           (col("pos") + 1).as("cell_rank")))
-      val exactD = aggregate(zip_with(col("qq"), col("nv"),
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      // fused native L2² (round 14) — identical integer sum
+      val exactD = VectorExpressions.grid_l2sq(col("qq"), col("nv"))
       val cand = assigned.join(broadcast(qprobe), Seq("cell"))
         .select(col("query_id"), col("cell_rank"), col("neighbor_id"),
           adcDist(codebook, col("qq"), col("codes"), M, SUB).as("adc_dist"),

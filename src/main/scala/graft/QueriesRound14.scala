@@ -384,12 +384,10 @@ trait QueriesRound14 extends QueriesRound13e {
         .filter(probe)
       val pruned = "PartitionFilters: \\[[^\\]]*(IN|INSET)[^\\]]*".r
         .findFirstIn(rd.queryExecution.executedPlan.toString).isDefined
-      def sq(a: org.apache.spark.sql.Column) =
-        aggregate(a, lit(0L), (acc, x) => acc + x)
-      val approxD = sq(zip_with(slice(col("qq"), 1, 16),
-        slice(col("nv"), 1, 16), (a, b) => (a - b) * (a - b)))
-      val exactD = sq(zip_with(col("qq"), col("nv"),
-        (a, b) => (a - b) * (a - b)))
+      // fused native L2² over the 16-dim prefix / full vector (round 14)
+      // — identical integer sums to the former zip_with/aggregate trees
+      val approxD = VectorExpressions.grid_l2sq(col("qq"), col("nv"), 16)
+      val exactD = VectorExpressions.grid_l2sq(col("qq"), col("nv"))
       // predicate match flags ride with every candidate row
       def matches(pred: org.apache.spark.sql.Column) =
         pred === "none" ||

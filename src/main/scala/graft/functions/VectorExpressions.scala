@@ -275,6 +275,60 @@ object VectorExpressions {
     }
   }
 
+  /** Integer squared L2 distance between two long-grid vectors, over the
+    * full arrays (`prefix = 0`) or their first `prefix` elements — the
+    * fused twin of `aggregate(zip_with([slice(a,1,p)], [slice(b,1,p)],
+    * (x,y) -> (x-y)*(x-y)), 0L, +)`, the exact-re-rank hot loop of the
+    * IVF-PQ gates (interpreted lambda + per-row slice allocation in the
+    * HOF form). Identical integer arithmetic and null semantics: NULL
+    * when either input is NULL, when the (clipped) lengths differ
+    * (zip_with pads the shorter side with nulls, poisoning the sum), or
+    * when any touched element is null.
+    */
+  case class GridL2Sq(left: Expression, right: Expression, prefix: Int)
+      extends BinaryExpression {
+    require(prefix >= 0)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    def dist(a: ArrayData, b: ArrayData): java.lang.Long = {
+      val la = if (prefix == 0) a.numElements()
+        else math.min(prefix, a.numElements())
+      val lb = if (prefix == 0) b.numElements()
+        else math.min(prefix, b.numElements())
+      if (la != lb) return null
+      var total = 0L
+      var i = 0
+      while (i < la) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = a.getLong(i) - b.getLong(i)
+        total += d * d
+        i += 1
+      }
+      total
+    }
+
+    override def nullSafeEval(x: Any, y: Any): Any = {
+      val r = dist(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+      if (r == null) null else r.longValue()
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("l2", this, classOf[GridL2Sq].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val boxed = ctx.freshName("boxed")
+        s"""
+           |java.lang.Long $boxed = $ref.dist($a, $b);
+           |if ($boxed == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $boxed.longValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** k md5-keyed hash values for one string: value i is the 15-hex-nibble
     * prefix of md5("i|" + s) as a long — the per-hash-function MinHash
     * component family whose every value a SQL oracle can recompute
@@ -758,6 +812,9 @@ object VectorExpressions {
     GraftColumnBridge.column(Md5Simhash60(GraftColumnBridge.expression(tokens)))
   def md5_keyed_hashes(s: Column, k: Int): Column =
     GraftColumnBridge.column(Md5KeyedHashes(GraftColumnBridge.expression(s), k))
+  def grid_l2sq(a: Column, b: Column, prefix: Int = 0): Column =
+    GraftColumnBridge.column(GridL2Sq(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b), prefix))
   def srp_bucket(vec: Column, numPlanes: Int, seed: Long = 0x5eedL): Column =
     GraftColumnBridge.column(SrpBucket(GraftColumnBridge.expression(vec),
       numPlanes, seed))

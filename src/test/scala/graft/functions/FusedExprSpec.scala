@@ -96,6 +96,35 @@ class FusedExprSpec extends SparkSpec {
     assert(nativeDist(0L) == 0L)
   }
 
+  test("grid_l2sq equals the composed zip_with/aggregate tree") {
+    val DIM = 64
+    val vecs = (0 until 40).map { i =>
+      (i.toLong,
+        Array.tabulate(DIM)(_ => rnd.nextInt(2001).toLong - 1000L).toSeq,
+        Array.tabulate(DIM)(_ => rnd.nextInt(2001).toLong - 1000L).toSeq)
+    } :+ ((40L, Seq(1L, 2L), Seq(1L, 2L, 3L))) // length mismatch → NULL
+    val df = vecs.toDF("id", "a", "b")
+    def hof(pfx: Option[Int]) = {
+      val (x, y) = pfx match {
+        case Some(p) => (slice($"a", 1, p), slice($"b", 1, p))
+        case None    => ($"a", $"b")
+      }
+      aggregate(zip_with(x, y, (u, v) => (u - v) * (u - v)),
+        lit(0L), (acc, e) => acc + e)
+    }
+    for ((pfx, native) <- Seq(
+        (None, VectorExpressions.grid_l2sq($"a", $"b")),
+        (Some(16), VectorExpressions.grid_l2sq($"a", $"b", 16)))) {
+      val c = df.select($"id", hof(pfx).as("d")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+          else java.lang.Long.valueOf(r.getLong(1)))).toMap
+      val n = df.select($"id", native.as("d")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+          else java.lang.Long.valueOf(r.getLong(1)))).toMap
+      assert(n == c, s"prefix=$pfx")
+    }
+  }
+
   test("adc_dist is NULL (not an error) on out-of-range codes") {
     // the HOF tree THREW here under ANSI element_at (Spark 4 default);
     // no gate can reach this case — codes always come from pq_codes, so
