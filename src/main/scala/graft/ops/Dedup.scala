@@ -403,20 +403,49 @@ object Dedup {
     var prevSum = labelSum(labels)
     var step = 0
     var done = false
+    // Delta iteration (round 15, VERDICT r14 #3): ids whose label
+    // DECREASED last superstep; null = first superstep (every rep is a
+    // fresh seed). Only a changed label can deliver a NEW neighborhood
+    // minimum — an unchanged neighbor's label was already folded into
+    // this node's own label by the superstep after it last changed
+    // (round 1 delivers every initial label; labels only decrease), so
+    // restricting the PROBE side to changed labels is exact, not a
+    // heuristic: per-round label values are identical to the full
+    // probe's, hence so are the labelSum certificates and the superstep
+    // count. At 100 TB this is the difference between re-probing every
+    // bucket for 6 rounds and probing only the frontier after round 1.
+    var changed: DataFrame = null
     while (!done && step < maxSupersteps) {
-      // linear-cost label attach (shuffle of the chunk table, never pairs)
-      val lk = keyed.join(labels, "id")
+      // probe (r) side: label attach restricted to last round's frontier
+      val t0 = System.nanoTime()
+      val deltaLabels =
+        if (changed == null) labels
+        else labels.join(changed, col("id") === col("changed_id"), "left_semi")
+      val rk = keyed.join(deltaLabels, "id")
+      if (sys.env.contains("GRAFT_DEBUG_CC_ROWS"))
+        System.err.println(s"simhashClusters superstep=${step + 1} " +
+          s"probe_rows=${rk.count()}")
       // implicit-edge neighborhood min: the quadratic probe stream exists
       // only inside the hash join -> partial agg pipeline (no firstMatch
-      // needed: duplicate probe hits are absorbed by min())
-      val nbrMin = lk.as("l")
-        .join(lk.as("r"), col("l.chunk") === col("r.chunk") &&
+      // needed: duplicate probe hits are absorbed by min()). The receive
+      // (l) side needs no label at all — only (id, fp, chunk, ck).
+      // merge-join pinned: the receive side is the cached chunk table,
+      // whose accurate (small-at-gate-SF) size estimate otherwise flips
+      // the planner to broadcasting it — wrong twice over: at 100 TB the
+      // chunk table cannot broadcast, and even here the hot pigeonhole
+      // buckets make HashedRelation chain-walks ~5× slower than sorted
+      // group merges (measured 10×: supersteps 2-4 at 25-40 s under the
+      // broadcast plan vs ~6 s merged)
+      val nbrMin = keyed.hint("merge").as("l")
+        .join(rk.as("r"), col("l.chunk") === col("r.chunk") &&
           col("l.ck") === col("r.ck") && col("l.id") =!= col("r.id") &&
           bit_count(col("l.fp").bitwiseXOR(col("r.fp"))) <= maxHammingDistance)
         .groupBy(col("l.id").as("nid"))
         .agg(min(col("r.cluster_id")).as("nmin"))
+      // old_label rides along so the next frontier is a filter on the
+      // already-checkpointed frame, not an extra join
       val viaNbr = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(labels("id"),
+        .select(labels("id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
       // pointer halving: adopt the label OF the current label. Kept at
@@ -427,15 +456,22 @@ object Dedup {
       // fast the probe DELIVERS new minima, not by jump depth.
       val links = viaNbr.select(col("id").as("pid"), col("cluster_id").as("plabel"))
       val next = viaNbr.join(links, viaNbr("cluster_id") === links("pid"), "left")
-        .select(viaNbr("id"),
+        .select(viaNbr("id"), col("old_label"),
           least(viaNbr("cluster_id"),
             coalesce(col("plabel"), viaNbr("cluster_id"))).as("cluster_id"))
         .transform(Lineage.cutLazy)
+      if (sys.env.contains("GRAFT_DEBUG_CC_PLAN") && step == 2)
+        System.err.println(nbrMin.queryExecution.executedPlan.toString.take(8000))
       val nextSum = labelSum(next)
-      labels = next
+      changed = next.filter(col("cluster_id") < col("old_label"))
+        .select(col("id").as("changed_id"))
+      labels = next.select(col("id"), col("cluster_id"))
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       step += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(f"simhashClusters superstep=$step " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     if (sys.env.contains("GRAFT_DEBUG_CC"))
       System.err.println(s"simhashClusters supersteps=$step converged=$done")
@@ -542,24 +578,43 @@ object Dedup {
     var prevSum = labelSum(labels)
     var step = 0
     var done = false
+    // Delta iteration (round 15, VERDICT r14 #3 — same argument as
+    // [[simhashClusters]]): only labels that DECREASED last superstep can
+    // deliver a new neighbor minimum; every other neighbor's label was
+    // already folded into this node's label by the superstep after it
+    // last changed (round 1 delivers all seeds; labels only decrease).
+    // Per-round label values — and hence the labelSum certificate and
+    // superstep count — are identical to the full probe's; the probe
+    // volume drops to the frontier's buckets after round 1.
+    var changed: DataFrame = null
     while (!done && step < maxSupersteps) {
-      val neighborMin = sym.join(labels, sym("b") === labels("id"))
+      val deltaLabels =
+        if (changed == null) labels
+        else labels.join(changed, col("id") === col("changed_id"), "left_semi")
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(s"clusters superstep=${step + 1} " +
+          s"frontier=${deltaLabels.count()}")
+      val neighborMin = sym.join(deltaLabels, sym("b") === deltaLabels("id"))
         .groupBy(sym("a").as("nid"))
         .agg(min(col("cluster_id")).as("nmin"))
+      // old_label rides along so the next frontier is a filter on the
+      // already-checkpointed frame, not an extra join
       val viaNeighbors = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(labels("id"),
+        .select(labels("id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
       // pointer halving: also adopt the label OF the current label, so
       // chains collapse in O(log diameter) supersteps instead of O(diameter)
       val links = viaNeighbors.select(col("id").as("pid"), col("cluster_id").as("plabel"))
       val next = viaNeighbors.join(links, viaNeighbors("cluster_id") === links("pid"), "left")
-        .select(viaNeighbors("id"),
+        .select(viaNeighbors("id"), col("old_label"),
           least(viaNeighbors("cluster_id"),
             coalesce(col("plabel"), viaNeighbors("cluster_id"))).as("cluster_id"))
         .transform(Lineage.cutLazy)
       val nextSum = labelSum(next)
-      labels = next
+      changed = next.filter(col("cluster_id") < col("old_label"))
+        .select(col("id").as("changed_id"))
+      labels = next.select(col("id"), col("cluster_id"))
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       step += 1
