@@ -176,16 +176,23 @@ object Graph {
   }
 
   /** Per-node triangle counts via degree-ordered orientation (Schank &
-    * Wagner '05; the MapReduce formulation of Suri & Vassilvitskii '11):
-    * orient every undirected edge from its (degree, id)-smaller endpoint
-    * to the larger, enumerate wedges at each oriented source, and close
-    * each wedge with one join against the oriented edge list. Every
-    * triangle is found exactly once, and — the scale point — a node's
-    * oriented OUT-degree is O(√m) regardless of its raw degree, so the
-    * wedge fan-out that makes naive per-node enumeration quadratic at a
-    * celebrity node is structurally bounded. Three shuffles (degree,
-    * wedge self-join, closing join), all keyed on node ids; nothing
-    * quadratic in raw degree ever materializes.
+    * Wagner '05 "forward"/compact-forward; the orientation bound of
+    * Suri & Vassilvitskii '11): orient every undirected edge from its
+    * (degree, id)-smaller endpoint to the larger, build each node's
+    * oriented OUT-adjacency array — O(√m) elements regardless of raw
+    * degree, so no celebrity node can detonate a row — and close
+    * triangles per ORIENTED EDGE: for edge a→b, every
+    * c ∈ N⁺(a) ∩ N⁺(b) closes exactly one triangle {a,b,c} with
+    * a < b < c in (deg, id) order (found only at (a,b): the closing
+    * edges a→c and b→c point AWAY from c, so neither later edge can
+    * re-find it). The round-15 formulation — the prior wedge self-join
+    * materialized Σ outdeg² wedge rows (41 M at sf0.1 for 1.2 M edges)
+    * and shuffled them into the closing join; the per-edge array
+    * intersection does the same enumeration inside one codegen
+    * projection over the edge list, and only actual triangles (1.9 M
+    * here) ever become rows. Shuffles: degree, adjacency build, two
+    * id-keyed joins of the edge list, corner aggregation — all linear
+    * in edges.
     *
     * Input: undirected edges in either orientation; multi-edges are
     * deduped and self-loops dropped. Output: one row per node,
@@ -204,26 +211,36 @@ object Graph {
         .groupBy(col("id")).agg(count(lit(1)).as("deg")))
     val uLast = struct(col("du"), col("u"))
     val vLast = struct(col("dv"), col("v"))
-    // destination travels with its (deg, id) key — the wedge ordering key
+    // only the destination ID is needed downstream (the (deg, id) order
+    // exists to DEFINE the orientation, not to travel with it)
     val oriented = Dedup.pin(und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
       .select(
         when(uLast < vLast, col("u")).otherwise(col("v")).as("s"),
-        when(uLast < vLast, struct(col("dv").as("dg"), col("v").as("id")))
-          .otherwise(struct(col("du").as("dg"), col("u").as("id"))).as("d")))
-    // wedges at the oriented source; b precedes c in (deg, id) order, so
-    // the closing edge of {b.id, c.id} — if it exists — is oriented b→c
-    val wedges = oriented.select(col("s"), col("d").as("b"))
-      .join(oriented.select(col("s"), col("d").as("c")), Seq("s"))
-      .filter(col("b") < col("c"))
-    val tris = wedges.join(
-        oriented.select(col("s").as("bs"), col("d").as("cd")),
-        col("b.id") === col("bs") && col("c.id") === col("cd.id"))
-      .select(col("s").as("a"), col("b.id").as("b"), col("c.id").as("c"))
-    val corners = tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+        when(uLast < vLast, col("v")).otherwise(col("u")).as("d")))
+    // oriented out-adjacency arrays: ≤ O(√m) elements per node. Sorted
+    // for deterministic bytes; the intersection is order-insensitive.
+    val adj = Dedup.pin(oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("d"))).as("nbrs")))
+    // per-edge closure: c-sets materialize only where triangles exist
+    val withSets = Dedup.pin(oriented
+      .select(col("s").as("a"), col("d").as("b"))
+      .join(adj.select(col("s").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("s").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        array_intersect(col("na"), col("nb")).as("cs"))
+      .filter(size(col("cs")) > 0))
+    // corner counts: the apex (a) and middle (b) corners take the c-set
+    // SIZE per edge — only the max corner (c) needs the explode, so the
+    // exploded row count is exactly |triangles|
+    val corners = withSets
+      .select(col("a").as("id"), size(col("cs")).cast("long").as("n"))
+      .unionAll(withSets
+        .select(col("b").as("id"), size(col("cs")).cast("long").as("n")))
+      .unionAll(withSets
+        .select(explode(col("cs")).as("id"), lit(1L).as("n")))
+      .groupBy(col("id")).agg(sum(col("n")).as("n_tri"))
     deg.join(corners, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
