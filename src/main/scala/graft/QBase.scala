@@ -99,4 +99,20 @@ trait QBase {
     try a finally tb.join()
     if (ea != null) throw ea
   }
+
+  /** N-ary [[inParallel]]: run every thunk concurrently (one thread
+    * each — callers pass a handful of independent jobs, e.g. one
+    * compaction per partition directory), join all, rethrow the first
+    * failure. Spark's scheduler interleaves the jobs (guide §2.6);
+    * FIFO scheduling back-fills each job's task tail with the next's.
+    */
+  protected def inParallelAll(units: Seq[() => Unit]): Unit = {
+    if (units.isEmpty) return
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = units.map(u => new Thread(() =>
+      try u() catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
 }

@@ -584,9 +584,12 @@ trait QueriesRound11 extends QueriesSeriesOpt {
     val before = fileCounts
     // single-file target: deterministic at gate scale (the 128 MB
     // default would also yield 1 here, but pinning the target makes the
-    // oracle's files_compacted = 1 hold at ANY sf)
-    partDirs.foreach(d =>
-      Writers.compact(s, d.toString, targetBytesPerFile = 1L << 40))
+    // oracle's files_compacted = 1 hold at ANY sf). Per-partition
+    // compactions are independent read+rewrite jobs over disjoint
+    // directories — run them concurrently (guide §2.6; round 15): the
+    // sequential loop paid one job tail per event type.
+    inParallelAll(partDirs.map(d => () =>
+      Writers.compact(s, d.toString, targetBytesPerFile = 1L << 40)))
     val after = fileCounts
     deliver("graft_stream_cmp_cp2") // fresh checkpoint: full re-delivery
     val replay = fileCounts

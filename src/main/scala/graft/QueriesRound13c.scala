@@ -94,11 +94,18 @@ trait QueriesRound13c extends QueriesRound13b {
       def nz(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
       (r.getLong(0), nz(1), nz(2))
     }
-    val eq = (1 to 3).map { v =>
-      agg(readFiles(s, src, SnapshotLog.files(src, v))) ==
-        agg(readReplica(SnapshotLog.files(replica, v)))
-    }
-    val (fr, fv, fsum) = agg(readReplica(SnapshotLog.files(replica, 3)))
+    // the six per-version aggregates are independent bounded actions —
+    // run them concurrently (guide §2.6; round 15: the sequential loop
+    // paid six job tails), and reuse the v3 replica aggregate for the
+    // result row instead of recomputing it
+    val srcAggs = new Array[(Long, Long, Long)](3)
+    val repAggs = new Array[(Long, Long, Long)](3)
+    inParallelAll((0 until 3).flatMap(i => Seq(
+      () => srcAggs(i) = agg(readFiles(s, src, SnapshotLog.files(src, i + 1))),
+      () => repAggs(i) =
+        agg(readReplica(SnapshotLog.files(replica, i + 1))))))
+    val eq = (0 until 3).map(i => srcAggs(i) == repAggs(i))
+    val (fr, fv, fsum) = repAggs(2)
     s.range(1).select(
       lit(eq(0)).as("v1_matches"), lit(eq(1)).as("v2_matches"),
       lit(eq(2)).as("v3_matches"),

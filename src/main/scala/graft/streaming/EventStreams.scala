@@ -163,7 +163,12 @@ object EventStreams {
         val deduped = batch.dropDuplicates(idCol)
         val fresh =
           try {
-            val existing = s.read.parquet(targetDir).select(col(idCol))
+            // explicit schema (= the batch's own: the sink only ever
+            // appends batch-shaped rows): footer inference re-read a
+            // parquet footer on the driver EVERY micro-batch; partition
+            // columns still resolve by name from the directory layout
+            val existing = s.read.schema(batch.schema).parquet(targetDir)
+              .select(col(idCol))
             deduped.join(existing, Seq(idCol), "left_anti")
           } catch { case _: org.apache.spark.sql.AnalysisException => deduped }
         if (partitionBy.nonEmpty) {
