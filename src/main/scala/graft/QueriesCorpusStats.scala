@@ -725,7 +725,8 @@ trait QueriesCorpusStats extends QueriesCorpus {
       .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct())
     val seeds = edges.select(col("src").as("id"))
       .filter(col("id") <= 10).distinct()
-    graft.ops.Graph.bfsLevels(edges, seeds, rounds = BfsRounds)
+    graft.ops.Graph.bfsLevels(edges, seeds, rounds = BfsRounds,
+      assumeDistinct = true)
       .select(col("pk").as("p_partkey"), col("d").as("hops"))
       .orderBy(col("p_partkey"))
   }
@@ -776,7 +777,8 @@ trait QueriesCorpusStats extends QueriesCorpus {
     // empty graph ⇒ no nodes to peel; k=1 keeps the op total, output empty
     val k = if (mn.getLong(1) == 0L) 1
       else ((mn.getLong(0) / mn.getLong(1)) * 3 / 4).toInt.max(1)
-    graft.ops.Graph.kCore(edges, k, rounds = KCoreRounds)
+    graft.ops.Graph.kCore(edges, k, rounds = KCoreRounds,
+      assumeDistinct = true)
       .select(col("id").as("p_partkey"), col("core_deg"))
       .orderBy(col("p_partkey"))
   }

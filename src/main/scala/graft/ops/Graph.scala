@@ -123,10 +123,20 @@ object Graph {
     * orientations for an undirected traversal. Output: (pk, d) for every
     * node within `rounds` hops of any seed; unreached nodes are absent.
     */
+  /** `assumeDistinct`: the caller certifies `edges` is already a
+    * DISTINCT (src, dst) frame that is cheap to rescan (typically
+    * pinned) — the op then skips its own dedup exchange + second cache.
+    * Round 15: q160/q161 pre-distinct and pin the edge self-join (both
+    * the seed/k derivation and the loop consume it), so the internal
+    * re-distinct re-shuffled the full edge list once more per query.
+    */
   def bfsLevels(edges: DataFrame, seeds: DataFrame, rounds: Int,
-                idCol: String = "id"): DataFrame = {
+                idCol: String = "id",
+                assumeDistinct: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 30, "rounds in [1, 30]")
-    val e = Dedup.pin(edges.select(col("src"), col("dst")).distinct())
+    val e =
+      if (assumeDistinct) edges.select(col("src"), col("dst"))
+      else Dedup.pin(edges.select(col("src"), col("dst")).distinct())
     var dist = Lineage.cutLazy(seeds.select(col(idCol).as("pk")).distinct()
       .select(col("pk"), lit(0L).as("d")))
     for (_ <- 1 to rounds) {
@@ -158,10 +168,18 @@ object Graph {
     * fixed-iteration lesson); size R to the cascade depth you need.
     * `edges` must be symmetric (pass both orientations) and simple.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** `assumeDistinct`: as in [[bfsLevels]] — the caller certifies a
+    * distinct, cheap-to-rescan edge frame; skips the dedup exchange and
+    * the initial lineage cut (a pinned input's lineage is already flat,
+    * and the first peel round cuts its own output).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            assumeDistinct: Boolean = false): DataFrame = {
     require(k >= 1, "k >= 1")
     require(rounds >= 1 && rounds <= 30, "rounds in [1, 30]")
-    var e = Lineage.cutLazy(edges.select(col("src"), col("dst")).distinct())
+    var e =
+      if (assumeDistinct) edges.select(col("src"), col("dst"))
+      else Lineage.cutLazy(edges.select(col("src"), col("dst")).distinct())
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("k_id"))
